@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed (collect) but results are small aggregates, so
+timing measures scan+shuffle+agg, not driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (relational joins/aggs, windows,
+# scalar funcs, doc pipeline, dedup, similarity, text stats, events windows).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q10_returned_items",
+]
+# Extended per-family headliners appended when present in the registry.
+OPTIONAL = [
+    "w1_order_running_revenue",
+    "f9_events_json_extract",
+    "doc_pipeline_extractions",
+    "x1_dedup_exact",
+    "x1_dedup_jaccard_ngram",
+    "x2_cosine_topk",
+    "x4_token_stats",
+    "st_tumbling_window",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as e
+    from multiagent_form_schema_etl_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+    names = [n for n in HEADLINE if n in qs] + [n for n in OPTIONAL if n in qs]
+
+    # Warm the JVM + parquet footers once so timings measure steady state.
+    qs[names[0]](spark, SF_DIR).collect()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count() if len(df.columns) > 12 else len(df.collect())
+        times[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
