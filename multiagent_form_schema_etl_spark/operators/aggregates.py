@@ -1,1 +1,178 @@
-"""Placeholder; filled in as coverage widens (SURVEY.md §7)."""
+"""Aggregation surface (SURVEY.md §7 step 4; §2.5 A1-A9 + Spark extras:
+cube / rollup / grouping sets, exact distinct).
+
+All aggregations are single groupBy stages → Spark plans partial (map-side)
+aggregation before the shuffle; conditional counts are `sum(when(...))`
+expressions inside the same hash-agg, not separate passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import dec_avg, dec_sum
+from ..plans.registry import register
+
+
+@register(
+    "a4_conditional_aggregation",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_high_priority,
+           SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def a4_conditional_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional hash aggregation (A4: TP/FP/FN-style class counts,
+    evaluation/evaluator.py:43-61)."""
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(high, 1).otherwise(0)).alias("n_high_priority"),
+            F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).alias("n_big"),
+            dec_avg("o_totalprice", "avg_price"),
+        )
+    )
+
+
+@register(
+    "a_rollup_order_hierarchy",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def a_rollup_order_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING flags -- subtotal hierarchy absent from the
+    reference, free in Spark (SURVEY §2.5 note)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("o_totalprice", "total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n", "total")
+    )
+
+
+@register(
+    "a_cube_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a_cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the two lineitem status dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("l_quantity", "sum_qty"))
+        .select("l_returnflag", "l_linestatus", "n", "sum_qty")
+    )
+
+
+@register(
+    "a7_bool_and_completeness",
+    oracle="""
+    SELECT sub.all_low_discount, COUNT(*) AS n_orders
+    FROM (SELECT l_orderkey, BOOL_AND(l_discount < 0.05) AS all_low_discount
+          FROM lineitem GROUP BY l_orderkey) sub
+    GROUP BY sub.all_low_discount
+    """,
+)
+def a7_bool_and_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOL_AND aggregate (A7: is_complete = every required field non-null,
+    utils/form.py:49-58) -- here: orders whose lines all have low discount."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.bool_and(F.col("l_discount") < 0.05).alias("all_low_discount"))
+    return per_order.groupBy("all_low_discount").agg(
+        F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "a8_distinct_key_union",
+    oracle="""
+    SELECT COUNT(*) AS n_nations_active
+    FROM (SELECT c_nationkey AS nk FROM customer
+          UNION
+          SELECT s_nationkey FROM supplier)
+    """,
+)
+def a8_distinct_key_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct key-set union (A8, evaluation/evaluator.py:40)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct().agg(F.count(F.lit(1)).alias("n_nations_active"))
+
+
+@register(
+    "a_multi_distinct_counts",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           COUNT(*) AS n_rows
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def a_multi_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact COUNT(DISTINCT) in one aggregation (Spark expands
+    grouping sets internally)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "a2_minmax_stats_per_nation",
+    oracle="""
+    SELECT n_name,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal,
+           COUNT(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def a2_minmax_stats_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/count stats rollup (A1/A6 shapes) after a broadcast join."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            dec_avg("c_acctbal", "avg_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

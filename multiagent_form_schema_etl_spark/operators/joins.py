@@ -1,1 +1,150 @@
-"""Placeholder; filled in as coverage widens (SURVEY.md §7)."""
+"""Join & set-operation surface (SURVEY.md §7 step 3; §2.4 J1-J5, §2.7).
+
+Join strategy notes for scale:
+- Semi/anti joins replace EXISTS/NOT-EXISTS subqueries; Spark plans them as
+  broadcast- or shuffled-hash joins with early-out probing (no fact-side
+  duplication).
+- The containment-theta join (J2's fuzzy section lookup shape) is a broadcast
+  nested-loop join; correct only because the build side is tiny (a schema /
+  keyword list). Never theta-join two fact tables.
+- Set ops are expressed with Spark's native union/intersect/except so
+  Catalyst can rewrite them into aggregates/joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..fixtures import values_sql
+from ..plans.registry import register
+
+# Tiny keyword dimension for the containment-theta join (J2 shape: the
+# reference matches a schema 'section' key by substring against clause keys
+# and texts, extraction/form_filler.py:101-115).
+_KW_COLS = ["kw"]
+_KW_ROWS: list[tuple] = [("standard",), ("large",), ("econ",), ("med",), ("promo",)]
+
+
+@register(
+    "j5_semi_join_customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+                    AND o_totalprice > 400000)
+    """,
+)
+def j5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (J5's key-guarded membership shape,
+    utils/form.py:30-43): customers having at least one qualifying order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 400000))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "j5_anti_join_parts_never_shipped",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey
+                        AND l_shipdate < TIMESTAMP '1996-01-01')
+    """,
+)
+def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (J5's dropped-key side-output shape): parts with no
+    early shipment."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+    )
+
+
+@register(
+    "j2_containment_theta_join",
+    oracle=f"""
+    SELECT kw, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+    FROM part JOIN {values_sql(_KW_ROWS, _KW_COLS)}
+      ON POSITION(kw IN lower(p_type)) > 0
+    GROUP BY kw
+    """,
+)
+def j2_containment_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment theta-join (J2: substring-match lookup of section keys,
+    extraction/form_filler.py:101-115), expressed as a broadcast
+    nested-loop join against a 5-row keyword dim."""
+    from ..functions.scalars import dec_sum
+
+    part = load_table(spark, sf_dir, "part")
+    kws = spark.createDataFrame(_KW_ROWS, "kw string")
+    return (
+        part.join(F.broadcast(kws), F.instr(F.lower(part.p_type), kws.kw) > 0)
+        .groupBy("kw")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             dec_sum("p_retailprice", "total_price"))
+    )
+
+
+@register(
+    "j_cross_join_fanout",
+    oracle="""
+    SELECT r_name, seg.c_mktsegment
+    FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+    """,
+)
+def j_cross_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-join fan-out (J3's schema×document shape,
+    extraction/form_filler.py:40-47): every (region, segment) pair."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    segs = load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return region.crossJoin(F.broadcast(segs))
+
+
+@register(
+    "set_ops_customer_cohorts",
+    oracle="""
+    WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+         y97 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT 'both_years' AS cohort, COUNT(*) AS n FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+    UNION ALL
+    SELECT 'only_1996', COUNT(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+    UNION ALL
+    SELECT 'either_year', COUNT(*) FROM (SELECT * FROM y96 UNION SELECT * FROM y97)
+    """,
+)
+def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION-DISTINCT (A8's key-set algebra,
+    evaluation/evaluator.py:40) over yearly customer cohorts."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cohort(y: int) -> DataFrame:
+        return (orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp")))
+            .select("o_custkey").distinct())
+
+    y96, y97 = cohort(1996), cohort(1997)
+
+    def tagged_count(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(tag).alias("cohort"), "n")
+
+    return (
+        tagged_count("both_years", y96.intersect(y97))
+        .unionByName(tagged_count("only_1996", y96.subtract(y97)))
+        .unionByName(tagged_count("either_year", y96.union(y97).distinct()))
+    )
