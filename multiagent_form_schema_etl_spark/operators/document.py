@@ -1,1 +1,564 @@
-"""Placeholder; filled in as coverage widens (SURVEY.md §7)."""
+"""Document pipeline (SURVEY.md §3.1 restated Spark-first; §7 step 5).
+
+Recreates the reference's entire lifecycle as ONE DataFrame lineage:
+
+    blocks → words (E1) → heading/section flags (F3/F4 via W2 lookahead)
+    → sessionized clauses (W1+A2) → full text (A3)
+    → schema-driven extraction cascade (J3+F1+F2+U7, deterministic: the LLM
+      slot U2 defaults to NULL) → validation (P8-P10) → default-value
+    recovery (U8) → form completeness (A7) → scoring (J1+A4+A5+A6)
+
+Every stage is a registered query with a DuckDB oracle built from the same
+literal fixtures (fixtures.py) and the same engine-parameterized SQL
+fragments (sqlgen.py), so Spark and the oracle cannot drift on regex/cascade
+semantics.
+
+Scale design: all windows/aggregations are partitioned by doc_id -- state is
+bounded per document and documents distribute freely across executors; the
+schema side of every join is broadcast (a form schema is KBs); nothing
+collects to the driver. At 100 TB (billions of docs) this lineage shuffles
+each doc's words once for sessionization and once for clause aggregation,
+both on doc_id, so AQE can coalesce/colocate; a pre-partition by doc_id would
+eliminate the second shuffle entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..fixtures import (
+    BLOCK_COLS,
+    BLOCK_ROWS,
+    DOC_FORM_COLS,
+    DOC_FORM_ROWS,
+    GROUND_TRUTH_ROWS,
+    PAGE_H,
+    PAGE_W,
+    SCHEMA_ROWS,
+    values_sql,
+)
+from ..plans.registry import register
+from . import sqlgen as G
+from .sqlgen import DUCK, SPARK
+
+# ---------------------------------------------------------------------------
+# Spark-side fixture frames
+# ---------------------------------------------------------------------------
+
+_BLOCK_SCHEMA = ("doc_id long, page int, block_idx int, text string, "
+                 "label string, confidence double, source string, "
+                 "x0 double, y0 double, x1 double, y1 double")
+_SCHEMA_META_COLS = ["form_name", "field_name", "ftype", "section", "required",
+                     "c_min", "c_max", "c_pattern", "c_enum", "default_value"]
+_SCHEMA_META_SCHEMA = ("form_name string, field_name string, ftype string, "
+                       "section string, required boolean, c_min double, "
+                       "c_max double, c_pattern string, c_enum array<string>, "
+                       "default_value string")
+_SCHEMA_META_ROWS = [
+    (r[0], r[1], r[2], r[3], r[4], r[8], r[9], r[10], r[11], r[12])
+    for r in SCHEMA_ROWS
+]
+_GT_SCHEMA = "doc_id long, field_name string, true_value string"
+
+
+def blocks_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(BLOCK_ROWS, _BLOCK_SCHEMA)
+
+
+def doc_forms_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(DOC_FORM_ROWS, "doc_id long, form_name string")
+
+
+def schema_meta_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_SCHEMA_META_ROWS, _SCHEMA_META_SCHEMA)
+
+
+def ground_truth_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(GROUND_TRUTH_ROWS, _GT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline stages, Spark side
+# ---------------------------------------------------------------------------
+
+def words_df(spark: SparkSession) -> DataFrame:
+    """E1: blocks → one row per word, document order preserved
+    (layout_analysis/layout_structure.py:83-91)."""
+    b = blocks_df(spark).filter(F.trim("text") != "")
+    w = b.select(
+        "doc_id", "block_idx", "label",
+        F.posexplode(F.split("text", " ")).alias("widx", "word"),
+    ).filter(F.col("word") != "")
+    return w.withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("block_idx", "widx")))
+
+
+def keyed_words_df(spark: SparkSession) -> DataFrame:
+    """F3/F4/W1/W2: per-word heading trigger, section-key extraction with
+    2-word lookahead, and the running 'current clause' state
+    (layout_structure.py:152-208)."""
+    w = words_df(spark)
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    w = (w.withColumn("nw1", F.lead("word", 1).over(win))
+          .withColumn("nw2", F.lead("word", 2).over(win))
+          .withColumn("trig", F.expr(
+              f"lower(label) = 'heading' OR {G.is_secnum_sql('word', SPARK)}"))
+          .withColumn("new_key", F.when(F.col("trig"), F.expr(
+              G.extract_key_sql("word", "nw1", "nw2", SPARK)))))
+    return w.withColumn(
+        "cur_key",
+        F.last("new_key", ignorenulls=True).over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+
+def clauses_df(spark: SparkSession) -> DataFrame:
+    """A2: sessionized clause build with first-key-wins duplicate handling
+    (repeated section keys concatenate, layout_structure.py:163-168) and
+    empty clauses preserved for keys that gathered no content words.
+    collect_list order is pinned by array_sort over (pos, word) structs --
+    collect_list alone is not order-stable after shuffles."""
+    k = keyed_words_df(spark)
+    keys = (k.filter(F.col("new_key").isNotNull())
+             .select("doc_id", F.col("new_key").alias("section_key")).distinct())
+    content = k.filter(
+        (~F.col("trig"))
+        & F.lower("label").isin("paragraph", "list_item")
+        & F.col("cur_key").isNotNull())
+    agg = (content.groupBy("doc_id", F.col("cur_key").alias("section_key"))
+           .agg(F.concat_ws(" ", F.transform(
+               F.array_sort(F.collect_list(F.struct("pos", "word"))),
+               lambda x: x["word"])).alias("txt")))
+    return (keys.join(agg, ["doc_id", "section_key"], "left")
+            .select("doc_id", "section_key",
+                    F.coalesce("txt", F.lit("")).alias("clause_text")))
+
+
+def fulltext_df(spark: SparkSession) -> DataFrame:
+    """A3: per-document full text = block texts joined in ingest order
+    (orchestration/orchestrator.py:115)."""
+    b = blocks_df(spark).filter(F.trim("text") != "")
+    ft = (b.groupBy("doc_id")
+          .agg(F.concat_ws(" ", F.transform(
+              F.array_sort(F.collect_list(F.struct("block_idx", "text"))),
+              lambda x: x["text"])).alias("full_text")))
+    return ft.join(F.broadcast(doc_forms_df(spark)), "doc_id")
+
+
+def _form_fields(form_name: str) -> list[tuple]:
+    return [r for r in SCHEMA_ROWS if r[0] == form_name]
+
+
+def extraction_df(spark: SparkSession) -> DataFrame:
+    """U7/J3/F1/F2: the per-(doc, field) extraction cascade as generated
+    expressions over full text (EAV output, FIXTURES.md A4). The schema
+    fan-out (J3) is compiled at plan time: each form contributes a stack()
+    projection -- no per-row schema interpretation at runtime."""
+    ft = fulltext_df(spark)
+    parts = []
+    for form in sorted({r[0] for r in SCHEMA_ROWS}):
+        items = []
+        for r in _form_fields(form):
+            _, fname, ftype, _, _, keywords, patterns, *_ = r
+            val = G.cascade_value_sql("full_text", ftype, patterns or [],
+                                      keywords or [], SPARK)
+            method = G.cascade_method_sql("full_text", val, patterns or [],
+                                          keywords or [], SPARK)
+            items.append(f"'{fname}', {val}, {method}")
+        stack = (f"stack({len(items)}, {', '.join(items)}) "
+                 "AS (field_name, value, method)")
+        parts.append(
+            ft.filter(F.col("form_name") == form)
+              .selectExpr("doc_id", "form_name", stack))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_VIOL_RULES = ("required", "type", "constraint_min", "constraint_max",
+               "constraint_pattern", "constraint_enum")
+
+
+def _viol_flags_sql(engine: str) -> dict[str, str]:
+    """ValidationRule trio over the EAV join (utils/validation.py:28-125).
+    Min/max apply only to number-typed values (isinstance int/float in the
+    reference); pattern applies to string-carrying types; enum to any
+    non-null value."""
+    rxp = ("(value RLIKE c_pattern)" if engine == SPARK
+           else "regexp_matches(value, c_pattern)")
+    return {
+        "required": "(required AND value IS NULL)",
+        "type": f"(value IS NOT NULL AND NOT {G.type_ok_sql('ftype', 'value', engine)})",
+        "constraint_min": ("(value IS NOT NULL AND ftype = 'number' AND c_min IS NOT NULL "
+                           "AND try_cast(value AS DOUBLE) < c_min)"),
+        "constraint_max": ("(value IS NOT NULL AND ftype = 'number' AND c_max IS NOT NULL "
+                           "AND try_cast(value AS DOUBLE) > c_max)"),
+        "constraint_pattern": ("(value IS NOT NULL AND ftype IN ('string','email','currency','date') "
+                               f"AND c_pattern IS NOT NULL AND NOT {rxp})"),
+        "constraint_enum": ("(value IS NOT NULL AND c_enum IS NOT NULL "
+                            f"AND NOT {G.array_contains_sql('c_enum', 'value', engine)})"),
+    }
+
+
+def validated_df(spark: SparkSession) -> DataFrame:
+    """Extraction EAV joined to broadcast schema meta, with violation flags."""
+    e = extraction_df(spark)
+    s = schema_meta_df(spark)
+    j = e.join(F.broadcast(s), ["form_name", "field_name"])
+    for rule, cond in _viol_flags_sql(SPARK).items():
+        j = j.withColumn(f"v_{rule}", F.expr(cond))
+    return j.withColumn(
+        "any_error", F.expr(" OR ".join(f"v_{r}" for r in _VIOL_RULES)))
+
+
+def recovered_df(spark: SparkSession) -> DataFrame:
+    """U8: DefaultValueRecovery -- any-error fields take the schema default
+    when present (utils/validation.py:190-203, 280-299)."""
+    v = validated_df(spark)
+    use_default = F.col("any_error") & F.col("default_value").isNotNull()
+    return v.select(
+        "doc_id", "form_name", "field_name", "required",
+        F.when(use_default, F.col("default_value")).otherwise(F.col("value")).alias("value"),
+        F.when(use_default, F.lit("recovery_default")).otherwise(F.col("method")).alias("method"),
+    )
+
+
+def scored_df(spark: SparkSession) -> DataFrame:
+    """J1+A4: predictions FULL OUTER JOIN golden truth on (doc, field),
+    conditional class counts (evaluation/evaluator.py:27-61)."""
+    pred = recovered_df(spark).select("doc_id", "field_name", "value")
+    gt = ground_truth_df(spark)
+    j = pred.join(gt, ["doc_id", "field_name"], "full_outer")
+    pn = F.lower(F.trim("value"))
+    tn = F.lower(F.trim("true_value"))
+    tp = F.col("value").isNotNull() & F.col("true_value").isNotNull()
+    exact = tp & (pn == tn)
+    partial = tp & ~exact & ((F.instr(tn, pn) > 0) | (F.instr(pn, tn) > 0))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return j.groupBy("doc_id").agg(
+        one(tp).alias("tp"),
+        one(F.col("value").isNotNull() & F.col("true_value").isNull()).alias("fp"),
+        one(F.col("value").isNull() & F.col("true_value").isNotNull()).alias("fn"),
+        one(exact).alias("exact_matches"),
+        one(partial).alias("partial_matches"),
+        F.count(F.lit(1)).alias("total_fields"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle CTE chain (DuckDB dialect, generated from the same fixtures/fragments)
+# ---------------------------------------------------------------------------
+
+def _oracle_ctes() -> str:
+    e = DUCK
+    is_secnum = G.is_secnum_sql("word", e)
+    extract_key = G.extract_key_sql("word", "nw1", "nw2", e)
+
+    ext_selects = []
+    for form in sorted({r[0] for r in SCHEMA_ROWS}):
+        for r in _form_fields(form):
+            _, fname, ftype, _, _, keywords, patterns, *_ = r
+            val = G.cascade_value_sql("full_text", ftype, patterns or [],
+                                      keywords or [], e)
+            method = G.cascade_method_sql("full_text", val, patterns or [],
+                                          keywords or [], e)
+            ext_selects.append(
+                f"SELECT doc_id, form_name, '{fname}' AS field_name, "
+                f"{val} AS value, {method} AS method FROM fulltext "
+                f"WHERE form_name = '{form}'")
+    extractions = "\n      UNION ALL ".join(ext_selects)
+
+    flags = _viol_flags_sql(e)
+    flag_cols = ", ".join(f"{cond} AS v_{rule}" for rule, cond in flags.items())
+    any_error = " OR ".join(f"v_{r}" for r in _VIOL_RULES)
+
+    return f"""
+    WITH blocks AS (SELECT * FROM {values_sql(BLOCK_ROWS, BLOCK_COLS)}),
+    doc_forms AS (SELECT * FROM {values_sql(DOC_FORM_ROWS, DOC_FORM_COLS)}),
+    schema_meta AS (SELECT * FROM {values_sql(_SCHEMA_META_ROWS, _SCHEMA_META_COLS)}),
+    ground_truth AS (SELECT * FROM {values_sql(GROUND_TRUTH_ROWS, ['doc_id', 'field_name', 'true_value'])}),
+    words_raw AS (
+      SELECT doc_id, block_idx, label,
+             unnest(string_split(text, ' ')) AS word,
+             unnest(range(1, length(string_split(text, ' ')) + 1)) AS widx
+      FROM blocks WHERE trim(text) <> ''),
+    words AS (
+      SELECT doc_id, block_idx, label, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY block_idx, widx) AS pos
+      FROM words_raw WHERE word <> ''),
+    keyed AS (
+      SELECT w.*,
+             (lower(label) = 'heading' OR {is_secnum}) AS trig,
+             lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nw1,
+             lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS nw2
+      FROM words w),
+    keys2 AS (
+      SELECT *, CASE WHEN trig THEN {extract_key} END AS new_key FROM keyed),
+    cur AS (
+      SELECT *, last_value(new_key IGNORE NULLS) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_key
+      FROM keys2),
+    clause_keys AS (
+      SELECT DISTINCT doc_id, new_key AS section_key FROM keys2 WHERE new_key IS NOT NULL),
+    clause_content AS (
+      SELECT doc_id, cur_key AS section_key, string_agg(word, ' ' ORDER BY pos) AS txt
+      FROM cur
+      WHERE NOT trig AND lower(label) IN ('paragraph', 'list_item') AND cur_key IS NOT NULL
+      GROUP BY doc_id, cur_key),
+    clauses AS (
+      SELECT k.doc_id, k.section_key, COALESCE(t.txt, '') AS clause_text
+      FROM clause_keys k LEFT JOIN clause_content t
+        ON k.doc_id = t.doc_id AND k.section_key = t.section_key),
+    fulltext AS (
+      SELECT b.doc_id, f.form_name, string_agg(b.text, ' ' ORDER BY b.block_idx) AS full_text
+      FROM blocks b JOIN doc_forms f ON b.doc_id = f.doc_id
+      WHERE trim(b.text) <> ''
+      GROUP BY b.doc_id, f.form_name),
+    extractions AS (
+      {extractions}),
+    validated AS (
+      SELECT e.*, s.ftype, s.required, s.c_min, s.c_max, s.c_pattern, s.c_enum,
+             s.default_value, {flag_cols}
+      FROM extractions e JOIN schema_meta s
+        ON e.form_name = s.form_name AND e.field_name = s.field_name),
+    recovered AS (
+      SELECT doc_id, form_name, field_name, required,
+             CASE WHEN ({any_error}) AND default_value IS NOT NULL
+                  THEN default_value ELSE value END AS value,
+             CASE WHEN ({any_error}) AND default_value IS NOT NULL
+                  THEN 'recovery_default' ELSE method END AS method
+      FROM validated),
+    scored AS (
+      SELECT doc_id,
+             SUM(CASE WHEN p IS NOT NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN p IS NOT NULL AND t IS NULL THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN p IS NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS fn,
+             SUM(CASE WHEN p IS NOT NULL AND t IS NOT NULL
+                       AND lower(trim(p)) = lower(trim(t)) THEN 1 ELSE 0 END) AS exact_matches,
+             SUM(CASE WHEN p IS NOT NULL AND t IS NOT NULL
+                       AND lower(trim(p)) <> lower(trim(t))
+                       AND (instr(lower(trim(t)), lower(trim(p))) > 0
+                            OR instr(lower(trim(p)), lower(trim(t))) > 0)
+                  THEN 1 ELSE 0 END) AS partial_matches,
+             COUNT(*) AS total_fields
+      FROM (SELECT COALESCE(r.doc_id, g.doc_id) AS doc_id, r.value AS p, g.true_value AS t
+            FROM recovered r FULL OUTER JOIN ground_truth g
+              ON r.doc_id = g.doc_id AND r.field_name = g.field_name)
+      GROUP BY doc_id),
+    metrics AS (
+      SELECT doc_id,
+             ROUND(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0 END, 3) AS precision,
+             ROUND(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0 END, 3) AS recall,
+             ROUND(CASE WHEN (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0 END)
+                           + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0 END) > 0
+                   THEN 2 * (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0 END)
+                          * (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0 END)
+                          / ((CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0 END)
+                             + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0 END))
+                   ELSE 0 END, 3) AS f1,
+             ROUND(CASE WHEN total_fields > 0 THEN CAST(exact_matches AS DOUBLE) / total_fields ELSE 0 END, 3) AS exact_accuracy
+      FROM scored)
+    """
+
+
+_CTES = _oracle_ctes()
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_p1_blocks_normalize",
+    oracle=f"""{_CTES}
+    SELECT doc_id, page, block_idx, text, confidence, source,
+           CAST(FLOOR(1000 * COALESCE(x0, 0) / {PAGE_W}) AS BIGINT) AS nx0,
+           CAST(FLOOR(1000 * COALESCE(y0, 0) / {PAGE_H}) AS BIGINT) AS ny0,
+           CAST(FLOOR(1000 * COALESCE(x1, {PAGE_W}) / {PAGE_W}) AS BIGINT) AS nx1,
+           CAST(FLOOR(1000 * COALESCE(y1, {PAGE_H}) / {PAGE_H}) AS BIGINT) AS ny1
+    FROM blocks WHERE trim(text) <> ''
+    """,
+)
+def doc_p1_blocks_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P3/P4: blank-block filter, projection, bbox normalization to the
+    0-1000 grid with full-page default for missing boxes
+    (ingestion/ingestion.py:100; layout_structure.py:73-78,113-122)."""
+    b = blocks_df(spark).filter(F.trim("text") != "")
+    n = lambda c, d, s: F.floor(F.lit(1000) * F.coalesce(F.col(c), F.lit(d)) / F.lit(s))  # noqa: E731
+    return b.select(
+        "doc_id", "page", "block_idx", "text", "confidence", "source",
+        n("x0", 0.0, PAGE_W).alias("nx0"), n("y0", 0.0, PAGE_H).alias("ny0"),
+        n("x1", PAGE_W, PAGE_W).alias("nx1"), n("y1", PAGE_H, PAGE_H).alias("ny1"))
+
+
+@register(
+    "doc_a1_ocr_routing",
+    oracle=f"""{_CTES}
+    SELECT doc_id, page, SUM(length(text)) AS text_volume,
+           SUM(length(text)) < 50 AS needs_ocr
+    FROM blocks WHERE trim(text) <> ''
+    GROUP BY doc_id, page
+    """,
+)
+def doc_a1_ocr_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/S2: per-page text volume drives the OCR fallback branch
+    (ingestion/ingestion.py:88-94; threshold config/config.py:32)."""
+    b = blocks_df(spark).filter(F.trim("text") != "")
+    return (b.groupBy("doc_id", "page")
+            .agg(F.sum(F.length("text")).alias("text_volume"))
+            .withColumn("needs_ocr", F.col("text_volume") < 50))
+
+
+@register(
+    "doc_e1_word_explode",
+    oracle=f"{_CTES} SELECT doc_id, pos, word, block_idx, label FROM words",
+)
+def doc_e1_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: the reference's only UDTF-shaped op (layout_structure.py:83-91)."""
+    return words_df(spark).select("doc_id", "pos", "word", "block_idx", "label")
+
+
+@register(
+    "doc_a2_clause_sessionize",
+    oracle=f"{_CTES} SELECT doc_id, section_key, clause_text FROM clauses",
+)
+def doc_a2_clause_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/W1/F3/F4: the clause-graph build -- running section state over word
+    order, first-key-wins duplicates, empty clauses preserved
+    (layout_structure.py:138-208)."""
+    return clauses_df(spark)
+
+
+@register(
+    "doc_a3_full_text",
+    oracle=f"{_CTES} SELECT doc_id, form_name, full_text FROM fulltext",
+)
+def doc_a3_full_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-document text concat in block order (orchestrator.py:115).
+    Per-doc only -- a global concat would be a driver-killer at scale."""
+    return fulltext_df(spark).select("doc_id", "form_name", "full_text")
+
+
+@register(
+    "doc_u7_extraction_cascade",
+    oracle=f"{_CTES} SELECT doc_id, form_name, field_name, value, method FROM extractions",
+)
+def doc_u7_extraction_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7/J3/F1/F2: regex → keyword → (LLM slot = NULL) cascade per
+    (doc, schema field), EAV output (form_filler.py:40-135)."""
+    return extraction_df(spark)
+
+
+@register(
+    "doc_p10_validation_errors",
+    oracle=f"""{_CTES}
+    SELECT doc_id, form_name, field_name, rule FROM (
+      {' UNION ALL '.join(
+          f"SELECT doc_id, form_name, field_name, '{r}' AS rule FROM validated WHERE v_{r}"
+          for r in _VIOL_RULES)})
+    """,
+)
+def doc_p10_validation_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9/P10: required / type / constraint rule violations as an error
+    side-output (utils/validation.py:28-125)."""
+    v = validated_df(spark)
+    stack = (f"stack({len(_VIOL_RULES)}, "
+             + ", ".join(f"'{r}', v_{r}" for r in _VIOL_RULES)
+             + ") AS (rule, viol)")
+    return (v.selectExpr("doc_id", "form_name", "field_name", stack)
+            .filter("viol").select("doc_id", "form_name", "field_name", "rule"))
+
+
+@register(
+    "doc_u8_recovery_defaults",
+    oracle=f"{_CTES} SELECT doc_id, form_name, field_name, value, method FROM recovered",
+)
+def doc_u8_recovery_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U8: post-recovery field values -- schema defaults fill any-error
+    fields (utils/validation.py:190-203,280-299)."""
+    return recovered_df(spark).select(
+        "doc_id", "form_name", "field_name", "value", "method")
+
+
+@register(
+    "doc_a7_form_completeness",
+    oracle=f"""{_CTES}
+    SELECT doc_id, form_name,
+           BOOL_AND(CASE WHEN required THEN value IS NOT NULL ELSE TRUE END) AS is_complete,
+           COUNT(value) AS n_filled,
+           SUM(CASE WHEN required AND value IS NULL THEN 1 ELSE 0 END) AS n_missing_required,
+           COUNT(*) AS n_fields
+    FROM recovered GROUP BY doc_id, form_name
+    """,
+)
+def doc_a7_form_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/P8: FormInstance.is_complete / get_missing_fields as aggregates
+    (utils/form.py:49-70)."""
+    r = recovered_df(spark)
+    return r.groupBy("doc_id", "form_name").agg(
+        F.bool_and(F.when(F.col("required"), F.col("value").isNotNull())
+                    .otherwise(F.lit(True))).alias("is_complete"),
+        F.count("value").alias("n_filled"),
+        F.sum(F.when(F.col("required") & F.col("value").isNull(), 1)
+               .otherwise(0)).alias("n_missing_required"),
+        F.count(F.lit(1)).alias("n_fields"),
+    )
+
+
+@register(
+    "doc_j1_field_scoring",
+    oracle=f"{_CTES} SELECT * FROM scored",
+)
+def doc_j1_field_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A4: full-outer field join vs golden truth, TP/FP/FN/exact/partial
+    class counts (evaluation/evaluator.py:27-61,82-92)."""
+    return scored_df(spark)
+
+
+@register(
+    "doc_a5_eval_metrics",
+    oracle=f"{_CTES} SELECT * FROM metrics",
+)
+def doc_a5_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: precision/recall/F1/exact-accuracy per document, rounded to 3
+    (evaluation/evaluator.py:63-80). F1 derives from unrounded P/R, exactly
+    as the reference computes it."""
+    s = scored_df(spark)
+    p = F.when(F.col("tp") + F.col("fp") > 0,
+               F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0))
+    r = F.when(F.col("tp") + F.col("fn") > 0,
+               F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(F.lit(0.0))
+    f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    acc = F.when(F.col("total_fields") > 0,
+                 F.col("exact_matches") / F.col("total_fields")).otherwise(F.lit(0.0))
+    return s.select(
+        "doc_id",
+        F.round(p, 3).alias("precision"),
+        F.round(r, 3).alias("recall"),
+        F.round(f1, 3).alias("f1"),
+        F.round(acc, 3).alias("exact_accuracy"),
+    )
+
+
+@register(
+    "doc_a6_eval_report",
+    oracle=f"""{_CTES}
+    SELECT COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(f1 AS DECIMAL(10,3))) AS DOUBLE) / COUNT(*), 3) AS avg_f1,
+           ROUND(CAST(SUM(CAST(exact_accuracy AS DECIMAL(10,3))) AS DOUBLE) / COUNT(*), 3) AS avg_exact_accuracy
+    FROM metrics
+    """,
+)
+def doc_a6_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: report-level averages over documents
+    (evaluation/evaluator.py:194-222)."""
+    s = doc_a5_eval_metrics(spark, sf_dir)
+    dec = "decimal(10,3)"
+    return s.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum(F.col("f1").cast(dec)).cast("double") / F.count(F.lit(1)), 3).alias("avg_f1"),
+        F.round(F.sum(F.col("exact_accuracy").cast(dec)).cast("double") / F.count(F.lit(1)), 3).alias("avg_exact_accuracy"),
+    )
