@@ -29,14 +29,18 @@ HEADLINE = [
 ]
 # Extended per-family headliners appended when present in the registry.
 OPTIONAL = [
-    "w1_order_running_revenue",
+    "w1_running_revenue_per_customer",
     "f9_events_json_extract",
-    "doc_pipeline_extractions",
+    "doc_u7_extraction_cascade",
     "x1_dedup_exact",
     "x1_dedup_jaccard_ngram",
+    "x1_dedup_minhash_lsh",
     "x2_cosine_topk",
+    "x2_cosine_topk_bruteforce",
     "x4_token_stats",
+    "x4_doc_fingerprint",
     "st_tumbling_window",
+    "st_session_window",
 ]
 
 

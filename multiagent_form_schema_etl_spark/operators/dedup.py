@@ -1,1 +1,221 @@
-"""Placeholder; filled in as coverage widens (SURVEY.md §7)."""
+"""X1 -- deduplication operators over ``documents`` (SURVEY.md §2.11).
+
+Four strategies, scaling from exact to fuzzy:
+
+- exact: sha2 content hash, min-doc_id representative. One shuffle on the
+  hash; at 100 TB this is the textbook groupBy-hash dedup.
+- n-gram/token Jaccard: inverted-index similarity join (explode tokens, join
+  on token within blocking keys, count intersections). Blocking on
+  (lang, length-bucket) bounds the candidate-pair explosion -- without it the
+  token join degenerates to all-pairs on skewed tokens. At larger scale add
+  df-based stopword pruning (drop tokens with df > threshold) before the
+  join; that's a one-line filter on the token-frequency side.
+- SimHash: 16-bit signature from per-token md5 bit votes, then hamming
+  distance <= 3 over candidate pairs. md5 (not Spark's murmur) keeps the
+  oracle bit-identical; at production scale swap in xxhash64 for speed and
+  64-bit signatures with banding.
+- MinHash+LSH: k=16 signatures via seeded xxhash64, banded 4x4; candidate
+  pairs from band-bucket joins, verified by true Jaccard. Spark-hash based →
+  rows-only check (no DuckDB twin), exactly the SURVEY §5 carve-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import register
+
+# --- shared oracle CTEs over documents --------------------------------------
+
+_TOKENS_CTE = """
+    tokens_raw AS (
+      SELECT doc_id, lang, n_chars,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    tokens AS (SELECT * FROM tokens_raw WHERE token <> ''),
+    tok_d AS (SELECT DISTINCT doc_id, lang,
+                     CAST(FLOOR(n_chars / 50.0) AS BIGINT) AS bucket, token
+              FROM tokens),
+    tok_sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok_d GROUP BY doc_id)
+"""
+
+
+def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    return t
+
+
+def _tok_d_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_tokens_df(spark, sf_dir)
+            .select("doc_id", "lang",
+                    F.floor(F.col("n_chars") / 50.0).cast("long").alias("bucket"),
+                    "token")
+            .distinct())
+
+
+@register(
+    "x1_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy with min-id representative. sha2 is
+    computed map-side; the shuffle key is the 64-hex hash (uniform, no
+    skew)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy(F.sha2("text", 256).alias("content_hash"))
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+@register(
+    "x1_dedup_jaccard_ngram",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tok_d a JOIN tok_d b
+        ON a.token = b.token AND a.lang = b.lang AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN tok_sizes sa ON i.doc_a = sa.doc_id
+    JOIN tok_sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.8
+    """,
+)
+def x1_dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via token-set Jaccard >= 0.8, inverted-index join blocked on
+    (lang, 50-char length bucket)."""
+    tok = _tok_d_df(spark, sf_dir)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token"))
+               & (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    j = (inter.join(sa, "doc_a").join(sb, "doc_b")
+         .withColumn("jaccard",
+                     F.col("n_inter").cast("double")
+                     / (F.col("na") + F.col("nb") - F.col("n_inter"))))
+    return j.filter(F.col("jaccard") >= 0.8).select("doc_a", "doc_b", "jaccard")
+
+
+def _md5_int_sql(expr: str, engine: str) -> str:
+    """Portable 32-bit integer hash: first 8 hex digits of md5. Identical in
+    Spark and DuckDB, unlike murmur/xxhash."""
+    if engine == "spark":
+        return f"CAST(conv(substr(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql(engine: str) -> str:
+    """sum over bits of (majority vote of token-hash bit i) << i."""
+    h = "tok_hash"
+    parts = []
+    for i in range(_SIMHASH_BITS):
+        bit = (f"(shiftright({h}, {i}) & 1)" if engine == "spark"
+               else f"(({h} >> {i}) & 1)")
+        vote = f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"
+        parts.append(f"(CASE WHEN {vote} >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+@register(
+    "x1_dedup_simhash",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    hashed AS (
+      SELECT doc_id, {_md5_int_sql('token', 'duck')} AS tok_hash FROM tok_d),
+    sigs AS (
+      SELECT doc_id, {_simhash_sql('duck')} AS simhash
+      FROM hashed GROUP BY doc_id)
+    SELECT simhash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+    FROM sigs GROUP BY simhash
+    """,
+)
+def x1_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bucket dedup: md5-derived 16-bit signatures; documents that
+    collide on the full signature are near-dup candidates, deduped to a
+    min-id representative (same shape as exact dedup, fuzzier key). The
+    signature build is one aggregation over the token explode; the dedup is
+    a second tiny groupBy on the signature."""
+    tok = _tok_d_df(spark, sf_dir)
+    hashed = tok.select("doc_id", F.expr(_md5_int_sql("token", "spark")).alias("tok_hash"))
+    sigs = hashed.groupBy("doc_id").agg(F.expr(_simhash_sql("spark")).alias("simhash"))
+    return sigs.groupBy("simhash").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"))
+
+
+_MINHASH_K = 16
+_LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+@register("x1_dedup_minhash_lsh")  # Spark-hash based => rows-only check
+def x1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (scale path): k=16 xxhash64 minima → 4 bands of
+    4 → band-bucket join → candidates verified by true Jaccard >= 0.8.
+
+    This is the 100 TB shape: signature build is one pass + one groupBy;
+    candidate generation shuffles on (band, bucket-hash) instead of
+    all-pairs. xxhash64 is JVM-side and fast but not reproducible in DuckDB,
+    so the driver records the weaker rows-only check (SURVEY §5)."""
+    tok = _tok_d_df(spark, sf_dir).select("doc_id", "token")
+    mins = [F.min(F.xxhash64(F.lit(k), F.col("token"))).alias(f"h{k}")
+            for k in range(_MINHASH_K)]
+    sigs = tok.groupBy("doc_id").agg(*mins)
+    rows_per_band = _MINHASH_K // _LSH_BANDS
+    band_cols = []
+    for bnd in range(_LSH_BANDS):
+        cols = [F.col(f"h{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.xxhash64(*cols).alias(f"band{bnd}"))
+    banded = sigs.select("doc_id", *band_cols)
+    buckets = banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(_LSH_BANDS)]))
+         .alias("band", "bucket"))
+    cand = (buckets.alias("a").join(
+                buckets.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    # verify candidates with true Jaccard
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (cand.join(ta, "doc_a").join(tb, ["doc_b", "token"])
+             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter")))
+    j = (inter
+         .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na")), "doc_a")
+         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb")), "doc_b")
+         .withColumn("jaccard", F.col("n_inter").cast("double")
+                     / (F.col("na") + F.col("nb") - F.col("n_inter"))))
+    return (j.filter(F.col("jaccard") >= 0.8)
+            .select("doc_a", "doc_b", "jaccard"))

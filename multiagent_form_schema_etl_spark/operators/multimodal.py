@@ -1,0 +1,123 @@
+"""X3 -- multimodal binary columns (SURVEY.md §2.11; generalizes the
+reference's page-image source S3, main.py:59-63).
+
+Media lives in DataFrames as opaque BINARY columns plus typed metadata
+structs (the ``spark.read.format("binaryFile")`` shape: path, length,
+content). Decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` UDFs -- the Spark-side plumbing (schemas,
+batching, partitioning) is real and tested; the actual codec call is STUBBED
+behind ``decode_image`` because image/audio libraries are not in this
+container (driver mandate: stub the decode, keep the plumbing real).
+
+At 100 TB: binary payloads dominate shuffle cost, so every transform here is
+narrow (mapInPandas preserves partitioning, no shuffle); metadata-only plans
+(length/hash filters) never deserialize payload bytes thanks to Parquet
+column pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import register
+
+
+@register(
+    "x3_multimodal_schema",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS checksum,
+           lang AS media_lang
+    FROM documents
+    """,
+)
+def x3_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing, oracle-checkable slice: payload bytes (here
+    utf-8 of text -- the corpus ships no real media), byte length, and a
+    sha-256 content checksum, the id-and-integrity core of a media table."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("checksum"),
+        F.col("lang").alias("media_lang"),
+    )
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """STUB -- real decoder needs an image library absent from this
+    container. Raises by contract; ``fake_decode_dims`` is the
+    deterministic stand-in used by the pipeline below."""
+    raise NotImplementedError(
+        "image decode requires an image codec library (e.g. Pillow); "
+        "not available in this environment -- use fake_decode_dims")
+
+
+def fake_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake decoder: derives (width, height) from payload
+    bytes only, so the plumbing is testable without a codec."""
+    n = len(payload)
+    width = 16 + (n % 64)
+    height = 16 + ((n // 64) % 64)
+    return width, height
+
+
+_DECODE_SCHEMA = ("doc_id long, n_bytes long, width int, height int, "
+                  "n_pixels long, thumb_w int, thumb_h int")
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched decode + resize metadata. One pandas frame per Arrow
+    batch; payload stays columnar end-to-end."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        dims = [fake_decode_dims(p) for p in payloads]
+        w = pd.Series([d[0] for d in dims], dtype="int32")
+        h = pd.Series([d[1] for d in dims], dtype="int32")
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "n_bytes": payloads.str.len().astype("int64"),
+            "width": w,
+            "height": h,
+            "n_pixels": (w.astype("int64") * h.astype("int64")),
+            # resize to fit 32x32 preserving aspect (integer floor)
+            "thumb_w": (w * 32 / h.where(h > w, 32).where(h <= w, h)).astype("int32").clip(upper=32),
+            "thumb_h": (h * 32 / w.where(w > h, 32).where(w <= h, w)).astype("int32").clip(upper=32),
+        })
+
+
+@register("x3_decode_feature_stub")  # python-side stub decoder => rows-only
+def x3_decode_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode/feature/resize pipeline over binary payloads --
+    schema, batching, and Arrow transfer are real; the codec is the
+    deterministic fake. Narrow transform: no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return media.mapInPandas(_decode_batches, _DECODE_SCHEMA)
+
+
+@register("x3_frame_sample_stub")  # python-side stub => rows-only
+def x3_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape for video-like payloads: chunk each payload into
+    fixed-size 'frames', emit every k-th frame's offset + checksum. Pure
+    DataFrame ops (sequence + explode) -- no UDF needed for the sampling
+    plan itself; only the decode would be."""
+    docs = load_table(spark, sf_dir, "documents")
+    frame, k = 64, 4  # 64-byte frames, sample every 4th
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return (media
+            .withColumn("n_frames", F.ceil(F.length("payload") / frame).cast("int"))
+            .withColumn("frame_idx", F.explode(F.sequence(
+                F.lit(0), F.col("n_frames") - 1, F.lit(k))))
+            .select("doc_id", "frame_idx",
+                    (F.col("frame_idx") * frame).alias("byte_offset"),
+                    F.sha2(F.expr(f"substring(payload, frame_idx * {frame} + 1, {frame})"),
+                           256).alias("frame_checksum")))

@@ -1,1 +1,207 @@
-"""Placeholder; filled in as coverage widens (SURVEY.md §7)."""
+"""X2 -- similarity search over ``embeddings`` (SURVEY.md §2.11).
+
+Three tiers:
+- exact top-k for a bounded query set, oracle-checked. Dot products
+  accumulate through DECIMAL so Spark and DuckDB agree bit-for-bit (FP sums
+  are order-dependent; decimal sums aren't), making ranking deterministic.
+- brute-force all-pairs cosine via zip_with/aggregate -- the JVM-side
+  vectorized path used at bench scale (no explode blow-up, one self-join).
+- LSH-bucketed ANN (random hyperplane signs) -- the 100 TB path: candidates
+  come from a bucket join instead of the full cross product. Spark-only
+  hashing → rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import register
+
+_N_QUERIES = 10  # bounded query set for the exact-oracle variant
+_TOP_K = 5
+_DEC = "DECIMAL(38,20)"
+
+
+@register(
+    "x2_cosine_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+             unnest(range(1, length(embedding) + 1)) AS i
+      FROM embeddings),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(CAST(v * v AS {_DEC})) AS DOUBLE)) AS nrm
+      FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+             CAST(SUM(CAST(a.v * b.v AS {_DEC})) AS DOUBLE) AS dot
+      FROM e a JOIN e b ON a.i = b.i
+      WHERE a.vec_id < {_N_QUERIES} AND b.vec_id <> a.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+    cos AS (
+      SELECT d.query_id, d.match_id, ROUND(d.dot / (na.nrm * nb.nrm), 9) AS cosine
+      FROM dots d
+      JOIN norms na ON d.query_id = na.vec_id
+      JOIN norms nb ON d.match_id = nb.vec_id)
+    SELECT query_id, match_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, match_id) AS rnk
+      FROM cos)
+    WHERE rnk <= {_TOP_K}
+    """,
+)
+def x2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for a 10-vector query set (oracle variant).
+
+    Expressed as explode → dim-join → decimal-exact dot products so the
+    oracle is bit-identical; ranking ties break on match_id. The dim join
+    shuffles on dimension index -- bounded by n_queries * n_vectors * dims."""
+    e = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", F.posexplode(F.transform("embedding",
+                                                    lambda x: x.cast("double")))
+                 .alias("i", "v")))
+    dec_dot = lambda x: F.sum(x.cast(_DEC)).cast("double")  # noqa: E731
+    norms = e.groupBy("vec_id").agg(
+        F.sqrt(dec_dot(F.col("v") * F.col("v"))).alias("nrm"))
+    a = e.filter(F.col("vec_id") < _N_QUERIES).alias("a")
+    b = e.alias("b")
+    dots = (a.join(b, (F.col("a.i") == F.col("b.i"))
+                   & (F.col("b.vec_id") != F.col("a.vec_id")))
+            .groupBy(F.col("a.vec_id").alias("query_id"),
+                     F.col("b.vec_id").alias("match_id"))
+            .agg(dec_dot(F.col("a.v") * F.col("b.v")).alias("dot")))
+    na = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("match_id"), F.col("nrm").alias("nb"))
+    cos = (dots.join(F.broadcast(na), "query_id").join(F.broadcast(nb), "match_id")
+           .select("query_id", "match_id",
+                   F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
+                    .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (cos.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _TOP_K)
+            .select("query_id", "match_id", "cosine", "rnk"))
+
+
+def _cos_expr(a: str, b: str) -> F.Column:
+    """JVM-side cosine over two array<double> columns: zip_with product +
+    sequential aggregate fold. No explode, no extra shuffle."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+@register("x2_cosine_topk_bruteforce")  # FP fold order differs from SQL sum => rows-only
+def x2_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k across ALL vectors (bench-scale path): broadcast
+    self-join + zip_with/aggregate cosine, TakeOrdered top-k per query.
+    O(n^2 * d) FLOPs but zero explode -- arrays stay packed, whole-stage
+    codegen keeps the fold JVM-side."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("vec")))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    a = q.select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("match_id"), F.col("vec").alias("mv"))
+    pairs = F.broadcast(a).crossJoin(b).filter(F.col("match_id") != F.col("query_id"))
+    cos = pairs.select("query_id", "match_id",
+                       _cos_expr("qv", "mv").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (cos.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _TOP_K))
+
+
+@register(
+    "x1_dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+             unnest(range(1, length(embedding) + 1)) AS i
+      FROM embeddings),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(CAST(v * v AS {_DEC})) AS DOUBLE)) AS nrm
+      FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(SUM(CAST(a.v * b.v AS {_DEC})) AS DOUBLE) AS dot
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id)
+    SELECT d.vec_a, d.vec_b, ROUND(d.dot / (na.nrm * nb.nrm), 9) AS cosine
+    FROM dots d
+    JOIN norms na ON d.vec_a = na.vec_id
+    JOIN norms nb ON d.vec_b = nb.vec_id
+    WHERE ROUND(d.dot / (na.nrm * nb.nrm), 9) >= 0.45
+    """,
+)
+def x1_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup: all pairs with cosine >= 0.45 (threshold
+    sized to this corpus; random 64-dim vectors top out around 0.51).
+    Same decimal-exact machinery as x2_cosine_topk."""
+    e = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", F.posexplode(F.transform("embedding",
+                                                    lambda x: x.cast("double")))
+                 .alias("i", "v")))
+    dec_dot = lambda x: F.sum(x.cast(_DEC)).cast("double")  # noqa: E731
+    norms = e.groupBy("vec_id").agg(
+        F.sqrt(dec_dot(F.col("v") * F.col("v"))).alias("nrm"))
+    a, b = e.alias("a"), e.alias("b")
+    dots = (a.join(b, (F.col("a.i") == F.col("b.i"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .groupBy(F.col("a.vec_id").alias("vec_a"),
+                     F.col("b.vec_id").alias("vec_b"))
+            .agg(dec_dot(F.col("a.v") * F.col("b.v")).alias("dot")))
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    return (dots.join(F.broadcast(na), "vec_a").join(F.broadcast(nb), "vec_b")
+            .select("vec_a", "vec_b",
+                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
+                     .alias("cosine"))
+            .filter(F.col("cosine") >= 0.45))
+
+
+_LSH_PLANES = 8
+
+
+@register("x2_ann_lsh_buckets")  # Spark-hash hyperplanes => rows-only check
+def x2_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH. Each vector gets an 8-bit
+    sign signature from pseudo-random hyperplanes (deterministic xxhash64
+    seeds per dimension); candidates = same-bucket pairs, verified with the
+    packed-array cosine and ranked per query.
+
+    At 100 TB the bucket join replaces the O(n^2) cross product; recall is
+    tuned by planes/bands. Hash-seeded => rows-only check."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("vec")))
+    # hyperplane h, dim i weight in {-1,+1} from xxhash64(h, i) parity --
+    # deterministic, cheap, and independent of the data
+    sig_bits = []
+    for h in range(_LSH_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                "vec",
+                F.transform(F.sequence(F.lit(0), F.lit(63)),
+                            lambda i: (F.xxhash64(F.lit(h), i) % 2) * 2 - 1),
+                lambda x, w: x * w.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+        sig_bits.append(F.when(proj >= 0, F.lit(1 << h)).otherwise(F.lit(0)))
+    sigs = emb.select("vec_id", "vec",
+                      sum(sig_bits[1:], sig_bits[0]).alias("bucket"))
+    a = sigs.select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"),
+                    "bucket")
+    b = sigs.select(F.col("vec_id").alias("match_id"), F.col("vec").alias("mv"),
+                    "bucket")
+    cand = (a.join(b, "bucket")
+            .filter(F.col("match_id") != F.col("query_id")))
+    cos = cand.select("query_id", "match_id", _cos_expr("qv", "mv").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (cos.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _TOP_K))

@@ -1,1 +1,241 @@
-"""Placeholder; filled in as coverage widens (SURVEY.md §7)."""
+"""X4 -- text analysis over ``documents`` (SURVEY.md §2.11): token stats,
+term frequencies, TF-rarity ranking, language-ID scoring, quality scoring,
+and shingle fingerprinting.
+
+All pure explode/groupBy/window compositions -- the E1 word explode "writ
+large". Per-doc aggregations partition on doc_id; corpus-level term stats
+shuffle on token (uniform-ish key space). The only cross-doc joins are
+against tiny broadcast dimensions (language profiles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..fixtures import values_sql
+from ..plans.registry import register
+
+_TOKENS = """
+    tokens AS (
+      SELECT doc_id, lang, source, n_chars, token FROM (
+        SELECT doc_id, lang, source, n_chars,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents)
+      WHERE token <> '')
+"""
+
+
+def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select("doc_id", "lang", "source", "n_chars",
+                        F.explode(F.split("text", " ")).alias("token"))
+            .filter(F.col("token") != ""))
+
+
+@register(
+    "x4_token_stats",
+    oracle=f"""
+    WITH {_TOKENS}
+    SELECT lang, source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT token) AS n_distinct_tokens,
+           CAST(SUM(CAST(length(token) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(token) AS avg_token_len
+    FROM tokens GROUP BY lang, source
+    """,
+)
+def x4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per (lang, source)."""
+    t = _tokens_df(spark, sf_dir)
+    return t.groupBy("lang", "source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct_tokens"),
+        (F.sum(F.length("token").cast("decimal(28,6)")).cast("double")
+         / F.count("token")).alias("avg_token_len"),
+    )
+
+
+@register(
+    "x4_term_frequencies",
+    oracle=f"""
+    WITH {_TOKENS}
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM tokens GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 20
+    """,
+)
+def x4_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus terms with term and document frequencies."""
+    t = _tokens_df(spark, sf_dir)
+    return (t.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("tf"),
+                 F.countDistinct("doc_id").alias("df"))
+            .orderBy(F.desc("tf"), F.asc("token"))
+            .limit(20))
+
+
+@register(
+    "x4_tf_rarity_topk",
+    oracle=f"""
+    WITH {_TOKENS},
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tokens),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokens
+           WHERE doc_id < 20 GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY token)
+    SELECT doc_id, token, score, rnk FROM (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS score,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                                         tf.token) AS rnk
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+    WHERE rnk <= 3
+    """,
+)
+def x4_tf_rarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-shaped ranking with a log-free rarity weight (tf * N/df) so
+    the oracle is bit-exact (libm log differs across engines); top-3 terms
+    per document for a 20-doc slice. The df side is corpus-wide and
+    broadcast."""
+    t = _tokens_df(spark, sf_dir)
+    n_docs = t.select("doc_id").distinct().count()
+    tf = (t.filter(F.col("doc_id") < 20)
+          .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
+    df = t.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (tf.join(F.broadcast(df), "token")
+              .withColumn("score",
+                          F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "token", "score", "rnk"))
+
+
+# Tiny language-profile dimension for the n-gram/stopword language-ID
+# heuristic. Corpus text is synthetic English-ish tokens, so profiles share
+# words -- the point is the argmax plumbing, not linguistics.
+_LANG_PROFILE_COLS = ["profile_lang", "stopword"]
+_LANG_PROFILE_ROWS: list[tuple] = [
+    ("en", "the"), ("en", "a"), ("en", "value"), ("en", "data"),
+    ("es", "the"), ("es", "row"), ("es", "table"),
+    ("de", "batch"), ("de", "window"), ("de", "merge"),
+    ("fr", "query"), ("fr", "join"), ("fr", "line"),
+    ("zh", "spark"), ("zh", "hash"), ("zh", "scan"),
+]
+
+
+@register(
+    "x4_lang_id_heuristic",
+    oracle=f"""
+    WITH {_TOKENS},
+    profiles AS (SELECT * FROM {values_sql(_LANG_PROFILE_ROWS, _LANG_PROFILE_COLS)}),
+    doc_sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tokens GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id, p.profile_lang, COUNT(*) AS n_hits
+      FROM tokens t JOIN profiles p ON t.token = p.stopword
+      GROUP BY t.doc_id, p.profile_lang),
+    scored AS (
+      SELECT h.doc_id, h.profile_lang,
+             CAST(h.n_hits AS DOUBLE) / s.n_tok AS score
+      FROM hits h JOIN doc_sizes s ON h.doc_id = s.doc_id)
+    SELECT doc_id, profile_lang AS predicted_lang, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, profile_lang) AS rn
+      FROM scored)
+    WHERE rn = 1
+    """,
+)
+def x4_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-profile hit ratio, argmax per doc with
+    alphabetical tie-break. The profile table is a broadcast dimension."""
+    t = _tokens_df(spark, sf_dir)
+    profiles = spark.createDataFrame(_LANG_PROFILE_ROWS,
+                                     "profile_lang string, stopword string")
+    sizes = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    hits = (t.join(F.broadcast(profiles), t.token == profiles.stopword)
+            .groupBy("doc_id", "profile_lang")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    scored = (hits.join(sizes, "doc_id")
+              .withColumn("score", F.col("n_hits").cast("double") / F.col("n_tok")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("profile_lang"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("profile_lang").alias("predicted_lang"), "score"))
+
+
+@register(
+    "x4_quality_score",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars,
+             length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+             CAST(length(text) AS DOUBLE) AS len
+      FROM documents)
+    SELECT doc_id, lang, n_tokens,
+           ROUND(CASE WHEN len >= 200 THEN 1.0 ELSE len / 200 END * 0.5
+                 + CASE WHEN n_tokens >= 40 THEN 1.0 ELSE CAST(n_tokens AS DOUBLE) / 40 END * 0.5,
+                 6) AS quality
+    FROM base
+    """,
+)
+def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation + token-count
+    saturation, equally weighted (the punctuation/stopword terms of a fuller
+    scorer are corpus-degenerate here: synthetic text has none)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = (F.length("text")
+                - F.length(F.regexp_replace("text", " ", "")) + 1)
+    length = F.length("text").cast("double")
+    quality = (F.when(length >= 200, 1.0).otherwise(length / 200) * 0.5
+               + F.when(n_tokens >= 40, F.lit(1.0))
+                  .otherwise(n_tokens.cast("double") / 40) * 0.5)
+    return docs.select("doc_id", "lang", n_tokens.alias("n_tokens"),
+                       F.round(quality, 6).alias("quality"))
+
+
+@register(
+    "x4_doc_fingerprint",
+    oracle="""
+    WITH tok_raw AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS token,
+             unnest(range(1, length(string_split(text, ' ')) + 1)) AS widx
+      FROM documents),
+    pos AS (
+      SELECT doc_id, token,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY widx) AS p
+      FROM tok_raw WHERE token <> ''),
+    sh AS (
+      SELECT doc_id,
+             token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w
+               || ' ' || lead(token, 3) OVER w || ' ' || lead(token, 4) OVER w AS shingle
+      FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p))
+    SELECT doc_id, MIN(md5(shingle)) AS fingerprint
+    FROM sh WHERE shingle IS NOT NULL
+    GROUP BY doc_id
+    """,
+)
+def x4_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum md5 over 5-token shingles (k=1 MinHash
+    with a portable hash). Shingle construction is order-sensitive, so token
+    positions come from posexplode (split order), never from an unordered
+    explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (docs.select("doc_id",
+                     F.posexplode(F.split("text", " ")).alias("widx", "token"))
+         .filter(F.col("token") != "")
+         .withColumn("p", F.row_number().over(
+             Window.partitionBy("doc_id").orderBy("widx"))))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    shingle = F.concat_ws(
+        " ", "token",
+        F.lead("token", 1).over(w), F.lead("token", 2).over(w),
+        F.lead("token", 3).over(w), F.lead("token", 4).over(w))
+    sh = (t.withColumn("lead4", F.lead("token", 4).over(w))
+          .withColumn("shingle", shingle)
+          .filter(F.col("lead4").isNotNull()))
+    return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))

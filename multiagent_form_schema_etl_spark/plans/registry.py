@@ -49,5 +49,6 @@ def load_all_modules() -> None:
         dedup,
         similarity,
         textstats,
+        multimodal,
     )
     from ..streaming import batch_windows  # noqa: F401

@@ -1,1 +1,131 @@
-"""Placeholder; filled in as coverage widens."""
+"""§2.9 -- event-time windowing, batch twins (SURVEY.md §7 step 7).
+
+The same window expressions run (a) here on the static ``events`` table so
+DuckDB can oracle-check them, and (b) as Structured Streaming plans in
+``streaming.structured`` (exercised by tests/test_streaming.py with
+availableNow triggers). Window sums route through DECIMAL per engine-parity
+policy.
+
+Scale notes: tumbling/sliding windows aggregate with map-side partials on
+(window, key); session windows are per-user gaps-and-islands -- bounded
+state per user in streaming, one partitioned window function in batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import register
+
+_DEC = "decimal(28,6)"
+
+
+@register(
+    "st_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events", "total_value"))
+
+
+@register(
+    "st_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_id, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE,
+             event_id, value FROM events)
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM starts GROUP BY window_start
+    """,
+)
+def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes: each event lands in two
+    windows (the oracle materializes both starts explicitly)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "n_events", "total_value"))
+
+
+@register(
+    "st_session_window",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       > INTERVAL 5 MINUTE
+                    OR LAG(CAST(ts AS TIMESTAMP))
+                       OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    ses AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM seq)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM ses GROUP BY user_id, session_id
+    """,
+)
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 5-minute gap per user -- the streaming twin of
+    the document pipeline's sessionized clause scan (SURVEY §2.9 / A2).
+    Spark's session_window ends = last event + gap, which the
+    gaps-and-islands oracle reproduces."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events"))
+
+
+@register(
+    "st_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def st_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup per key (batch twin of streaming
+    dropDuplicates-with-state): deterministic via (ts, event_id) ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type", "value"))
