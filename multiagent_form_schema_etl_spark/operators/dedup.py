@@ -198,6 +198,15 @@ def x1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(_LSH_BANDS)]))
          .alias("band", "bucket"))
+    # Frequent-bucket pruning: a bucket holding >50 docs is non-discriminative
+    # (this corpus's 40-word vocabulary makes most docs collide) and would
+    # blow the candidate join up toward all-pairs; cap it. At scale this is
+    # the standard LSH skew guard -- tune the cap to the recall target.
+    small = (buckets.groupBy("band", "bucket")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter((F.col("n") > 1) & (F.col("n") <= 50))
+             .select("band", "bucket"))
+    buckets = buckets.join(F.broadcast(small), ["band", "bucket"])
     cand = (buckets.alias("a").join(
                 buckets.alias("b"),
                 (F.col("a.band") == F.col("b.band"))

@@ -217,3 +217,366 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    mins AS (SELECT partkey, MIN(cost) AS min_cost FROM costs GROUP BY partkey)
+    SELECT c.partkey AS p_partkey, p.p_name, MIN(c.suppkey) AS best_suppkey, m.min_cost
+    FROM costs c
+    JOIN mins m ON c.partkey = m.partkey AND c.cost = m.min_cost
+    JOIN part p ON c.partkey = p.p_partkey
+    WHERE p.p_size >= 40
+    GROUP BY c.partkey, p.p_name, m.min_cost
+    """,
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier (correlated-subquery
+    semantics decorrelated into an aggregate + self-join -- the plan Spark's
+    own subquery rewrite would produce). Min-suppkey tie-break keeps it
+    deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    costs = (li.groupBy(F.col("l_partkey").alias("partkey"),
+                        F.col("l_suppkey").alias("suppkey"))
+             .agg(dec_sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                          "cost")))
+    mins = (costs.groupBy("partkey")
+            .agg(F.min("cost").alias("min_cost"))
+            .withColumnRenamed("partkey", "m_partkey"))
+    return (costs.join(mins, (costs.partkey == mins.m_partkey)
+                       & (costs.cost == mins.min_cost))
+            .join(F.broadcast(part), costs.partkey == part.p_partkey)
+            .groupBy(F.col("partkey").alias("p_partkey"), "p_name", "min_cost")
+            .agg(F.min("suppkey").alias("best_suppkey"))
+            .select("p_partkey", "p_name", "best_suppkey", "min_cost"))
+
+
+@register(
+    "q04_order_priority_checking",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join, then count by priority."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi")
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q07_volume_shipping",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name IN ('NATION_1','NATION_2') AND sn.n_name IN ('NATION_1','NATION_2')
+      AND cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)
+    """,
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sn = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    pair = ("NATION_1", "NATION_2")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("s_nk"))
+        .filter(F.col("cust_nation").isin(*pair) & F.col("supp_nation").isin(*pair)
+                & (F.col("cust_nation") != F.col("supp_nation")))
+        .groupBy("cust_nation", "supp_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(dec_sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                     "volume"))
+    )
+
+
+@register(
+    "q09_product_type_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - 0.8 * p_retailprice * l_quantity
+                         AS DECIMAL(28,6))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+    """,
+)
+def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus a supply-cost proxy, 80% of
+    retail) by supplier nation and order year for a part-name family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+              - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dec_sum(profit, "profit"))
+    )
+
+
+@register(
+    "q12_priority_shipping_classes",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_shipping_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → returnflag: the corpus carries no
+    shipmode column): priority class counts per flag."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                         AS DECIMAL(28,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+           * 100 AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share -- conditional / total sums in
+    one aggregation over a broadcast part join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg((dec_sum(promo) / dec_sum(rev) * 100).alias("promo_revenue_pct")))
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM revenue JOIN supplier ON supplier_no = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) hitting the max quarterly revenue --
+    the scalar subquery becomes a broadcast of a 1-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+               .agg(dec_sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                            "total_revenue")))
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (revenue.join(F.broadcast(mx), revenue.total_revenue == mx.mx)
+            .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (10, 20, 30, 40, 50)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per part attribute combo."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(10, 20, 30, 40, 50))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH avgs AS (
+      SELECT l_partkey AS pk, 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                                     / COUNT(l_quantity)) AS half_avg
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem JOIN avgs ON l_partkey = pk
+    WHERE l_quantity < half_avg
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: below-half-average-quantity revenue; the correlated
+    per-part average decorrelates into an aggregate joined back to the
+    fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avgs = (li.groupBy(F.col("l_partkey").alias("pk"))
+            .agg((F.lit(0.5) * dec_avg("l_quantity")).alias("half_avg")))
+    return (li.join(avgs, li.l_partkey == avgs.pk)
+            .filter(F.col("l_quantity") < F.col("half_avg"))
+            .agg((dec_sum("l_extendedprice") / 7.0).alias("avg_yearly")))
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150)
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered keys semi-joined back to the
+     3-way join, top-20 by price."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+           .filter(F.col("q") > 150).select("l_orderkey"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "bk"),
+              orders.o_orderkey == F.col("bk"), "left_semi")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dec_sum("l_quantity", "total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 30 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 60 AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 100 AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join predicate (Catalyst factors the
+    common p_partkey equi-condition out so the join stays hash-based)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = lambda brand, s0, s1, q0, q1: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s0, s1)
+        & F.col("l_quantity").between(q0, q1))
+    cond = (clause("Brand#1", 1, 30, 1, 20)
+            | clause("Brand#2", 10, 60, 10, 30)
+            | clause("Brand#3", 20, 100, 20, 40))
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return j.filter(cond).agg(dec_sum(rev, "revenue"))
+
+
+@register(
+    "q22_inactive_customer_balance",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(c_acctbal) AS ab
+      FROM customer WHERE c_acctbal > 0),
+    inactive AS (
+      SELECT * FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT'))
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+    FROM inactive, avg_bal
+    WHERE c_acctbal > ab
+    GROUP BY c_nationkey
+    """,
+)
+def q22_inactive_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders -- anti join plus a broadcast scalar average threshold (every
+    customer in this corpus has SOME order, so plain inactivity is empty)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg(dec_avg("c_acctbal", "ab")))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    inactive = cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+    return (inactive.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("ab"))
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 dec_sum("c_acctbal", "totacctbal")))
