@@ -118,10 +118,13 @@ def clauses_df(spark: SparkSession) -> DataFrame:
     (repeated section keys concatenate, layout_structure.py:163-168) and
     empty clauses preserved for keys that gathered no content words.
     collect_list order is pinned by array_sort over (pos, word) structs --
-    collect_list alone is not order-stable after shuffles."""
+    collect_list alone is not order-stable after shuffles. first_pos records
+    dict-insertion order (first appearance of the key) for J2's ordered
+    fuzzy-context concat."""
     k = keyed_words_df(spark)
     keys = (k.filter(F.col("new_key").isNotNull())
-             .select("doc_id", F.col("new_key").alias("section_key")).distinct())
+             .groupBy("doc_id", F.col("new_key").alias("section_key"))
+             .agg(F.min("pos").alias("first_pos")))
     content = k.filter(
         (~F.col("trig"))
         & F.lower("label").isin("paragraph", "list_item")
@@ -131,7 +134,7 @@ def clauses_df(spark: SparkSession) -> DataFrame:
                F.array_sort(F.collect_list(F.struct("pos", "word"))),
                lambda x: x["word"])).alias("txt")))
     return (keys.join(agg, ["doc_id", "section_key"], "left")
-            .select("doc_id", "section_key",
+            .select("doc_id", "section_key", "first_pos",
                     F.coalesce("txt", F.lit("")).alias("clause_text")))
 
 
@@ -225,11 +228,10 @@ def recovered_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def scored_df(spark: SparkSession) -> DataFrame:
+def score_predictions(pred: DataFrame, gt: DataFrame) -> DataFrame:
     """J1+A4: predictions FULL OUTER JOIN golden truth on (doc, field),
-    conditional class counts (evaluation/evaluator.py:27-61)."""
-    pred = recovered_df(spark).select("doc_id", "field_name", "value")
-    gt = ground_truth_df(spark)
+    conditional class counts (evaluation/evaluator.py:27-61). ``pred`` needs
+    (doc_id, field_name, value); reused by system and baseline scoring."""
     j = pred.join(gt, ["doc_id", "field_name"], "full_outer")
     pn = F.lower(F.trim("value"))
     tn = F.lower(F.trim("true_value"))
@@ -247,9 +249,69 @@ def scored_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def scored_df(spark: SparkSession) -> DataFrame:
+    return score_predictions(
+        recovered_df(spark).select("doc_id", "field_name", "value"),
+        ground_truth_df(spark))
+
+
+def metrics_of(scored: DataFrame) -> DataFrame:
+    """A5: P/R/F1/exact-accuracy per document, rounded to 3
+    (evaluation/evaluator.py:63-80); F1 derives from unrounded P/R."""
+    p = F.when(F.col("tp") + F.col("fp") > 0,
+               F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0))
+    r = F.when(F.col("tp") + F.col("fn") > 0,
+               F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(F.lit(0.0))
+    f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    acc = F.when(F.col("total_fields") > 0,
+                 F.col("exact_matches") / F.col("total_fields")).otherwise(F.lit(0.0))
+    return scored.select(
+        "doc_id",
+        F.round(p, 3).alias("precision"),
+        F.round(r, 3).alias("recall"),
+        F.round(f1, 3).alias("f1"),
+        F.round(acc, 3).alias("exact_accuracy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle CTE chain (DuckDB dialect, generated from the same fixtures/fragments)
 # ---------------------------------------------------------------------------
+
+def _scored_sql(pred: str) -> str:
+    """Oracle body for per-doc TP/FP/FN/exact/partial over a prediction
+    relation (doc_id, field_name, value) vs ground_truth."""
+    return f"""
+      SELECT doc_id,
+             SUM(CASE WHEN p IS NOT NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN p IS NOT NULL AND t IS NULL THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN p IS NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS fn,
+             SUM(CASE WHEN p IS NOT NULL AND t IS NOT NULL
+                       AND lower(trim(p)) = lower(trim(t)) THEN 1 ELSE 0 END) AS exact_matches,
+             SUM(CASE WHEN p IS NOT NULL AND t IS NOT NULL
+                       AND lower(trim(p)) <> lower(trim(t))
+                       AND (instr(lower(trim(t)), lower(trim(p))) > 0
+                            OR instr(lower(trim(p)), lower(trim(t))) > 0)
+                  THEN 1 ELSE 0 END) AS partial_matches,
+             COUNT(*) AS total_fields
+      FROM (SELECT COALESCE(r.doc_id, g.doc_id) AS doc_id, r.value AS p, g.true_value AS t
+            FROM {pred} r FULL OUTER JOIN ground_truth g
+              ON r.doc_id = g.doc_id AND r.field_name = g.field_name)
+      GROUP BY doc_id"""
+
+
+def _metrics_sql(scored: str) -> str:
+    p = "(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0 END)"
+    r = "(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0 END)"
+    return f"""
+      SELECT doc_id,
+             ROUND({p}, 3) AS precision,
+             ROUND({r}, 3) AS recall,
+             ROUND(CASE WHEN {p} + {r} > 0 THEN 2 * {p} * {r} / ({p} + {r}) ELSE 0 END, 3) AS f1,
+             ROUND(CASE WHEN total_fields > 0
+                        THEN CAST(exact_matches AS DOUBLE) / total_fields ELSE 0 END, 3) AS exact_accuracy
+      FROM {scored}"""
+
 
 def _oracle_ctes() -> str:
     e = DUCK
@@ -302,14 +364,15 @@ def _oracle_ctes() -> str:
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_key
       FROM keys2),
     clause_keys AS (
-      SELECT DISTINCT doc_id, new_key AS section_key FROM keys2 WHERE new_key IS NOT NULL),
+      SELECT doc_id, new_key AS section_key, MIN(pos) AS first_pos
+      FROM keys2 WHERE new_key IS NOT NULL GROUP BY doc_id, new_key),
     clause_content AS (
       SELECT doc_id, cur_key AS section_key, string_agg(word, ' ' ORDER BY pos) AS txt
       FROM cur
       WHERE NOT trig AND lower(label) IN ('paragraph', 'list_item') AND cur_key IS NOT NULL
       GROUP BY doc_id, cur_key),
     clauses AS (
-      SELECT k.doc_id, k.section_key, COALESCE(t.txt, '') AS clause_text
+      SELECT k.doc_id, k.section_key, k.first_pos, COALESCE(t.txt, '') AS clause_text
       FROM clause_keys k LEFT JOIN clause_content t
         ON k.doc_id = t.doc_id AND k.section_key = t.section_key),
     fulltext AS (
@@ -331,36 +394,8 @@ def _oracle_ctes() -> str:
              CASE WHEN ({any_error}) AND default_value IS NOT NULL
                   THEN 'recovery_default' ELSE method END AS method
       FROM validated),
-    scored AS (
-      SELECT doc_id,
-             SUM(CASE WHEN p IS NOT NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS tp,
-             SUM(CASE WHEN p IS NOT NULL AND t IS NULL THEN 1 ELSE 0 END) AS fp,
-             SUM(CASE WHEN p IS NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS fn,
-             SUM(CASE WHEN p IS NOT NULL AND t IS NOT NULL
-                       AND lower(trim(p)) = lower(trim(t)) THEN 1 ELSE 0 END) AS exact_matches,
-             SUM(CASE WHEN p IS NOT NULL AND t IS NOT NULL
-                       AND lower(trim(p)) <> lower(trim(t))
-                       AND (instr(lower(trim(t)), lower(trim(p))) > 0
-                            OR instr(lower(trim(p)), lower(trim(t))) > 0)
-                  THEN 1 ELSE 0 END) AS partial_matches,
-             COUNT(*) AS total_fields
-      FROM (SELECT COALESCE(r.doc_id, g.doc_id) AS doc_id, r.value AS p, g.true_value AS t
-            FROM recovered r FULL OUTER JOIN ground_truth g
-              ON r.doc_id = g.doc_id AND r.field_name = g.field_name)
-      GROUP BY doc_id),
-    metrics AS (
-      SELECT doc_id,
-             ROUND(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0 END, 3) AS precision,
-             ROUND(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0 END, 3) AS recall,
-             ROUND(CASE WHEN (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0 END)
-                           + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0 END) > 0
-                   THEN 2 * (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0 END)
-                          * (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0 END)
-                          / ((CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0 END)
-                             + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0 END))
-                   ELSE 0 END, 3) AS f1,
-             ROUND(CASE WHEN total_fields > 0 THEN CAST(exact_matches AS DOUBLE) / total_fields ELSE 0 END, 3) AS exact_accuracy
-      FROM scored)
+    scored AS ({_scored_sql('recovered')}),
+    metrics AS ({_metrics_sql('scored')})
     """
 
 
@@ -429,7 +464,7 @@ def doc_a2_clause_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/W1/F3/F4: the clause-graph build -- running section state over word
     order, first-key-wins duplicates, empty clauses preserved
     (layout_structure.py:138-208)."""
-    return clauses_df(spark)
+    return clauses_df(spark).select("doc_id", "section_key", "clause_text")
 
 
 @register(
@@ -526,21 +561,7 @@ def doc_a5_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: precision/recall/F1/exact-accuracy per document, rounded to 3
     (evaluation/evaluator.py:63-80). F1 derives from unrounded P/R, exactly
     as the reference computes it."""
-    s = scored_df(spark)
-    p = F.when(F.col("tp") + F.col("fp") > 0,
-               F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0))
-    r = F.when(F.col("tp") + F.col("fn") > 0,
-               F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(F.lit(0.0))
-    f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
-    acc = F.when(F.col("total_fields") > 0,
-                 F.col("exact_matches") / F.col("total_fields")).otherwise(F.lit(0.0))
-    return s.select(
-        "doc_id",
-        F.round(p, 3).alias("precision"),
-        F.round(r, 3).alias("recall"),
-        F.round(f1, 3).alias("f1"),
-        F.round(acc, 3).alias("exact_accuracy"),
-    )
+    return metrics_of(scored_df(spark))
 
 
 @register(
@@ -562,3 +583,140 @@ def doc_a6_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("f1").cast(dec)).cast("double") / F.count(F.lit(1)), 3).alias("avg_f1"),
         F.round(F.sum(F.col("exact_accuracy").cast(dec)).cast("double") / F.count(F.lit(1)), 3).alias("avg_exact_accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J2 scoped context + baseline comparison (reference-parity extras)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_j2_section_context",
+    oracle=f"""{_CTES},
+    field_sections AS (
+      SELECT s.form_name, s.field_name, s.section, f.doc_id
+      FROM schema_meta s JOIN doc_forms f ON s.form_name = f.form_name),
+    exact AS (
+      SELECT fs.doc_id, fs.field_name, c.clause_text
+      FROM field_sections fs JOIN clauses c
+        ON fs.doc_id = c.doc_id AND fs.section = c.section_key),
+    fuzzy AS (
+      SELECT fs.doc_id, fs.field_name,
+             string_agg(c.clause_text, ' ' ORDER BY c.first_pos) AS ctx
+      FROM field_sections fs JOIN clauses c ON fs.doc_id = c.doc_id
+      WHERE instr(lower(c.section_key), lower(fs.section)) > 0
+         OR instr(lower(c.clause_text), lower(fs.section)) > 0
+      GROUP BY fs.doc_id, fs.field_name)
+    SELECT fs.doc_id, fs.field_name,
+           COALESCE(e.clause_text, fz.ctx, '') AS context
+    FROM field_sections fs
+    LEFT JOIN exact e ON fs.doc_id = e.doc_id AND fs.field_name = e.field_name
+    LEFT JOIN fuzzy fz ON fs.doc_id = fz.doc_id AND fs.field_name = fz.field_name
+    """,
+)
+def doc_j2_section_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: section-key → clause context resolution: exact key hit first,
+    else fuzzy containment (key substring-of clause key OR clause text) with
+    matches concatenated in clause first-appearance order
+    (extraction/form_filler.py:101-115). The schema side is broadcast; the
+    containment join is a broadcast nested loop -- correct only because the
+    field list is tiny (SURVEY §2.4 J2)."""
+    fields = (schema_meta_df(spark).select("form_name", "field_name", "section")
+              .join(doc_forms_df(spark), "form_name"))
+    c = clauses_df(spark)
+    exact = (fields.join(c, (fields.doc_id == c.doc_id)
+                         & (fields.section == c.section_key))
+             .select(fields.doc_id, "field_name",
+                     F.col("clause_text").alias("exact_ctx")))
+    contain = (F.broadcast(fields).join(
+        c, (fields.doc_id == c.doc_id)
+        & ((F.instr(F.lower(c.section_key), F.lower(fields.section)) > 0)
+           | (F.instr(F.lower(c.clause_text), F.lower(fields.section)) > 0)))
+        .groupBy(fields.doc_id, "field_name")
+        .agg(F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("first_pos", "clause_text"))),
+            lambda x: x["clause_text"])).alias("fuzzy_ctx")))
+    return (fields.select("doc_id", "field_name")
+            .join(exact, ["doc_id", "field_name"], "left")
+            .join(contain, ["doc_id", "field_name"], "left")
+            .select("doc_id", "field_name",
+                    F.coalesce("exact_ctx", "fuzzy_ctx", F.lit("")).alias("context")))
+
+
+# BaselineExtractor's hard-coded name→pattern table
+# (evaluation/evaluator.py:112-117); matching is substring-of-field-name,
+# patterns run flag-free against LOWERCASED full text, group(1).
+_BASELINE_PATTERNS = (
+    ("effective_date", r"\b(\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{4})\b"),
+    ("governing_law", r"governed by.*?laws of ([\w\s]+)"),
+    ("termination", r"terminate.*?(\d+\s+days)"),
+)
+
+
+def _baseline_value_sql(field_name: str, engine: str) -> str:
+    for key, p in _BASELINE_PATTERNS:
+        if key in field_name.lower():
+            return f"NULLIF({G.rext('lower(full_text)', p, 1, engine)}, '')"
+    return G.null_str(engine)
+
+
+def _baseline_ext_selects(engine: str) -> str:
+    sels = []
+    for form in sorted({r[0] for r in SCHEMA_ROWS}):
+        for r in _form_fields(form):
+            fname = r[1]
+            sels.append(
+                f"SELECT doc_id, '{fname}' AS field_name, "
+                f"{_baseline_value_sql(fname, engine)} AS value FROM fulltext "
+                f"WHERE form_name = '{form}'")
+    return "\n      UNION ALL ".join(sels)
+
+
+def baseline_extraction_df(spark: SparkSession) -> DataFrame:
+    """U-baseline: the naive regex control extractor
+    (evaluation/evaluator.py:95-127) as compile-time stack projections."""
+    ft = fulltext_df(spark)
+    parts = []
+    for form in sorted({r[0] for r in SCHEMA_ROWS}):
+        items = [f"'{r[1]}', {_baseline_value_sql(r[1], SPARK)}"
+                 for r in _form_fields(form)]
+        stack = f"stack({len(items)}, {', '.join(items)}) AS (field_name, value)"
+        parts.append(ft.filter(F.col("form_name") == form)
+                     .selectExpr("doc_id", stack))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "doc_a6_baseline_compare",
+    oracle=f"""{_CTES},
+    baseline_ext AS (
+      {_baseline_ext_selects(DUCK)}),
+    baseline_scored AS ({_scored_sql('baseline_ext')}),
+    baseline_metrics AS ({_metrics_sql('baseline_scored')})
+    SELECT m.doc_id,
+           m.f1 AS system_f1, b.f1 AS baseline_f1,
+           ROUND(m.f1 - b.f1, 3) AS f1_improvement,
+           m.exact_accuracy AS system_accuracy, b.exact_accuracy AS baseline_accuracy,
+           ROUND(m.exact_accuracy - b.exact_accuracy, 3) AS accuracy_improvement
+    FROM metrics m JOIN baseline_metrics b ON m.doc_id = b.doc_id
+    """,
+)
+def doc_a6_baseline_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/J4: system-vs-baseline comparison with improvement deltas
+    (evaluation/evaluator.py:159-192): both prediction sets scored by the
+    same J1+A4+A5 machinery, deltas rounded to 3."""
+    gt = ground_truth_df(spark)
+    sys_m = metrics_of(scored_df(spark))
+    base_m = metrics_of(score_predictions(baseline_extraction_df(spark), gt))
+    b = base_m.select(F.col("doc_id"),
+                      F.col("f1").alias("baseline_f1"),
+                      F.col("exact_accuracy").alias("baseline_accuracy"))
+    return (sys_m.join(b, "doc_id")
+            .select("doc_id",
+                    F.col("f1").alias("system_f1"), "baseline_f1",
+                    F.round(F.col("f1") - F.col("baseline_f1"), 3).alias("f1_improvement"),
+                    F.col("exact_accuracy").alias("system_accuracy"), "baseline_accuracy",
+                    F.round(F.col("exact_accuracy") - F.col("baseline_accuracy"), 3)
+                     .alias("accuracy_improvement")))

@@ -131,3 +131,170 @@ def f9_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_avg("value", "avg_value"),
         )
     )
+
+
+@register(
+    "f_date_functions",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS o_quarter,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,
+           CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS o_day,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def f_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part family (F5/F10 adjacents): year/quarter/month/day extraction
+    + day arithmetic, grouped to exercise them as keys."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+         .cast("long").alias("days_since_epoch_start"))
+        .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "f_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           substr(c_name, 1, 8) AS prefix,
+           length(c_name) AS name_len,
+           replace(c_name, 'Customer', 'Cust') AS shortened,
+           reverse(c_mktsegment) AS seg_rev,
+           c_mktsegment || '/' || c_name AS tagged,
+           split_part(c_name, '#', 2) AS name_num
+    FROM customer WHERE c_custkey < 50
+    """,
+)
+def f_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (F7/F12/F13 adjacents): case, substring, length,
+    replace, reverse, concat templating, token split."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("shortened"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.concat_ws("/", "c_mktsegment", "c_name").alias("tagged"),
+        F.element_at(F.split("c_name", "#"), 2).alias("name_num"),
+    )
+
+
+@register(
+    "f_array_functions",
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list(l_quantity)) AS quantities,
+           length(list(l_quantity)) AS n_lines,
+           list_sort(list(l_quantity))[1] AS min_qty,
+           list_sort(list(l_quantity))[-1] AS max_qty,
+           list_contains(list(l_quantity), 5.0) AS has_qty5
+    FROM lineitem
+    WHERE l_orderkey < 100
+    GROUP BY l_orderkey
+    """,
+)
+def f_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family (§2.8 note): collect + sort + index + membership over
+    per-order quantity vectors."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    q = F.array_sort(F.collect_list("l_quantity"))
+    return (li.groupBy("l_orderkey")
+            .agg(q.alias("quantities"),
+                 F.size(F.collect_list("l_quantity")).alias("n_lines"),
+                 F.element_at(q, 1).alias("min_qty"),
+                 F.element_at(q, -1).alias("max_qty"),
+                 F.array_contains(F.collect_list("l_quantity"), 5.0).alias("has_qty5")))
+
+
+@register(
+    "f_map_functions",
+    oracle="""
+    WITH per_line AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty
+      FROM lineitem WHERE l_orderkey < 50
+      GROUP BY l_orderkey, l_linenumber)
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber)) AS line_numbers,
+           list_transform(list_sort(list({'k': l_linenumber, 'v': qty})),
+                          e -> CAST(e['k'] AS VARCHAR) || '=' || CAST(e['v'] AS VARCHAR))
+             AS line_qty_entries
+    FROM per_line GROUP BY l_orderkey
+    """,
+)
+def f_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: build MAP<line,qty> per order (map_from_entries over
+    pre-aggregated unique keys -- line numbers repeat within an order in
+    this corpus), emit sorted keys and 'k=v' entry strings (a canonical,
+    engine-comparable rendering of map content)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
+    per_line = (li.groupBy("l_orderkey", "l_linenumber")
+                .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+                      .cast("double").alias("qty")))
+    entries = F.array_sort(F.collect_list(F.struct(
+        F.col("l_linenumber").alias("k"), F.col("qty").alias("v"))))
+    m = F.map_from_entries(entries)
+    return (per_line.groupBy("l_orderkey")
+            .agg(F.map_keys(m).alias("line_numbers"),
+                 F.transform(
+                     entries,
+                     lambda e: F.concat(e["k"].cast("string"), F.lit("="),
+                                        e["v"].cast("string")))
+                 .alias("line_qty_entries")))
+
+
+@register(
+    "p5_preview_truncate",
+    oracle="""
+    SELECT doc_id, substr(text, 1, 100) AS preview, n_chars
+    FROM documents ORDER BY doc_id LIMIT 10
+    """,
+)
+def p5_preview_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6: preview projections -- substring truncation + limit
+    (main.py:157,179; extraction/extraction.py:102)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select("doc_id", F.substring("text", 1, 100).alias("preview"), "n_chars")
+            .orderBy("doc_id").limit(10))
+
+
+@register(
+    "a_percentiles_exact",
+    oracle="""
+    SELECT c_mktsegment,
+           quantile_cont(c_acctbal, 0.25) AS p25,
+           quantile_cont(c_acctbal, 0.5) AS median,
+           quantile_cont(c_acctbal, 0.75) AS p75
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def a_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per segment (both engines use
+    the p*(n-1) continuous-quantile definition)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.25)).alias("p25"),
+        F.percentile("c_acctbal", F.lit(0.5)).alias("median"),
+        F.percentile("c_acctbal", F.lit(0.75)).alias("p75"))
+
+
+@register("a_approx_count_distinct")  # HLL sketches differ across engines => rows-only
+def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) -- the at-scale substitute for
+    exact COUNT(DISTINCT) on high-cardinality keys; sketch values are
+    engine-specific so the check is rows-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"))
