@@ -298,3 +298,43 @@ def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"))
+
+
+@register(
+    "f14_base64_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(substr(text, 1, 30))) AS b64,
+           substr(text, 1, 30) AS round_tripped
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def f14_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: base64 encoding of binary payloads (reference encodes page
+    images for Ollama, extraction/llama_extractor.py:80-84) + decode
+    round-trip."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    payload = F.substring("text", 1, 30).cast("binary")
+    return d.select(
+        "doc_id",
+        F.base64(payload).alias("b64"),
+        F.unbase64(F.base64(payload)).cast("string").alias("round_tripped"))
+
+
+@register(
+    "a_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-status, per-priority,
+    and grand-total rows in one aggregation pass."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)

@@ -1,0 +1,39 @@
+"""Stage sinks (SURVEY.md §2.1 K1/K2/K4).
+
+The reference snapshots every pipeline phase to JSON (main.py:154-208) and
+writes final forms + eval reports (main.py:212-221,419-425). The engine
+analog: partitioned parquet stage sinks for data (columnar, splittable,
+predicate-pushable on re-read) and JSON only for small human-facing outputs
+(final form rows, eval reports) -- never for fact-scale data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def write_stage(df: DataFrame, out_dir: str, stage: str,
+                partition_by: list[str] | None = None) -> str:
+    """K2: one pipeline-stage snapshot. Parquet, overwrite-idempotent, and
+    optionally partitioned (doc_id-range / date partitioning at scale)."""
+    path = os.path.join(out_dir, stage)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return path
+
+
+def write_final_json(df: DataFrame, out_dir: str, name: str) -> str:
+    """K1/K4: small human-facing output (final forms, eval results) as one
+    JSON file. coalesce(1) is deliberate and only valid because these
+    outputs are tiny aggregates."""
+    path = os.path.join(out_dir, name)
+    df.coalesce(1).write.mode("overwrite").json(path)
+    return path
+
+
+def read_stage(spark, out_dir: str, stage: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, stage))

@@ -85,6 +85,12 @@ def run_append_to_memory(df: DataFrame, name: str) -> None:
     q.awaitTermination()
 
 
+def run_update_to_memory(df: DataFrame, name: str) -> None:
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
 def run_foreach_batch_snapshots(df: DataFrame, out_dir: str) -> None:
     """K2 mirror: per-microbatch parquet stage snapshots
     (reference main.py:154-208 writes per-phase JSON; here each batch lands

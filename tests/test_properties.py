@@ -1,0 +1,130 @@
+"""Property-style checks (SURVEY.md §5.4): sessionization invariants,
+cascade precedence, null-normalization idempotence, regex dialect
+translation -- driven by hypothesis where randomness helps."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from multiagent_form_schema_etl_spark.functions.regex import py_regex_to_java
+from multiagent_form_schema_etl_spark.functions.scalars import NULL_WORDS
+
+
+# --- pure-python properties (no spark needed) -------------------------------
+
+@given(st.text(alphabet="aAbB .-_@0189", max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_null_words_normalization_idempotent(s):
+    """nullify(nullify(x)) == nullify(x) semantics: the null-word set is
+    closed under lower/strip."""
+    def norm(v):
+        return None if v is None or v.lower().strip() in NULL_WORDS else v
+
+    assert norm(norm(s)) == norm(s)
+
+
+@given(st.sampled_from([
+    r"effective\s+(\d+)",
+    r"[A-Z]{3}\s+[\d,]+(\.\d{2})?",
+    r"(?:governed by|laws of)\s+([A-Za-z\s]+?)(?:\.|,)",
+]), st.sampled_from([
+    "Effective 2021-03-05 USD 1,200.50",
+    "governed by the Laws of California, ok",
+    "EFFECTIVE   99",
+]))
+@settings(max_examples=50, deadline=None)
+def test_regex_translation_inlines_flags(pattern, text):
+    """For the flag-free common subset, translation only injects inline
+    (?is) flags -- the translated pattern must find the same span under
+    plain re.search that the original finds under IGNORECASE|DOTALL."""
+    jp = py_regex_to_java(pattern)
+    m_py = re.search(pattern, text, re.IGNORECASE | re.DOTALL)
+    m_j = re.search(jp, text)
+    assert (m_py is None) == (m_j is None)
+    if m_py:
+        assert m_py.group(0) == m_j.group(0)
+
+
+def test_regex_translation_rewrites_named_groups():
+    """Python named groups / backrefs become Java syntax (not valid Python
+    re -- they target java.util.regex)."""
+    assert py_regex_to_java(r"(?P<y>\d{4})-(?P=y)",
+                            ignorecase=False, dotall=False) \
+        == r"(?<y>\d{4})-\k<y>"
+
+
+# --- spark-backed invariants -------------------------------------------------
+
+def test_sessionization_invariants(spark):
+    """Every content word lands in at most one clause; clause keys are
+    exactly the extracted section keys; clause word multiset == appended
+    content words (layout_structure.py:138-174 invariants)."""
+    from pyspark.sql import functions as F
+
+    from multiagent_form_schema_etl_spark.operators.document import (
+        clauses_df,
+        keyed_words_df,
+    )
+
+    k = keyed_words_df(spark).cache()
+    clauses = clauses_df(spark)
+    content = k.filter(
+        (~F.col("trig"))
+        & F.lower("label").isin("paragraph", "list_item")
+        & F.col("cur_key").isNotNull())
+    n_content_words = content.count()
+    n_clause_words = (clauses.filter(F.col("clause_text") != "")
+                      .select(F.explode(F.split("clause_text", " ")).alias("w"))
+                      .count())
+    assert n_content_words == n_clause_words
+
+    keys_from_words = {(r["doc_id"], r["new_key"])
+                       for r in k.filter(F.col("new_key").isNotNull())
+                       .select("doc_id", "new_key").distinct().collect()}
+    keys_from_clauses = {(r["doc_id"], r["section_key"])
+                         for r in clauses.select("doc_id", "section_key").collect()}
+    assert keys_from_words == keys_from_clauses
+
+
+def test_cascade_precedence_regex_beats_keyword(spark):
+    """A field with both a matching pattern and matching keywords must take
+    the regex value (form_filler.py:69-99 ordering)."""
+    from multiagent_form_schema_etl_spark.operators.document import extraction_df
+
+    ext = {(r["doc_id"], r["field_name"]): r for r in extraction_df(spark).collect()}
+    # doc1 termination_notice: keyword 'termination' would capture different
+    # text; the schema pattern must win.
+    r = ext[(1, "termination_notice")]
+    assert r["method"] == "regex" and r["value"] == "30 days written notice"
+    # doc4 support_days has no pattern -> keyword path
+    r = ext[(4, "support_days")]
+    assert r["method"] == "keyword" and r["value"] == "400"
+    # doc3 employment fields have neither -> NULL, no method
+    r = ext[(3, "salary")]
+    assert r["value"] is None and r["method"] is None
+
+
+def test_recovery_only_fills_errored_fields_with_defaults(spark):
+    from multiagent_form_schema_etl_spark.operators.document import recovered_df
+
+    rec = {(r["doc_id"], r["field_name"]): r for r in recovered_df(spark).collect()}
+    assert rec[(4, "start_date")]["value"] == "2020-01-01"
+    assert rec[(4, "start_date")]["method"] == "recovery_default"
+    # an errored field without a default keeps its value
+    assert rec[(4, "support_days")]["value"] == "400"
+    assert rec[(4, "support_days")]["method"] == "keyword"
+
+
+def test_completeness_matches_reference_semantics(spark):
+    from multiagent_form_schema_etl_spark.operators.document import (
+        doc_a7_form_completeness,
+    )
+
+    rows = {r["doc_id"]: r for r in doc_a7_form_completeness(spark, "").collect()}
+    assert rows[1]["is_complete"] is True
+    assert rows[2]["is_complete"] is False  # receiving_party missing
+    assert rows[3]["is_complete"] is False
+    assert rows[4]["is_complete"] is True   # start_date recovered via default

@@ -1,0 +1,83 @@
+"""S4/S5/K1-K3 tests: schema JSON round-trip, stage sinks, strategies."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from multiagent_form_schema_etl_spark.fixtures import SCHEMA_ROWS
+from multiagent_form_schema_etl_spark.sources import schemas as sch
+from multiagent_form_schema_etl_spark.sources import sinks
+from tests.conftest import SF_SMOKE
+
+
+def test_schema_json_round_trip(spark):
+    forms = sorted({r[0] for r in SCHEMA_ROWS})
+    with tempfile.TemporaryDirectory() as d:
+        for form in forms:
+            sch.save_schema(sch.schema_rows_to_json(SCHEMA_ROWS, form), d)
+        loaded = sch.load_schemas(spark, d)
+        rows = {(r["form_name"], r["field_name"]): r for r in loaded.collect()}
+        assert len(rows) == len(SCHEMA_ROWS)
+        for r in SCHEMA_ROWS:
+            got = rows[(r[0], r[1])]
+            assert got["ftype"] == r[2]
+            assert got["section"] == r[3]
+            assert got["required"] == r[4]
+            assert (got["keywords"] or None) == (r[5] or None)
+            assert (got["patterns"] or None) == (r[6] or None)
+            assert got["c_min"] == r[8]
+            assert got["c_max"] == r[9]
+            assert (got["c_enum"] or None) == (r[11] or None)
+            assert got["default_value"] == r[12]
+
+
+def test_stage_sink_round_trip(spark):
+    from multiagent_form_schema_etl_spark.catalog import load_table
+
+    nation = load_table(spark, SF_SMOKE, "nation")
+    with tempfile.TemporaryDirectory() as d:
+        sinks.write_stage(nation, d, "01_nation")
+        back = sinks.read_stage(spark, d, "01_nation")
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+        sinks.write_final_json(nation.groupBy().count(), d, "report")
+        rep = spark.read.json(f"{d}/report")
+        assert rep.collect()[0]["count"] == 25
+
+
+def test_layout_classifier_strategy(spark):
+    from multiagent_form_schema_etl_spark.operators.document import words_df
+    from multiagent_form_schema_etl_spark.operators.strategies import classify_words
+
+    w = words_df(spark).select("doc_id", "pos", "word")
+    labeled = classify_words(w)
+    got = {r["word"]: r["label"] for r in labeled.collect()}
+    assert got["1."] == "heading"
+    assert got["(3)"] == "heading"
+    assert got["A."] == "heading"
+    assert got["Parties"] == "paragraph"
+
+
+def test_llm_strategy_default_is_null_and_nondeterministic_flagged(spark):
+    from multiagent_form_schema_etl_spark.operators.strategies import make_llm_extract_udf
+
+    udf = make_llm_extract_udf()
+    df = spark.createDataFrame([("f", "string", "ctx")], "a string, b string, c string")
+    out = df.select(udf("a", "b", "c").alias("v"))
+    assert out.collect()[0]["v"] is None
+
+
+def test_ocr_routing_strategy(spark):
+    from multiagent_form_schema_etl_spark.operators.document import blocks_df
+    from multiagent_form_schema_etl_spark.operators.strategies import ocr_low_text_pages
+
+    blocks = blocks_df(spark).filter(F.trim("text") != "")
+    images = (blocks.select("doc_id", "page").distinct()
+              .withColumn("image", F.lit("fakepayload").cast("binary")))
+    ocred = ocr_low_text_pages(blocks, images)
+    rows = {(r["doc_id"], r["page"]): r for r in ocred.collect()}
+    # doc1 page2 (45 chars) and page3 (4 chars) are under the 50-char threshold
+    assert (1, 2) in rows and (1, 3) in rows
+    assert all(r["source"] == "ocr" and r["confidence"] == 0.8 for r in rows.values())
+    assert rows[(1, 3)]["text"].startswith("[ocr ")

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import tempfile
 
+from pyspark.sql import functions as F
+
 from multiagent_form_schema_etl_spark.streaming import batch_windows as bw
 from multiagent_form_schema_etl_spark.streaming import structured as st
 from tests.conftest import SF_SMOKE
@@ -47,3 +49,33 @@ def test_foreach_batch_stage_snapshots(spark):
         assert batches, "no stage snapshots written"
         total = sum(spark.read.parquet(b).count() for b in batches)
         assert total == 1000 or total > 0
+
+
+def test_apply_in_pandas_with_state_running_counts(spark):
+    """Custom stateful streaming operator (applyInPandasWithState, SURVEY
+    §2.9): per-user running event counter across microbatches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_events(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    ev = st.stream_events(spark, SF_SMOKE)
+    counted = (ev.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id long, n_events long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+    st.run_update_to_memory(counted, "t_state")
+    got = {r["user_id"]: r["n_events"]
+           for r in spark.sql("SELECT * FROM t_state").collect()}
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    want = {r["user_id"]: r["n"]
+            for r in load_table(spark, SF_SMOKE, "events")
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
