@@ -1,0 +1,61 @@
+"""Physical-layout operators: bucketing for co-located joins and salting for
+skewed aggregations (SURVEY.md scale mandate).
+
+These are the two layout levers that matter most at 100 TB:
+
+- **Bucketing**: writing both join sides bucketed by the join key (same
+  bucket count) lets Spark plan a SortMergeJoin with NO Exchange on either
+  side -- the shuffle happened once at write time and is amortized over every
+  subsequent join. `write_bucketed` + `read_bucketed_join` demonstrate the
+  pattern; tests assert the exchange-free plan.
+
+- **Salting**: a hot grouping key (one customer with 10% of all rows)
+  overloads one reducer. Salted two-phase aggregation spreads each hot key
+  over N sub-keys, partially aggregates, then combines -- turning one straggler
+  task into N parallel ones at the cost of a second (tiny) aggregation. AQE's
+  skew-join handles *join* skew automatically; aggregation skew still wants
+  the salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_N_SALTS = 16
+
+
+def write_bucketed(df: DataFrame, table_name: str, key: str,
+                   n_buckets: int = 8) -> None:
+    """Persist a table bucketed+sorted by its join key (hash-partitioned at
+    write time; the metastore records the layout so readers skip the
+    shuffle)."""
+    (df.write.mode("overwrite")
+       .bucketBy(n_buckets, key).sortBy(key)
+       .saveAsTable(table_name))
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  key_left: str, key_right: str) -> DataFrame:
+    """Join two co-bucketed tables -- plans as SortMergeJoin with zero
+    Exchange operators (verify with .explain: no 'Exchange hashpartitioning'
+    above either scan)."""
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    return lt.join(rt, lt[key_left] == rt[key_right])
+
+
+def salted_sum(df: DataFrame, key: str, value: str, alias: str,
+               n_salts: int = _N_SALTS) -> DataFrame:
+    """Two-phase skew-safe aggregation: sum(value) by key, with each key's
+    rows scattered across ``n_salts`` sub-aggregations first. Decimal-routed
+    like every engine sum, so the result is bit-identical to the direct
+    groupBy (addition is exact => salting is semantics-free)."""
+    dec = "decimal(28,6)"
+    salted = df.withColumn(
+        "_salt", (F.crc32(F.col(key).cast("string")) + F.monotonically_increasing_id())
+        % n_salts)
+    partial = (salted.groupBy(key, "_salt")
+               .agg(F.sum(F.col(value).cast(dec)).alias("_part")))
+    return (partial.groupBy(key)
+            .agg(F.sum("_part").cast("double").alias(alias)))

@@ -1,0 +1,52 @@
+"""Bucketing and salting: verify the physical plans, not just the results."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+from pyspark.sql import functions as F
+
+from multiagent_form_schema_etl_spark.catalog import load_table
+from multiagent_form_schema_etl_spark.operators import partitioning as P
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # warehouse dir is a static conf; tables land in ./spark-warehouse
+    # (gitignored) and are dropped in the finally block
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders")
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        P.write_bucketed(orders, "b_orders", "o_orderkey")
+        P.write_bucketed(li.withColumnRenamed("l_orderkey", "lk"), "b_lineitem", "lk")
+        j = P.bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey", "lk")
+        plan = _plan(j)
+        assert "Exchange hashpartitioning" not in plan, plan
+        # sanity: co-located join still returns the right row count
+        expect = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert j.count() == expect
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_sum_matches_direct_aggregation(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    direct = {r["l_returnflag"]: r["total"] for r in
+              li.groupBy("l_returnflag")
+              .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+                   .cast("double").alias("total")).collect()}
+    salted = {r["l_returnflag"]: r["total"] for r in
+              P.salted_sum(li, "l_returnflag", "l_quantity", "total").collect()}
+    assert salted == direct  # decimal accumulation => bit-identical
