@@ -720,3 +720,57 @@ def doc_a6_baseline_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("exact_accuracy").alias("system_accuracy"), "baseline_accuracy",
                     F.round(F.col("exact_accuracy") - F.col("baseline_accuracy"), 3)
                      .alias("accuracy_improvement")))
+
+
+def _scoped_cascade_case(engine: str) -> str:
+    """One CASE over field_name dispatching each field's cascade against the
+    row's own scoped ``context`` column (the per-(doc,field) relation)."""
+    whens = []
+    for r in SCHEMA_ROWS:
+        _, fname, ftype, _, _, keywords, patterns, *_ = r
+        val = G.cascade_value_sql("context", ftype, patterns or [],
+                                  keywords or [], engine)
+        whens.append(f"WHEN field_name = '{fname}' THEN {val}")
+    return "(CASE " + " ".join(whens) + " END)"
+
+
+@register(
+    "doc_u7_scoped_extraction",
+    oracle=f"""{_CTES},
+    field_sections AS (
+      SELECT s.form_name, s.field_name, s.section, f.doc_id
+      FROM schema_meta s JOIN doc_forms f ON s.form_name = f.form_name),
+    exact AS (
+      SELECT fs.doc_id, fs.field_name, c.clause_text
+      FROM field_sections fs JOIN clauses c
+        ON fs.doc_id = c.doc_id AND fs.section = c.section_key),
+    fuzzy AS (
+      SELECT fs.doc_id, fs.field_name,
+             string_agg(c.clause_text, ' ' ORDER BY c.first_pos) AS ctx
+      FROM field_sections fs JOIN clauses c ON fs.doc_id = c.doc_id
+      WHERE instr(lower(c.section_key), lower(fs.section)) > 0
+         OR instr(lower(c.clause_text), lower(fs.section)) > 0
+      GROUP BY fs.doc_id, fs.field_name),
+    scoped AS (
+      SELECT fs.doc_id, fs.form_name, fs.field_name,
+             COALESCE(e.clause_text, fz.ctx, '') AS context
+      FROM field_sections fs
+      LEFT JOIN exact e ON fs.doc_id = e.doc_id AND fs.field_name = e.field_name
+      LEFT JOIN fuzzy fz ON fs.doc_id = fz.doc_id AND fs.field_name = fz.field_name)
+    SELECT doc_id, form_name, field_name,
+           {_scoped_cascade_case(DUCK)} AS value
+    FROM scoped
+    """,
+)
+def doc_u7_scoped_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7 over J2-scoped context -- the reference's INTENDED extraction mode
+    (clause-grounded, bypassed in practice by the full_text shortcut,
+    SURVEY §2.12 / form_filler.py:67): each field's cascade runs only
+    against its section's resolved clause context. Both modes are first-class
+    engine options; this is the scoped one."""
+    ctx = doc_j2_section_context(spark, sf_dir)
+    forms = doc_forms_df(spark)
+    scoped = ctx.join(F.broadcast(forms), "doc_id")
+    return scoped.select(
+        "doc_id", "form_name", "field_name",
+        F.expr(_scoped_cascade_case(SPARK)).alias("value"))

@@ -580,3 +580,107 @@ def q22_inactive_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame
             .groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("numcust"),
                  dec_sum("c_acctbal", "totacctbal")))
+
+
+@register(
+    "q11_important_stock_share",
+    oracle="""
+    WITH vals AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS part_value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey),
+    total AS (SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,6))) AS DOUBLE) AS tv FROM vals)
+    SELECT l_partkey, part_value
+    FROM vals, total
+    WHERE part_value > 0.002 * tv
+    """,
+)
+def q11_important_stock_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose value exceeds a fraction of the national
+    total -- group sums compared against a broadcast global scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    vals = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .groupBy("l_partkey")
+            .agg(dec_sum(F.col("l_extendedprice") * F.col("l_quantity"),
+                         "part_value")))
+    total = vals.agg(dec_sum("part_value", "tv"))
+    return (vals.crossJoin(F.broadcast(total))
+            .filter(F.col("part_value") > 0.002 * F.col("tv"))
+            .select("l_partkey", "part_value"))
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    WITH counts AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM counts GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count histogram INCLUDING zero-order customers
+    (left outer join preserves them; COUNT(col) skips their NULLs)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    counts = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+              .groupBy("c_custkey")
+              .agg(F.count("o_orderkey").alias("c_count")))
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q21_waiting_supplier_orders",
+    oracle="""
+    SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON l1.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone shipped late on multi-supplier
+    finalized orders -- stacked EXISTS (semi) and NOT EXISTS (anti) joins
+    against the same fact table. Late = >60 days after the order date."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    l1 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .filter(F.col("l_shipdate") > late_cut)
+          .select("l_orderkey", "l_suppkey", "o_orderdate"))
+    others = li.select(F.col("l_orderkey").alias("ok"),
+                       F.col("l_suppkey").alias("sk"))
+    # some other supplier on the order...
+    semi = l1.join(others, (l1.l_orderkey == others.ok)
+                   & (l1.l_suppkey != others.sk), "left_semi")
+    # ...but no OTHER supplier was late on it
+    late_others = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                   .filter(F.col("l_shipdate") > late_cut)
+                   .select(F.col("l_orderkey").alias("lok"),
+                           F.col("l_suppkey").alias("lsk")))
+    lone = semi.join(late_others, (semi.l_orderkey == late_others.lok)
+                     & (semi.l_suppkey != late_others.lsk), "left_anti")
+    return (lone.join(F.broadcast(supp), lone.l_suppkey == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.countDistinct("l_orderkey").alias("numwait")))

@@ -205,3 +205,55 @@ def x2_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (cos.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= _TOP_K))
+
+
+_IVF_CELLS = 8
+_IVF_PROBES = 2
+
+
+@register("x2_ann_ivf_kmeans")  # trained coarse quantizer => rows-only check
+def x2_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a KMeans coarse quantizer (seeded => deterministic
+    within Spark) partitions vectors into cells; each query probes its
+    nearest ``_IVF_PROBES`` cells and ranks candidates with the packed-array
+    cosine.
+
+    The 100 TB shape: the quantizer trains on a sample, assignment is one
+    narrow pass, and the candidate join shuffles on cell id -- candidate
+    volume is n_queries * (probes/cells) * n_vectors instead of n^2. Model
+    training is Spark-internal (no DuckDB twin) => rows-only check."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("vec")))
+    feat = emb.withColumn("features", array_to_vector("vec"))
+    km = KMeans(k=_IVF_CELLS, seed=42, maxIter=10).fit(feat)
+    assigned = km.transform(feat).select(
+        "vec_id", "vec", F.col("prediction").alias("cell"))
+
+    # centroid table (tiny, broadcast) for query-side probe selection
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "cell int, centroid array<double>")
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
+    # distance of each query to each centroid -> keep nearest _IVF_PROBES
+    qc = (q.crossJoin(F.broadcast(centroids))
+          .withColumn("dist", F.sqrt(F.aggregate(
+              F.zip_with("qv", "centroid", lambda a, b: (a - b) * (a - b)),
+              F.lit(0.0), lambda acc, x: acc + x))))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cell"))
+    probes = (qc.withColumn("pr", F.row_number().over(w))
+              .filter(F.col("pr") <= _IVF_PROBES)
+              .select("query_id", "qv", "cell"))
+    cand = (probes.join(assigned.select(F.col("vec_id").alias("match_id"),
+                                        F.col("vec").alias("mv"), "cell"),
+                        "cell")
+            .filter(F.col("match_id") != F.col("query_id")))
+    cos = cand.select("query_id", "match_id", _cos_expr("qv", "mv").alias("cosine"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (cos.withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= _TOP_K)
+            .select("query_id", "match_id", "cosine", "rnk"))
