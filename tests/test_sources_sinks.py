@@ -81,3 +81,25 @@ def test_ocr_routing_strategy(spark):
     assert (1, 2) in rows and (1, 3) in rows
     assert all(r["source"] == "ocr" and r["confidence"] == 0.8 for r in rows.values())
     assert rows[(1, 3)]["text"].startswith("[ocr ")
+
+
+def test_golden_test_case_scan(spark):
+    """S5: glob-load golden records (evaluation/evaluator.py:138-153)."""
+    import json
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        for doc_id, fields in ((1, {"effective_date": "2021-03-15",
+                                    "governing_law": "California"}),
+                               (2, {"effective_date": None,
+                                    "governing_law": "New York"})):
+            with open(os.path.join(d, f"case_{doc_id}.json"), "w") as f:
+                json.dump({"doc_id": doc_id, "pdf_path": f"doc{doc_id}.pdf",
+                           "ground_truth": fields,
+                           "schema": {"form_name": "NDA_Form"}}, f)
+        gt = sch.load_test_cases(spark, d)
+        rows = {(r["doc_id"], r["field_name"]): r["true_value"]
+                for r in gt.collect()}
+        assert rows[(1, "governing_law")] == "California"
+        assert rows[(2, "effective_date")] is None
+        assert len(rows) == 4
