@@ -21,8 +21,8 @@ from ..plans.registry import register
     oracle="""
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_high_priority,
-           SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_high_priority,
+           CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price
     FROM orders
     GROUP BY o_orderstatus
@@ -48,8 +48,8 @@ def a4_conditional_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_rollup_order_hierarchy",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           GROUPING(o_orderstatus) AS g_status,
-           GROUPING(o_orderpriority) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
            COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
     FROM orders

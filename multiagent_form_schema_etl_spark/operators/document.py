@@ -46,7 +46,7 @@ from .sqlgen import DUCK, SPARK
 # Spark-side fixture frames
 # ---------------------------------------------------------------------------
 
-_BLOCK_SCHEMA = ("doc_id long, page int, block_idx int, text string, "
+_BLOCK_SCHEMA = ("doc_id long, page long, block_idx long, text string, "
                  "label string, confidence double, source string, "
                  "x0 double, y0 double, x1 double, y1 double")
 _SCHEMA_META_COLS = ["form_name", "field_name", "ftype", "section", "required",
@@ -93,7 +93,8 @@ def words_df(spark: SparkSession, blocks: DataFrame | None = None) -> DataFrame:
     ).filter(F.col("word") != "")
     return w.withColumn(
         "pos",
-        F.row_number().over(Window.partitionBy("doc_id").orderBy("block_idx", "widx")))
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("block_idx", "widx"))
+         .cast("long"))
 
 
 def keyed_words_df(spark: SparkSession, blocks: DataFrame | None = None) -> DataFrame:
@@ -302,16 +303,16 @@ def _scored_sql(pred: str) -> str:
     relation (doc_id, field_name, value) vs ground_truth."""
     return f"""
       SELECT doc_id,
-             SUM(CASE WHEN p IS NOT NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS tp,
-             SUM(CASE WHEN p IS NOT NULL AND t IS NULL THEN 1 ELSE 0 END) AS fp,
-             SUM(CASE WHEN p IS NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS fn,
-             SUM(CASE WHEN p IS NOT NULL AND t IS NOT NULL
-                       AND lower(trim(p)) = lower(trim(t)) THEN 1 ELSE 0 END) AS exact_matches,
-             SUM(CASE WHEN p IS NOT NULL AND t IS NOT NULL
+             CAST(SUM(CASE WHEN p IS NOT NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN p IS NOT NULL AND t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN p IS NULL AND t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN p IS NOT NULL AND t IS NOT NULL
+                       AND lower(trim(p)) = lower(trim(t)) THEN 1 ELSE 0 END) AS BIGINT) AS exact_matches,
+             CAST(SUM(CASE WHEN p IS NOT NULL AND t IS NOT NULL
                        AND lower(trim(p)) <> lower(trim(t))
                        AND (instr(lower(trim(t)), lower(trim(p))) > 0
                             OR instr(lower(trim(p)), lower(trim(t))) > 0)
-                  THEN 1 ELSE 0 END) AS partial_matches,
+                  THEN 1 ELSE 0 END) AS BIGINT) AS partial_matches,
              COUNT(*) AS total_fields
       FROM (SELECT COALESCE(r.doc_id, g.doc_id) AS doc_id, r.value AS p, g.true_value AS t
             FROM {pred} r FULL OUTER JOIN ground_truth g
@@ -451,8 +452,8 @@ def doc_p1_blocks_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_a1_ocr_routing",
     oracle=f"""{_CTES}
-    SELECT doc_id, page, SUM(length(text)) AS text_volume,
-           SUM(length(text)) < 50 AS needs_ocr
+    SELECT doc_id, page, CAST(SUM(length(text)) AS BIGINT) AS text_volume,
+           CAST(SUM(length(text)) AS BIGINT) < 50 AS needs_ocr
     FROM blocks WHERE trim(text) <> ''
     GROUP BY doc_id, page
     """,
@@ -543,7 +544,7 @@ def doc_u8_recovery_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, form_name,
            BOOL_AND(CASE WHEN required THEN value IS NOT NULL ELSE TRUE END) AS is_complete,
            COUNT(value) AS n_filled,
-           SUM(CASE WHEN required AND value IS NULL THEN 1 ELSE 0 END) AS n_missing_required,
+           CAST(SUM(CASE WHEN required AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_required,
            COUNT(*) AS n_fields
     FROM recovered GROUP BY doc_id, form_name
     """,

@@ -111,7 +111,7 @@ def f8_email_currency_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value) AS avg_value
     FROM events
     GROUP BY event_type
@@ -166,7 +166,7 @@ def f_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey,
            upper(c_name) AS uname,
            substr(c_name, 1, 8) AS prefix,
-           length(c_name) AS name_len,
+           CAST(length(c_name) AS BIGINT) AS name_len,
            replace(c_name, 'Customer', 'Cust') AS shortened,
            reverse(c_mktsegment) AS seg_rev,
            c_mktsegment || '/' || c_name AS tagged,
@@ -182,7 +182,7 @@ def f_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.upper("c_name").alias("uname"),
         F.substring("c_name", 1, 8).alias("prefix"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("shortened"),
         F.reverse("c_mktsegment").alias("seg_rev"),
         F.concat_ws("/", "c_mktsegment", "c_name").alias("tagged"),
@@ -195,7 +195,7 @@ def f_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey,
            list_sort(list(l_quantity)) AS quantities,
-           length(list(l_quantity)) AS n_lines,
+           CAST(length(list(l_quantity)) AS BIGINT) AS n_lines,
            list_sort(list(l_quantity))[1] AS min_qty,
            list_sort(list(l_quantity))[-1] AS max_qty,
            list_contains(list(l_quantity), 5.0) AS has_qty5
@@ -211,7 +211,7 @@ def f_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.array_sort(F.collect_list("l_quantity"))
     return (li.groupBy("l_orderkey")
             .agg(q.alias("quantities"),
-                 F.size(F.collect_list("l_quantity")).alias("n_lines"),
+                 F.size(F.collect_list("l_quantity")).cast("long").alias("n_lines"),
                  F.element_at(q, 1).alias("min_qty"),
                  F.element_at(q, -1).alias("max_qty"),
                  F.array_contains(F.collect_list("l_quantity"), 5.0).alias("has_qty5")))

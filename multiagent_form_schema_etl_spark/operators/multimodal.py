@@ -32,7 +32,7 @@ from ..plans.registry import register
     "x3_multimodal_schema",
     oracle="""
     SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            sha256(text) AS checksum,
            lang AS media_lang
     FROM documents
@@ -46,7 +46,7 @@ def x3_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.col("text").cast("binary")
     return docs.select(
         "doc_id",
-        F.length(payload).alias("n_bytes"),
+        F.length(payload).cast("long").alias("n_bytes"),
         F.sha2(payload, 256).alias("checksum"),
         F.col("lang").alias("media_lang"),
     )

@@ -47,8 +47,8 @@ _DEC = "DECIMAL(38,20)"
       JOIN norms na ON d.query_id = na.vec_id
       JOIN norms nb ON d.match_id = nb.vec_id)
     SELECT query_id, match_id, cosine, rnk FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, match_id) AS rnk
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, match_id) AS BIGINT) AS rnk
       FROM cos)
     WHERE rnk <= {_TOP_K}
     """,
@@ -80,7 +80,7 @@ def x2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
                     .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
-    return (cos.withColumn("rnk", F.row_number().over(w))
+    return (cos.withColumn("rnk", F.row_number().over(w).cast("long"))
             .filter(F.col("rnk") <= _TOP_K)
             .select("query_id", "match_id", "cosine", "rnk"))
 

@@ -89,9 +89,9 @@ def x4_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, token, score, rnk FROM (
       SELECT tf.doc_id, tf.token,
              tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS score,
-             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+             CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
                                 ORDER BY tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) DESC,
-                                         tf.token) AS rnk
+                                         tf.token) AS BIGINT) AS rnk
       FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
     WHERE rnk <= 3
     """,
@@ -110,7 +110,7 @@ def x4_tf_rarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("score",
                           F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
-    return (scored.withColumn("rnk", F.row_number().over(w))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
             .filter(F.col("rnk") <= 3)
             .select("doc_id", "token", "score", "rnk"))
 
@@ -172,7 +172,7 @@ def x4_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT doc_id, lang, n_chars,
-             length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
              CAST(length(text) AS DOUBLE) AS len
       FROM documents)
     SELECT doc_id, lang, n_tokens,
@@ -188,7 +188,7 @@ def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer are corpus-degenerate here: synthetic text has none)."""
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = (F.length("text")
-                - F.length(F.regexp_replace("text", " ", "")) + 1)
+                - F.length(F.regexp_replace("text", " ", "")) + 1).cast("long")
     length = F.length("text").cast("double")
     quality = (F.when(length >= 200, 1.0).otherwise(length / 200) * 0.5
                + F.when(n_tokens >= 40, F.lit(1.0))

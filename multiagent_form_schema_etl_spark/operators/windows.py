@@ -31,8 +31,8 @@ _DEC = "decimal(28,6)"
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_revenue,
-           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-             AS order_seq
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS order_seq
     FROM orders
     """,
 )
@@ -49,7 +49,7 @@ def w1_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderkey", "o_orderdate",
         F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double")
             .alias("running_revenue"),
-        F.row_number().over(wseq).alias("order_seq"),
+        F.row_number().over(wseq).cast("long").alias("order_seq"),
     )
 
 
@@ -58,9 +58,9 @@ def w1_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT * FROM (
       SELECT n_name, c_custkey, c_acctbal,
-             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rn,
-             RANK()       OVER (PARTITION BY n_name ORDER BY c_acctbal DESC) AS rnk,
-             DENSE_RANK() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC) AS drnk
+             CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn,
+             CAST(RANK() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC) AS BIGINT) AS rnk,
+             CAST(DENSE_RANK() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC) AS BIGINT) AS drnk
       FROM customer JOIN nation ON c_nationkey = n_nationkey)
     WHERE rn <= 3
     """,
@@ -75,9 +75,9 @@ def w_rank_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
     return (
         j.select(
             "n_name", "c_custkey", "c_acctbal",
-            F.row_number().over(w_det).alias("rn"),
-            F.rank().over(w_tie).alias("rnk"),
-            F.dense_rank().over(w_tie).alias("drnk"),
+            F.row_number().over(w_det).cast("long").alias("rn"),
+            F.rank().over(w_tie).cast("long").alias("rnk"),
+            F.dense_rank().over(w_tie).cast("long").alias("drnk"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -88,7 +88,7 @@ def w_rank_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_gaps,
-           SUM(gap_us) AS total_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
            MAX(gap_us) AS max_gap_us
     FROM (
       SELECT event_type,
@@ -122,7 +122,7 @@ def w2_lead_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT tile, COUNT(*) AS n, MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
     FROM (SELECT c_acctbal,
-                 NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS tile
+                 CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS tile
           FROM customer)
     GROUP BY tile
     """,
@@ -134,7 +134,7 @@ def w_ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return (
-        cust.select("c_acctbal", F.ntile(4).over(w).alias("tile"))
+        cust.select("c_acctbal", F.ntile(4).over(w).cast("long").alias("tile"))
         .groupBy("tile")
         .agg(F.count(F.lit(1)).alias("n"),
              F.min("c_acctbal").alias("lo"),

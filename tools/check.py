@@ -40,6 +40,17 @@ def canon(v):
     return str(v)
 
 
+def _spark_kind(dt) -> str:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if s in ("float", "double") or s.startswith("decimal"):
+        return "f"
+    if s == "boolean":
+        return "b"
+    return "O"
+
+
 def rowset(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted("|".join(canon(r[i]) for i in idx) for r in rows)
@@ -87,6 +98,20 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            # dtype-kind parity: a strict driver hashing pandas frames would
+            # see int-vs-float drift (e.g. DuckDB HUGEINT sums -> float64)
+            try:
+                ddf = con.execute(oracles[name]).df()
+                sp_kind = {f.name: _spark_kind(f.dataType) for f in sdf.schema.fields}
+                for c in ddf.columns:
+                    dk = ddf[c].dtype.kind
+                    sk = sp_kind.get(c)
+                    if sk and dk in "if" and sk in "if" and dk != sk:
+                        problems.append(f"dtype kind mismatch col={c} "
+                                        f"spark={sk} duck={dk}")
+            except Exception:
+                pass
         if not problems:
             s, d = rowset(scols, srows), rowset(dcols, drows)
             if s != d:
