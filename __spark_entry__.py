@@ -12,11 +12,19 @@ convention.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from multiagent_form_schema_etl_spark.plans import registry
+# The engine package lives next to this file; make the import robust to the
+# driver loading this module from a different working directory.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from multiagent_form_schema_etl_spark.plans import registry  # noqa: E402
 from multiagent_form_schema_etl_spark.session import tune_for_session
 
 registry.load_all_modules()

@@ -32,6 +32,7 @@ OPTIONAL = [
     "w1_running_revenue_per_customer",
     "f9_events_json_extract",
     "doc_u7_extraction_cascade",
+    "doc_pipeline_scaled",
     "x1_dedup_exact",
     "x1_dedup_jaccard_ngram",
     "x1_dedup_minhash_lsh",

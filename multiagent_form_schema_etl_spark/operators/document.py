@@ -794,3 +794,33 @@ def doc_u7_scoped_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoped.select(
         "doc_id", "form_name", "field_name",
         F.expr(_scoped_cascade_case(SPARK)).alias("value"))
+
+
+_SCALE_COPIES = 2500  # 4 fixture docs -> 10k documents
+
+
+@register("doc_pipeline_scaled")  # replicated corpus; throughput path => rows-only
+def doc_pipeline_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput variant: the full blocks→clauses→extraction→validation→
+    recovery lineage over a 10k-document corpus (fixture docs replicated
+    with shifted doc_ids via a range cross-join -- pure Spark, no driver
+    loop). Output is the per-form completeness rollup, so bench measures the
+    whole pipeline while collecting only 3 rows.
+
+    This is the shape that carries to 100 TB: replication only changes the
+    doc_id key space; every stage stays partitioned by doc_id."""
+    copies = spark.range(_SCALE_COPIES).select(F.col("id").alias("copy"))
+    shift = F.col("copy") * 4
+
+    blocks = (blocks_df(spark).crossJoin(copies)
+              .withColumn("doc_id", F.col("doc_id") + shift)
+              .drop("copy"))
+    doc_forms = (doc_forms_df(spark).crossJoin(copies)
+                 .withColumn("doc_id", F.col("doc_id") + shift)
+                 .drop("copy"))
+    forms = recovered_df(spark, blocks, doc_forms)
+    return (forms.groupBy("form_name")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.sum(F.when(F.col("required") & F.col("value").isNull(), 1)
+                        .otherwise(0)).cast("long").alias("n_missing_required"),
+                 F.count("value").alias("n_values")))
