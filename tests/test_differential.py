@@ -1,0 +1,222 @@
+"""Randomized differential tests: the Spark sessionizer must agree with an
+independent row-at-a-time Python model of the reference's clause-graph scan
+(layout_analysis/layout_structure.py:138-208 semantics, re-derived from the
+spec -- word-level triggers, key extraction with 2-word lookahead, first-key-
+wins accumulation, content filtered to paragraph/list_item) on randomly
+generated documents. One Spark job covers the whole corpus, so the test is
+cheap despite 40 random docs."""
+
+from __future__ import annotations
+
+import random
+import re
+
+
+# --- independent python model (spec re-derivation, not a code port) ---------
+
+_SECNUM = [re.compile(p, re.IGNORECASE) for p in (
+    r"^\d+\.(\d+\.?)*$", r"^Article\s+\d+", r"^Section\s+\d+",
+    r"^\(\d+\)", r"^[A-Z]\.")]
+
+
+def _extract_key(word: str, ctx: list[str]) -> str | None:
+    w = word.rstrip(".")
+    if w.lower() in ("article", "section"):
+        for nxt in ctx[1:3]:
+            if nxt.isdigit():
+                return f"{w}_{nxt}"
+        return None
+    if re.match(r"^\d+(\.\d+)*$", w):
+        return w
+    m = re.match(r"^\((\d+)\)$", w)
+    if m:
+        return m.group(1)
+    return None
+
+
+def model_clauses(blocks: list[tuple[str, str]]) -> dict[str, str]:
+    """blocks: [(text, label)] in order -> {section_key: clause_text}."""
+    words: list[tuple[str, str]] = []
+    for text, label in blocks:
+        if not text.strip():
+            continue
+        for w in (t for t in text.split(" ") if t):
+            words.append((w, label))
+    graph: dict[str, list[str]] = {}
+    current: str | None = None
+    toks = [w for w, _ in words]
+    for i, (word, label) in enumerate(words):
+        if label == "heading" or any(r.match(word) for r in _SECNUM):
+            key = _extract_key(word, toks[i:i + 5])
+            if key:
+                current = key
+                graph.setdefault(current, [])
+        elif current is not None and label in ("paragraph", "list_item"):
+            graph[current].append(word)
+    return {k: " ".join(v) for k, v in graph.items()}
+
+
+# --- corpus generator --------------------------------------------------------
+
+_WORDS = ["the", "party", "agreement", "shall", "Acme", "terms", "apply",
+          "notice", "days", "governed", "by", "laws", "of", "state"]
+_SECTIONY = ["1.", "2.1", "3.1.4", "(2)", "(17)", "A.", "B.", "Article",
+             "Section", "5", "12", "9.", "x.", "1,2", "10."]
+_LABELS = ["paragraph", "paragraph", "paragraph", "list_item", "heading",
+           "caption", "other"]
+
+
+def _random_blocks(rng: random.Random) -> list[tuple[str, str]]:
+    blocks = []
+    for _ in range(rng.randint(1, 8)):
+        n = rng.randint(0, 12)
+        toks = [rng.choice(_WORDS + _SECTIONY) for _ in range(n)]
+        blocks.append((" ".join(toks), rng.choice(_LABELS)))
+    return blocks
+
+
+def test_sessionizer_matches_python_model(spark):
+    from multiagent_form_schema_etl_spark.operators.document import clauses_df
+
+    rng = random.Random(7)
+    corpora = {doc_id: _random_blocks(rng) for doc_id in range(40)}
+    rows = []
+    for doc_id, blocks in corpora.items():
+        for idx, (text, label) in enumerate(blocks):
+            rows.append((doc_id, 0, idx, text, label, 1.0, "native",
+                         None, None, None, None))
+    blocks_df = spark.createDataFrame(
+        rows,
+        "doc_id long, page long, block_idx long, text string, label string, "
+        "confidence double, source string, x0 double, y0 double, "
+        "x1 double, y1 double")
+
+    got: dict[int, dict[str, str]] = {}
+    for r in clauses_df(spark, blocks_df).collect():
+        got.setdefault(r["doc_id"], {})[r["section_key"]] = r["clause_text"]
+
+    mismatches = []
+    for doc_id, blocks in corpora.items():
+        want = model_clauses(blocks)
+        if got.get(doc_id, {}) != want:
+            mismatches.append((doc_id, blocks, got.get(doc_id, {}), want))
+    assert not mismatches, mismatches[:2]
+
+
+# --- extraction-cascade differential ----------------------------------------
+
+_DATE_PATS = [
+    r"(\d{4}-\d{1,2}-\d{1,2})",
+    r"(\d{1,2}/\d{1,2}/\d{4})",
+    r"(January|February|March|April|May|June|July|August|September|October|November|December)\s+(\d{1,2}),?\s+(\d{4})",
+    r"(\d{1,2})\s+(January|February|March|April|May|June|July|August|September|October|November|December)\s+(\d{4})",
+]
+
+
+def _model_parse(value: str | None, ftype: str) -> str | None:
+    if value is None or not value or value.lower() in ("none", "null", "n/a", ""):
+        return None
+    value = value.strip()
+    if ftype == "date":
+        for p in _DATE_PATS:
+            m = re.search(p, value, re.IGNORECASE)
+            if m:
+                return m.group(0)
+        return None
+    if ftype == "number":
+        m = re.search(r"(\d+(?:\.\d+)?)", value)
+        return m.group(1) if m else None  # engine contract: token verbatim
+    if ftype == "boolean":
+        return ("true" if value.lower() in ("true", "yes", "1", "agree", "agreed")
+                else "false")
+    return value
+
+
+def _model_cascade(text: str, ftype: str, patterns: list[str],
+                   keywords: list[str]) -> str | None:
+    for p in patterns or []:
+        m = re.search(p, text, re.IGNORECASE | re.DOTALL)
+        if m:
+            return _model_parse(m.group(1), ftype)
+    for kw in keywords or []:
+        for kp in (kw + r"\s*[:=]\s*([^\n\.;,]+)", kw + r"\s+([^\n\.;,]+)"):
+            m = re.search(kp, text, re.IGNORECASE)
+            if m:
+                v = m.group(1).strip()
+                if v and v.lower() != "n/a":
+                    out = _model_parse(v, ftype)
+                    break
+        else:
+            continue
+        if out is not None:
+            return out
+    return None
+
+
+_FRAGMENTS = [
+    "this deal is effective on {date} for all sides",
+    "effective as of 2021-13-77 pending review",
+    "the disclosing party means {name}, among others",
+    "the owner : {name2}, signs here",
+    "receiving party means n/a, oddly",
+    "it is governed by the laws of {place}, fully",
+    "all claims are subject to the {place} jurisdiction, ok",
+    "termination notice period : {num} days written notice",
+    "notice {num} months apply",
+    "maintain confidentiality for a period of {num} years after",
+    "the confidentiality period of indefinite applies",
+    "contact email : {name}@corp.example is listed",
+    "the customer agreed yes to it",
+    "service fee : USD {num},00{num}.50 due",
+    "support days : {num} per annum",
+    "priority : {name} class selected",
+    "plain filler words with no fields at all",
+    "numbers like 7.25 appear here",
+]
+_DATES = ["March 3, 2021", "2022-07-19", "4/7/1999", "19 August 2020", "tomorrow"]
+_NAMES = ["Acme Corp", "Zeta", "gold", "Big Data LLC"]
+_PLACES = ["California", "New York", "Bavaria and Saxony"]
+
+
+def test_extraction_cascade_matches_python_model(spark):
+    from multiagent_form_schema_etl_spark.fixtures import SCHEMA_ROWS
+    from multiagent_form_schema_etl_spark.operators.document import extraction_df
+
+    rng = random.Random(11)
+    docs = {}
+    for doc_id in range(30):
+        n = rng.randint(2, 6)
+        parts = [rng.choice(_FRAGMENTS).format(
+            date=rng.choice(_DATES), name=rng.choice(_NAMES),
+            name2=rng.choice(_NAMES), place=rng.choice(_PLACES),
+            num=rng.randint(1, 400)) for _ in range(n)]
+        docs[doc_id] = ". ".join(parts) + "."
+
+    rows = [(doc_id, 0, 0, text, "paragraph", 1.0, "native",
+             None, None, None, None) for doc_id, text in docs.items()]
+    blocks = spark.createDataFrame(
+        rows,
+        "doc_id long, page long, block_idx long, text string, label string, "
+        "confidence double, source string, x0 double, y0 double, "
+        "x1 double, y1 double")
+    # alternate forms across docs to cover all three schemas
+    forms = spark.createDataFrame(
+        [(d, ["NDA_Form", "Service_Form", "Employment_Agreement"][d % 3])
+         for d in docs],
+        "doc_id long, form_name string")
+
+    got = {(r["doc_id"], r["field_name"]): r["value"]
+           for r in extraction_df(spark, blocks, forms).collect()}
+
+    mismatches = []
+    by_form = {}
+    for r in SCHEMA_ROWS:
+        by_form.setdefault(r[0], []).append(r)
+    for doc_id, text in docs.items():
+        form = ["NDA_Form", "Service_Form", "Employment_Agreement"][doc_id % 3]
+        for r in by_form[form]:
+            want = _model_cascade(text, r[2], r[6], r[5])
+            g = got[(doc_id, r[1])]
+            if g != want:
+                mismatches.append((doc_id, r[1], g, want, text))
+    assert not mismatches, mismatches[:3]
