@@ -257,3 +257,31 @@ def x2_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cos.withColumn("rnk", F.row_number().over(wr))
             .filter(F.col("rnk") <= _TOP_K)
             .select("query_id", "match_id", "cosine", "rnk"))
+
+
+@register("x2_grouped_center_applyinpandas")  # numpy FP summation order => rows-only
+def x2_grouped_center_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-label mean-centering of embeddings
+    (feature normalization, a standard pre-ANN step). Each label group
+    arrives as one pandas frame via Arrow; output is (vec_id, label,
+    centered_norm). Demonstrates the applyInPandas execution shape -- the
+    same math is expressible in pure SQL (see tests), which is what the
+    oracle-checked operators use."""
+    import numpy as np
+    import pandas as pd
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", "label",
+                   F.transform("embedding", lambda x: x.cast("double")).alias("vec")))
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["vec"].to_numpy())
+        centered = m - m.mean(axis=0, keepdims=True)
+        return pd.DataFrame({
+            "vec_id": pdf["vec_id"],
+            "label": pdf["label"],
+            "centered_norm": np.sqrt((centered * centered).sum(axis=1)),
+        })
+
+    return emb.groupBy("label").applyInPandas(
+        center, "vec_id long, label int, centered_norm double")

@@ -239,3 +239,31 @@ def x4_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("shingle", shingle)
           .filter(F.col("lead4").isNotNull()))
     return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+
+
+@register(
+    "x4_token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens,
+           CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS bpe_ish_tokens,
+           CAST(length(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS numeric_runs
+    FROM documents
+    """,
+)
+def x4_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (driver mandate): whitespace tokens and a
+    BPE-ish pre-tokenizer regex (letter runs | digit runs | punctuation
+    runs -- the GPT-2 pre-tokenizer's shape without the lookaheads RE2
+    can't run). Pure regexp_extract_all + length, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+    return d.select(
+        "doc_id",
+        (F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1)
+         .cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(bpe), 0))
+         .cast("long").alias("bpe_ish_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0))
+         .cast("long").alias("numeric_runs"),
+    )

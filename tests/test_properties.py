@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd  # module-level: pandas_udf resolves stringified hints here
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -128,3 +130,52 @@ def test_completeness_matches_reference_semantics(spark):
     assert rows[2]["is_complete"] is False  # receiving_party missing
     assert rows[3]["is_complete"] is False
     assert rows[4]["is_complete"] is True   # start_date recovered via default
+
+
+def test_apply_in_pandas_matches_builtin_math(spark):
+    """The applyInPandas grouped centering must agree (to FP tolerance --
+    numpy uses pairwise summation, Spark sequential folds) with the same
+    math in pure DataFrame ops."""
+    from pyspark.sql import functions as F
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.operators.similarity import (
+        x2_grouped_center_applyinpandas,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {r["vec_id"]: r["centered_norm"]
+           for r in x2_grouped_center_applyinpandas(spark, SF_SMOKE).collect()}
+
+    emb = (load_table(spark, SF_SMOKE, "embeddings")
+           .select("vec_id", "label",
+                   F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+                   .alias("i", "v")))
+    means = emb.groupBy("label", "i").agg(F.avg("v").alias("mu"))
+    want = {r["vec_id"]: r["n"] for r in
+            (emb.join(means, ["label", "i"])
+             .withColumn("d", (F.col("v") - F.col("mu")) ** 2)
+             .groupBy("vec_id").agg(F.sqrt(F.sum("d")).alias("n"))).collect()}
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in got)
+
+
+def test_pandas_udf_tokenizer_matches_builtin(spark):
+    """Arrow pandas_udf vs built-in split: identical token counts -- the
+    'UDFs are the slow path' rule is about cost, never results."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    @pandas_udf("int")
+    def py_count(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: len([w for w in t.split(" ") if w]))
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    both = docs.select(
+        "doc_id",
+        py_count("text").alias("udf_n"),
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("builtin_n"))
+    assert both.filter(F.col("udf_n") != F.col("builtin_n")).count() == 0
