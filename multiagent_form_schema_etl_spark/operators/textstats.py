@@ -267,3 +267,95 @@ def x4_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0))
          .cast("long").alias("numeric_runs"),
     )
+
+
+_ROLL_B, _ROLL_M = 131, 1_000_000_007
+
+
+@register(
+    "x4_doc_rolling_hash",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                              i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+             (acc, c) -> (acc * {_ROLL_B} + c) % {_ROLL_M}) AS rolling_hash,
+           CAST(length(text) AS BIGINT) AS n_chars_hashed
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def x4_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (driver mandate): fold
+    h = (h*B + byte) mod M over the document characters -- pure higher-order
+    aggregate, JVM-side, order-exact in both engines. B=131, M=1e9+7 keeps
+    every intermediate within int64."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    # expr form: substring with a per-element dynamic position inside a
+    # higher-order transform
+    roll = F.expr(
+        f"aggregate(transform(sequence(1, length(text)), "
+        f"i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, c) -> (acc * {_ROLL_B} + c) % {_ROLL_M})")
+    return d.select("doc_id", roll.alias("rolling_hash"),
+                    F.length("text").cast("long").alias("n_chars_hashed"))
+
+
+# Character-trigram language profiles (the mandate's n-gram heuristic).
+# Corpus text is synthetic English-ish tokens; profiles are deterministic
+# trigram sets, so the argmax plumbing is what's exercised.
+_TRIGRAM_COLS = ["profile_lang", "trigram"]
+_TRIGRAM_ROWS: list[tuple] = [
+    ("en", "the"), ("en", "val"), ("en", "dat"), ("en", "ue "),
+    ("es", "tab"), ("es", "row"), ("es", "a r"),
+    ("de", "sch"), ("de", "win"), ("de", "bat"),
+    ("fr", "que"), ("fr", "joi"), ("fr", "lin"),
+    ("zh", "spa"), ("zh", "has"), ("zh", "sca"),
+]
+
+
+@register(
+    "x4_lang_id_char_ngram",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             substr(text, CAST(unnest(range(1, length(text) - 1)) AS INT), 3) AS g
+      FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+    profiles AS (SELECT * FROM {values_sql(_TRIGRAM_ROWS, _TRIGRAM_COLS)}),
+    hits AS (
+      SELECT g.doc_id, p.profile_lang, COUNT(*) AS n_hits
+      FROM grams g JOIN profiles p ON g.g = p.trigram
+      GROUP BY g.doc_id, p.profile_lang),
+    scored AS (
+      SELECT h.doc_id, h.profile_lang, CAST(h.n_hits AS DOUBLE) / s.n_grams AS score
+      FROM hits h JOIN sizes s ON h.doc_id = s.doc_id)
+    SELECT doc_id, profile_lang AS predicted_lang, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, profile_lang) AS rn
+      FROM scored)
+    WHERE rn = 1
+    """,
+)
+def x4_lang_id_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via character-trigram profile hit ratio (the n-gram
+    variant of x4_lang_id_heuristic): explode sliding trigrams, join the
+    broadcast profile dim, argmax per doc with alphabetical tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .alias("g"))
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    profiles = spark.createDataFrame(_TRIGRAM_ROWS, "profile_lang string, trigram string")
+    hits = (grams.join(F.broadcast(profiles), grams.g == profiles.trigram)
+            .groupBy("doc_id", "profile_lang")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    scored = (hits.join(sizes, "doc_id")
+              .withColumn("score", F.col("n_hits").cast("double") / F.col("n_grams")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("profile_lang"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("profile_lang").alias("predicted_lang"),
+                    "score"))
