@@ -66,7 +66,10 @@ def x2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec_dot = lambda x: F.sum(x.cast(_DEC)).cast("double")  # noqa: E731
     norms = e.groupBy("vec_id").agg(
         F.sqrt(dec_dot(F.col("v") * F.col("v"))).alias("nrm"))
-    a = e.filter(F.col("vec_id") < _N_QUERIES).alias("a")
+    # query side is n_queries*dims rows -> broadcast it so the corpus side
+    # never shuffles (the join key `i` has only `dims` distinct values, which
+    # would skew a shuffled join badly)
+    a = F.broadcast(e.filter(F.col("vec_id") < _N_QUERIES)).alias("a")
     b = e.alias("b")
     dots = (a.join(b, (F.col("a.i") == F.col("b.i"))
                    & (F.col("b.vec_id") != F.col("a.vec_id")))

@@ -24,3 +24,23 @@ def test_all_queries_run_on_smoke_sf(spark):
         df = fn(spark, SF_SMOKE)
         assert df.columns, name
         df.limit(1).collect()
+
+
+def test_sql_views_match_dataframe_api(spark):
+    """register_views exposes the catalog to spark.sql; the SQL surface and
+    DataFrame API must agree."""
+    from pyspark.sql import functions as F
+
+    from multiagent_form_schema_etl_spark.catalog import load_table, register_views
+
+    register_views(spark, SF_SMOKE)
+    got = spark.sql("""
+        SELECT n_name, COUNT(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """).collect()
+    want = (load_table(spark, SF_SMOKE, "customer")
+            .join(load_table(spark, SF_SMOKE, "nation"),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name").agg(F.count(F.lit(1)).alias("n")).collect())
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
