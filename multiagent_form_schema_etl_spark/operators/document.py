@@ -97,11 +97,10 @@ def words_df(spark: SparkSession, blocks: DataFrame | None = None) -> DataFrame:
          .cast("long"))
 
 
-def keyed_words_df(spark: SparkSession, blocks: DataFrame | None = None) -> DataFrame:
-    """F3/F4/W1/W2: per-word heading trigger, section-key extraction with
-    2-word lookahead, and the running 'current clause' state
-    (layout_structure.py:152-208)."""
-    w = words_df(spark, blocks)
+def key_words(w: DataFrame) -> DataFrame:
+    """F3/F4/W1/W2 core over any (doc_id, pos, word, label) relation:
+    per-word heading trigger, section-key extraction with 2-word lookahead,
+    and the running 'current clause' state (layout_structure.py:152-208)."""
     win = Window.partitionBy("doc_id").orderBy("pos")
     w = (w.withColumn("nw1", F.lead("word", 1).over(win))
           .withColumn("nw2", F.lead("word", 2).over(win))
@@ -115,15 +114,13 @@ def keyed_words_df(spark: SparkSession, blocks: DataFrame | None = None) -> Data
             win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
 
-def clauses_df(spark: SparkSession, blocks: DataFrame | None = None) -> DataFrame:
-    """A2: sessionized clause build with first-key-wins duplicate handling
-    (repeated section keys concatenate, layout_structure.py:163-168) and
-    empty clauses preserved for keys that gathered no content words.
-    collect_list order is pinned by array_sort over (pos, word) structs --
-    collect_list alone is not order-stable after shuffles. first_pos records
-    dict-insertion order (first appearance of the key) for J2's ordered
-    fuzzy-context concat."""
-    k = keyed_words_df(spark, blocks)
+def keyed_words_df(spark: SparkSession, blocks: DataFrame | None = None) -> DataFrame:
+    return key_words(words_df(spark, blocks))
+
+
+def clauses_from_words(w: DataFrame) -> DataFrame:
+    """A2 core over a keyed word relation (see clauses_df for semantics)."""
+    k = key_words(w) if "cur_key" not in w.columns else w
     keys = (k.filter(F.col("new_key").isNotNull())
              .groupBy("doc_id", F.col("new_key").alias("section_key"))
              .agg(F.min("pos").alias("first_pos")))
@@ -138,6 +135,17 @@ def clauses_df(spark: SparkSession, blocks: DataFrame | None = None) -> DataFram
     return (keys.join(agg, ["doc_id", "section_key"], "left")
             .select("doc_id", "section_key", "first_pos",
                     F.coalesce("txt", F.lit("")).alias("clause_text")))
+
+
+def clauses_df(spark: SparkSession, blocks: DataFrame | None = None) -> DataFrame:
+    """A2: sessionized clause build with first-key-wins duplicate handling
+    (repeated section keys concatenate, layout_structure.py:163-168) and
+    empty clauses preserved for keys that gathered no content words.
+    collect_list order is pinned by array_sort over (pos, word) structs --
+    collect_list alone is not order-stable after shuffles. first_pos records
+    dict-insertion order (first appearance of the key) for J2's ordered
+    fuzzy-context concat."""
+    return clauses_from_words(keyed_words_df(spark, blocks))
 
 
 def fulltext_df(spark: SparkSession, blocks: DataFrame | None = None,
@@ -824,3 +832,18 @@ def doc_pipeline_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("required") & F.col("value").isNull(), 1)
                         .otherwise(0)).cast("long").alias("n_missing_required"),
                  F.count("value").alias("n_values")))
+
+
+@register("doc_u1_model_labeled_clauses")  # python-side classifier => rows-only
+def doc_u1_model_labeled_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL execution shape for clause building: per-WORD
+    labels from the layout model (U1, here the deterministic rule-based
+    stand-in via Arrow-batched mapInPandas) drive sessionization -- instead
+    of fixture block labels. One narrow inference pass, then the same W1/A2
+    machinery (layout_structure.py:35-63 → 138-174)."""
+    from .strategies import classify_words
+
+    w = words_df(spark).select("doc_id", "block_idx", "pos", "word")
+    labeled = classify_words(w)
+    return (clauses_from_words(labeled)
+            .select("doc_id", "section_key", "clause_text"))

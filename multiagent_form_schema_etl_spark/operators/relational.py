@@ -684,3 +684,87 @@ def q21_waiting_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (lone.join(F.broadcast(supp), lone.l_suppkey == supp.s_suppkey)
             .groupBy("s_name")
             .agg(F.countDistinct("l_orderkey").alias("numwait")))
+
+
+@register(
+    "q08_market_share",
+    oracle="""
+    WITH volumes AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'EUROPE')
+    SELECT o_year,
+           CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END
+                         AS DECIMAL(28,6))) AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE) AS mkt_share
+    FROM volumes GROUP BY o_year
+    """,
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's yearly order volume
+    (conditional-sum / total-sum ratio in a single aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cn = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_regionkey").alias("c_rk"))
+    sn = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    volumes = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("s_nk"))
+        .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                vol.alias("volume"), "supp_nation"))
+    target = F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(F.lit(0))
+    return volumes.groupBy("o_year").agg(
+        (dec_sum(target) / dec_sum("volume")).alias("mkt_share"))
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_shipped
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey, l_partkey),
+    heavy AS (
+      SELECT DISTINCT l_suppkey AS hk FROM shipped
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%gear%' AND total_shipped > 40)
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier WHERE EXISTS (SELECT 1 FROM heavy WHERE hk = s_suppkey)
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved heavy volume of a part family in
+    a year -- nested aggregate threshold feeding a semi join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    shipped = (li.groupBy("l_suppkey", "l_partkey")
+               .agg(dec_sum("l_quantity", "total_shipped")))
+    heavy = (shipped.join(F.broadcast(part), shipped.l_partkey == part.p_partkey)
+             .filter(F.col("total_shipped") > 40)
+             .select(F.col("l_suppkey").alias("hk")).distinct())
+    return (supp.join(heavy, supp.s_suppkey == heavy.hk, "left_semi")
+            .select("s_suppkey", "s_name", "s_acctbal"))
