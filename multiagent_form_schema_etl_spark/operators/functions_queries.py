@@ -14,7 +14,6 @@ from ..catalog import load_table
 from ..fixtures import SCALAR_COLS, SCALAR_ROWS, values_sql
 from ..functions.scalars import (
     dec_avg,
-    dec_sum,
     is_currency,
     is_email,
     nullify,

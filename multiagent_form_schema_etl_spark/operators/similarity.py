@@ -226,7 +226,7 @@ def x2_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume is n_queries * (probes/cells) * n_vectors instead of n^2. Model
     training is Spark-internal (no DuckDB twin) => rows-only check."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     emb = (load_table(spark, sf_dir, "embeddings")
            .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
