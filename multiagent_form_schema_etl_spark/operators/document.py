@@ -847,3 +847,27 @@ def doc_u1_model_labeled_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = classify_words(w)
     return (clauses_from_words(labeled)
             .select("doc_id", "section_key", "clause_text"))
+
+
+_NDA_FIELDS = [r[1] for r in SCHEMA_ROWS if r[0] == "NDA_Form"]
+
+
+@register(
+    "doc_form_pivot_nda",
+    oracle=f"""{_CTES}
+    SELECT doc_id,
+           {', '.join(f"MAX(CASE WHEN field_name = '{f}' THEN value END) AS {f}"
+                      for f in _NDA_FIELDS)}
+    FROM recovered WHERE form_name = 'NDA_Form'
+    GROUP BY doc_id
+    """,
+)
+def doc_form_pivot_nda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAV → wide form pivot (SURVEY §1.1-6: dynamic per-form output schemas
+    stay EAV internally and pivot on demand -- this is the reference's final
+    JSON form row, utils/form.py:83-102, as a relational projection).
+    Explicit pivot values keep the output schema static for the plan."""
+    r = recovered_df(spark).filter(F.col("form_name") == "NDA_Form")
+    return (r.groupBy("doc_id")
+            .pivot("field_name", _NDA_FIELDS)
+            .agg(F.first("value")))

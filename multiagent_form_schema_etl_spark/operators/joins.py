@@ -148,3 +148,28 @@ def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tagged_count("only_1996", y96.subtract(y97)))
         .unionByName(tagged_count("either_year", y96.union(y97).distinct()))
     )
+
+
+@register(
+    "set_ops_bag_semantics",
+    oracle="""
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+         b AS (SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F')
+    SELECT 'intersect_all' AS op, COUNT(*) AS n FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'except_all', COUNT(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    """,
+)
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL (bag semantics -- duplicates counted),
+    complementing the distinct set algebra in set_ops_customer_cohorts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_linestatus") == "F").select(F.col("l_suppkey").alias("k"))
+
+    def tagged(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(tag).alias("op"), "n")
+
+    return (tagged("intersect_all", a.intersectAll(b))
+            .unionByName(tagged("except_all", a.exceptAll(b))))
