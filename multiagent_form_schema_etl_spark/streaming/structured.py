@@ -105,3 +105,25 @@ def run_foreach_batch_snapshots(df: DataFrame, out_dir: str) -> None:
          .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
          .start())
     q.awaitTermination()
+
+
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: purchases joined to
+    the same user's clicks from the preceding hour. Both sides are
+    watermarked so Spark can bound join state (clicks older than the
+    watermark + range are evicted)."""
+    ev = stream_events(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("event_id").alias("click_id"))
+              .withWatermark("c_ts", "30 minutes"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("value").alias("amount"))
+                 .withWatermark("p_ts", "30 minutes"))
+    return purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))

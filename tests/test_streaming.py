@@ -79,3 +79,27 @@ def test_apply_in_pandas_with_state_running_counts(spark):
             for r in load_table(spark, SF_SMOKE, "events")
             .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Stream-stream time-bounded join drains to the same pairs as the
+    batch equivalent."""
+    from multiagent_form_schema_etl_spark.catalog import load_table
+
+    st.run_append_to_memory(
+        st.streaming_click_purchase_join(spark, SF_SMOKE), "t_ssj")
+    got = sorted((r["purchase_id"], r["click_id"])
+                 for r in spark.sql("SELECT * FROM t_ssj").collect())
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                      F.col("event_id").alias("click_id")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("purchase_id")))
+    want = sorted((r["purchase_id"], r["click_id"]) for r in purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
+        .collect())
+    assert got == want and len(got) > 0
