@@ -52,11 +52,17 @@ def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tok_d_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (_tokens_df(spark, sf_dir)
-            .select("doc_id", "lang",
-                    F.floor(F.col("n_chars") / 50.0).cast("long").alias("bucket"),
-                    "token")
-            .distinct())
+    """Distinct (doc_id, token) pairs with blocking attributes. The distinct
+    shuffles ONLY (doc_id, token); lang/bucket are functionally dependent on
+    doc_id and re-join afterwards from a broadcast doc-attribute dim --
+    halves the bytes through the dedup shuffle (2x at sf0.1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    attrs = docs.select(
+        "doc_id", "lang",
+        F.floor(F.col("n_chars") / 50.0).cast("long").alias("bucket"))
+    tok = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+           .filter(F.col("token") != "").distinct())
+    return tok.join(F.broadcast(attrs), "doc_id")
 
 
 @register(
