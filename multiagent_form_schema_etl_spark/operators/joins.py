@@ -173,3 +173,82 @@ def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (tagged("intersect_all", a.intersectAll(b))
             .unionByName(tagged("except_all", a.exceptAll(b))))
+
+
+@register(
+    "j_asof_backward_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+             CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END AS click_ts,
+             event_type
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    filled AS (
+      SELECT *,
+             last_value(click_id IGNORE NULLS) OVER w AS asof_click_id,
+             last_value(click_ts IGNORE NULLS) OVER w AS asof_click_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+           asof_click_id, asof_click_ts
+    FROM filled WHERE event_type = 'purchase'
+    """,
+)
+def j_asof_backward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF (backward) join -- an operator Spark lacks natively, built as
+    the scalable union+window composition: tag both sides, sort-merge them
+    once per key, and carry the last left-side row forward with
+    last_value(ignorenulls). One shuffle on the key, no range cross-product
+    -- the pattern that survives 100 TB, unlike a naive theta join
+    (b.ts <= a.ts) which explodes quadratically.
+
+    Here: each purchase event gets the same user's most recent prior-or-
+    simultaneous click."""
+    from pyspark.sql import Window
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "purchase")))
+    tagged = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = tagged.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.last("click_id", ignorenulls=True).over(w).alias("asof_click_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("asof_click_ts"))
+    return (filled.filter(F.col("event_type") == "purchase")
+            .select("user_id",
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("ts").alias("purchase_ts"),
+                    "asof_click_id", "asof_click_ts"))
+
+
+@register(
+    "j_range_interval_join",
+    oracle="""
+    SELECT o_orderkey, COUNT(*) AS n_events_in_week
+    FROM orders JOIN events
+      ON CAST(events.ts AS TIMESTAMP) - INTERVAL 10000 DAY >= o_orderdate
+     AND CAST(events.ts AS TIMESTAMP) - INTERVAL 10000 DAY < o_orderdate + INTERVAL 7 DAY
+    WHERE o_orderkey < 2000
+    GROUP BY o_orderkey
+    """,
+)
+def j_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: events (time-shifted into the orders epoch)
+    falling in each order's first week. The probe side is pre-filtered tiny
+    and broadcast, so the range predicate evaluates as a broadcast join --
+    at scale, bucket both sides by coarse time bucket first and equi-join on
+    the bucket before applying the residual range predicate."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "shifted", F.col("ts") + F.expr("INTERVAL -10000 DAY"))
+    return (ev.join(F.broadcast(orders),
+                    (F.col("shifted") >= F.col("o_orderdate"))
+                    & (F.col("shifted") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")))
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_events_in_week")))

@@ -103,10 +103,12 @@ def main() -> int:
             # see int-vs-float drift (e.g. DuckDB HUGEINT sums -> float64)
             try:
                 ddf = con.execute(oracles[name]).df()
-                sp_kind = {f.name: _spark_kind(f.dataType) for f in sdf.schema.fields}
+                spdf = sdf.toPandas()
                 for c in ddf.columns:
                     dk = ddf[c].dtype.kind
-                    sk = sp_kind.get(c)
+                    sk = spdf[c].dtype.kind if c in spdf.columns else None
+                    # pandas coerces nullable ints to float on both sides,
+                    # so comparing frame-to-frame is the honest check
                     if sk and dk in "if" and sk in "if" and dk != sk:
                         problems.append(f"dtype kind mismatch col={c} "
                                         f"spark={sk} duck={dk}")
