@@ -337,3 +337,106 @@ def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
+
+
+@register(
+    "f_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 1 MONTH AS plus_month,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           o_orderdate + INTERVAL 90 DAY AS due_date
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def f_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family: month addition (end-of-month clamped the same
+    way by both engines), last_day, month truncation, day offsets."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 MONTH")).alias("plus_month"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"))
+
+
+@register(
+    "f_conditional_functions",
+    oracle=f"""
+    SELECT id,
+           COALESCE(NULLIF(trim(raw), ''), '<empty>') AS defaulted,
+           CASE WHEN length(raw) > 10 THEN 'long'
+                WHEN length(raw) > 3 THEN 'mid'
+                ELSE 'short' END AS size_class,
+           GREATEST(length(raw), 5) AS len_floor5,
+           LEAST(length(raw), 20) AS len_cap20,
+           raw IS NOT DISTINCT FROM 'yes' AS null_safe_eq_yes
+    FROM {_V}
+    """,
+)
+def f_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar family: coalesce/nullif defaults, CASE ladders,
+    greatest/least clamps, null-safe equality."""
+    return _scalar_df(spark).select(
+        "id",
+        F.coalesce(F.nullif(F.trim("raw"), F.lit("")), F.lit("<empty>"))
+         .alias("defaulted"),
+        F.when(F.length("raw") > 10, "long")
+         .when(F.length("raw") > 3, "mid")
+         .otherwise("short").alias("size_class"),
+        F.greatest(F.length("raw"), F.lit(5)).alias("len_floor5"),
+        F.least(F.length("raw"), F.lit(20)).alias("len_cap20"),
+        F.col("raw").eqNullSafe(F.lit("yes")).alias("null_safe_eq_yes"))
+
+
+@register(
+    "sql_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                              / COUNT(c_acctbal) * 1.8
+                       FROM customer)
+    """,
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL surface: uncorrelated scalar subquery (Catalyst plans the
+    inner aggregate once and broadcasts the scalar)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    return spark.sql("""
+        SELECT c_custkey, c_acctbal
+        FROM customer_sq
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                                  / COUNT(c_acctbal) * 1.8
+                           FROM customer_sq)
+    """)
+
+
+@register(
+    "sql_correlated_exists_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+      AND NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey
+                        AND l_shipdate > TIMESTAMP '2001-10-01' AND l_quantity > 40)
+    """,
+)
+def sql_correlated_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL surface: correlated EXISTS / NOT EXISTS (Catalyst rewrites
+    to semi/anti joins -- same plan the DataFrame API produces)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_sq")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+    return spark.sql("""
+        SELECT s_suppkey, s_name
+        FROM supplier_sq
+        WHERE EXISTS (SELECT 1 FROM lineitem_sq
+                      WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_sq
+                          WHERE l_suppkey = s_suppkey
+                            AND l_shipdate > TIMESTAMP '2001-10-01' AND l_quantity > 40)
+    """)
