@@ -234,3 +234,28 @@ def x1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (F.col("na") + F.col("nb") - F.col("n_inter"))))
     return (j.filter(F.col("jaccard") >= 0.8)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+@register("x1_dedup_minhash_mllib")  # MLlib model hashing => rows-only
+def x1_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLlib-native near-dup path (SURVEY §2.11 X1): CountVectorizer →
+    MinHashLSH.approxSimilarityJoin on token sets, Jaccard distance <= 0.2.
+    Complements the hand-rolled signatures above with the built-in
+    estimator/transformer pipeline (seeded => deterministic within Spark)."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+         .alias("tokens"))
+    cv = CountVectorizer(inputCol="tokens", outputCol="features",
+                         binary=True).fit(toks)
+    feat = cv.transform(toks)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=8, seed=42).fit(feat)
+    pairs = lsh.approxSimilarityJoin(feat, feat, 0.2, distCol="jaccard_dist")
+    return (pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+            .select(F.col("datasetA.doc_id").alias("doc_a"),
+                    F.col("datasetB.doc_id").alias("doc_b"),
+                    "jaccard_dist"))

@@ -359,3 +359,28 @@ def x4_lang_id_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("doc_id", F.col("profile_lang").alias("predicted_lang"),
                     "score"))
+
+
+@register("x4_tfidf_mllib")  # hashed feature indices => rows-only
+def x4_tfidf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLlib-native TF-IDF path (SURVEY §2.11 X4): HashingTF → IDF over
+    token arrays; output is per-doc feature-vector stats (nnz, max weight).
+    Complements the exact log-free tf-rarity ranking with the standard
+    hashed pipeline used at corpus scale."""
+    from pyspark.ml.feature import IDF, HashingTF
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: w != "").alias("tokens"))
+    tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 12)
+    feat = tf.transform(toks)
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(feat)
+    out = idf.transform(feat)
+
+    from pyspark.ml.functions import vector_to_array
+    arr = vector_to_array("tfidf")
+    return out.select(
+        "doc_id",
+        F.size(F.filter(arr, lambda x: x > 0)).alias("nnz"),
+        F.round(F.array_max(arr), 6).alias("max_weight"))
