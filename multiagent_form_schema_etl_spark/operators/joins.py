@@ -252,3 +252,92 @@ def j_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("shifted") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")))
             .groupBy("o_orderkey")
             .agg(F.count(F.lit(1)).alias("n_events_in_week")))
+
+
+@register(
+    "etl_upsert_latest_wins",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + 1000 AS c_acctbal, 'UPDATED' AS c_mktsegment,
+             1 AS priority
+      FROM customer WHERE c_custkey % 10 = 0),
+    base AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             0 AS priority
+      FROM customer),
+    merged AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                   ORDER BY priority DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM merged WHERE rn = 1
+    """,
+)
+def etl_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert as a relational pattern (no table format needed): union
+    base + updates with a priority column, keep the highest-priority row per
+    key via row_number. One shuffle on the merge key -- the shape Delta/
+    Iceberg MERGE compiles to underneath. Updates here are a deterministic
+    synthetic change set (every 10th customer re-segmented)."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    updates = (cust.filter(F.col("c_custkey") % 10 == 0)
+               .select("c_custkey", "c_name", "c_nationkey",
+                       (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+                       F.lit("UPDATED").alias("c_mktsegment"),
+                       F.lit(1).alias("priority")))
+    base = cust.select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                       "c_mktsegment", F.lit(0).alias("priority"))
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("priority"))
+    return (base.unionByName(updates)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                    "c_mktsegment"))
+
+
+@register(
+    "etl_cdc_snapshot_diff",
+    oracle="""
+    WITH snap2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 500.25
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 13 <> 0),
+    diff AS (
+      SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+             a.c_acctbal AS old_bal, b.c_acctbal AS new_bal
+      FROM customer a FULL OUTER JOIN snap2 b ON a.c_custkey = b.c_custkey)
+    SELECT c_custkey,
+           CASE WHEN old_bal IS NULL THEN 'insert'
+                WHEN new_bal IS NULL THEN 'delete'
+                WHEN old_bal <> new_bal THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           old_bal, new_bal
+    FROM diff
+    WHERE NOT (old_bal IS NOT NULL AND new_bal IS NOT NULL AND old_bal = new_bal)
+    """,
+)
+def etl_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: full-outer join two table versions on the
+    key and classify insert/update/delete rows (unchanged filtered out).
+    The second snapshot is a deterministic mutation (every 13th customer
+    dropped, every 7th rebalanced by an exact +500.25 so no cross-engine ROUND half-case can bite). At scale: partition both snapshots by
+    key range so the diff join is co-located."""
+    cust = load_table(spark, sf_dir, "customer")
+    snap2 = (cust.filter(F.col("c_custkey") % 13 != 0)
+             .select("c_custkey",
+                     F.when(F.col("c_custkey") % 7 == 0,
+                            F.col("c_acctbal") + 500.25)
+                      .otherwise(F.col("c_acctbal")).alias("new_bal")))
+    old = cust.select("c_custkey", F.col("c_acctbal").alias("old_bal"))
+    diff = old.join(snap2, "c_custkey", "full_outer")
+    change = (F.when(F.col("old_bal").isNull(), "insert")
+               .when(F.col("new_bal").isNull(), "delete")
+               .when(F.col("old_bal") != F.col("new_bal"), "update")
+               .otherwise("unchanged"))
+    return (diff.withColumn("change_type", change)
+            .filter(F.col("change_type") != "unchanged")
+            .select("c_custkey", "change_type", "old_bal", "new_bal"))
