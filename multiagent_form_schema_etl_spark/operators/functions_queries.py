@@ -440,3 +440,53 @@ def sql_correlated_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFram
                           WHERE l_suppkey = s_suppkey
                             AND l_shipdate > TIMESTAMP '2001-10-01' AND l_quantity > 40)
     """)
+
+
+@register(
+    "f_unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+          FROM lineitem WHERE l_orderkey < 30)
+    UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+    """,
+)
+def f_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide numeric measures → long (measure, value) EAV --
+    the inverse of doc_form_pivot_nda, via Spark's native unpivot."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 30)
+          .select("l_orderkey", "l_linenumber",
+                  "l_quantity", "l_extendedprice", "l_discount"))
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure", valueColumnName="val")
+
+
+@register(
+    "f_map_explode_roundtrip",
+    oracle="""
+    WITH per_line AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty
+      FROM lineitem WHERE l_orderkey < 30
+      GROUP BY l_orderkey, l_linenumber)
+    SELECT l_orderkey, l_linenumber AS line, qty FROM per_line
+    """,
+)
+def f_map_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP round-trip: build MAP<line,qty> per order, then explode it back
+    to rows (map_from_entries → explode) -- proving the EAV ↔ MAP duality
+    the form model relies on (SURVEY §1.1-7). The oracle is the pre-map
+    relation, which the round-trip must reproduce exactly."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 30)
+    per_line = (li.groupBy("l_orderkey", "l_linenumber")
+                .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+                      .cast("double").alias("qty")))
+    as_map = (per_line.groupBy("l_orderkey")
+              .agg(F.map_from_entries(
+                  F.array_sort(F.collect_list(F.struct(
+                      F.col("l_linenumber").alias("k"),
+                      F.col("qty").alias("v"))))).alias("m")))
+    return as_map.select("l_orderkey", F.explode("m").alias("line", "qty"))
