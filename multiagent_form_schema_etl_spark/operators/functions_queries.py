@@ -490,3 +490,86 @@ def f_map_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("l_linenumber").alias("k"),
                       F.col("qty").alias("v"))))).alias("m")))
     return as_map.select("l_orderkey", F.explode("m").alias("line", "qty"))
+
+
+@register(
+    "f_levenshtein_fuzzy_match",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def f_levenshtein_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching over the (tiny, distinct) part-name
+    vocabulary -- the string-similarity family for fuzzy dedup/linkage. The
+    self-join runs on the deduplicated name dim, never the fact table."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (a.join(b, F.col("name_a") < F.col("name_b"))
+            .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("edit_dist") <= 4))
+
+
+@register(
+    "a_bitwise_aggregates",
+    oracle="""
+    SELECT event_type,
+           bit_or(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_bits_or,
+           bit_and(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_bits_and,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min
+    FROM events GROUP BY event_type
+    """,
+)
+def a_bitwise_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise OR/AND aggregation (flag-set unions at scale -- order-free by
+    construction, no decimal discipline needed)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.bit_or(k).alias("k_bits_or"),
+        F.bit_and(k).alias("k_bits_and"),
+        F.min(k).alias("k_min"))
+
+
+@register(
+    "a_statistics_moments",
+    oracle="""
+    WITH sums AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(value * CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND((sxx - sx * sx / n) / n, 6) AS var_pop_value,
+           ROUND((sxy - sx * sy / n) / n, 6) AS covar_pop_value_k
+    FROM sums
+    """,
+)
+def a_statistics_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments with the engine's determinism discipline:
+    variance/covariance assembled from DECIMAL-exact power sums and ONE
+    final double expression, instead of built-in var_pop/covar_pop whose
+    streaming accumulation is partition-order-dependent. Same single-pass
+    map-side aggregation profile; bit-stable across engines and runs."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    dec6, dec12 = "decimal(28,6)", "decimal(38,12)"
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(dec6)).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast(dec12)).cast("double").alias("sxx"),
+        F.sum(k.cast(dec6)).cast("double").alias("sy"),
+        F.sum((F.col("value") * k).cast(dec12)).cast("double").alias("sxy"))
+    return sums.select(
+        "event_type", "n",
+        F.round((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n"), 6)
+         .alias("var_pop_value"),
+        F.round((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n"), 6)
+         .alias("covar_pop_value_k"))
