@@ -38,10 +38,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so the
+    driver's checked window covers every query family (oracle-backed first,
+    rows-only last)."""
+    return {n: registry.QUERIES[n] for n in registry.ordered_query_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every oracle-checkable query."""
-    return dict(registry.ORACLES)
+    order = registry.ordered_query_names()
+    return {n: registry.ORACLES[n] for n in order if n in registry.ORACLES}

@@ -193,7 +193,9 @@ def f_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_array_functions",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list(l_quantity)) AS quantities,
+           array_to_string(list_transform(list_sort(list(l_quantity)),
+                                          x -> CAST(x AS VARCHAR)), ',')
+             AS quantities_csv,
            CAST(length(list(l_quantity)) AS BIGINT) AS n_lines,
            list_sort(list(l_quantity))[1] AS min_qty,
            list_sort(list(l_quantity))[-1] AS max_qty,
@@ -205,11 +207,14 @@ def f_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family (§2.8 note): collect + sort + index + membership over
-    per-order quantity vectors."""
+    per-order quantity vectors. The array itself is projected through a
+    canonical CSV rendering: every gate-visible column must be scalar (the
+    driver's hasher rejects list cells)."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
     q = F.array_sort(F.collect_list("l_quantity"))
     return (li.groupBy("l_orderkey")
-            .agg(q.alias("quantities"),
+            .agg(F.concat_ws(",", F.transform(q, lambda x: x.cast("string")))
+                  .alias("quantities_csv"),
                  F.size(F.collect_list("l_quantity")).cast("long").alias("n_lines"),
                  F.element_at(q, 1).alias("min_qty"),
                  F.element_at(q, -1).alias("max_qty"),
@@ -225,18 +230,21 @@ def f_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem WHERE l_orderkey < 50
       GROUP BY l_orderkey, l_linenumber)
     SELECT l_orderkey,
-           list_sort(list(l_linenumber)) AS line_numbers,
-           list_transform(list_sort(list({'k': l_linenumber, 'v': qty})),
-                          e -> CAST(e['k'] AS VARCHAR) || '=' || CAST(e['v'] AS VARCHAR))
-             AS line_qty_entries
+           array_to_string(list_transform(list_sort(list(l_linenumber)),
+                                          x -> CAST(x AS VARCHAR)), ',')
+             AS line_numbers_csv,
+           array_to_string(
+             list_transform(list_sort(list({'k': l_linenumber, 'v': qty})),
+                            e -> CAST(e['k'] AS VARCHAR) || '=' || CAST(e['v'] AS VARCHAR)),
+             ';') AS line_qty_entries
     FROM per_line GROUP BY l_orderkey
     """,
 )
 def f_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family: build MAP<line,qty> per order (map_from_entries over
     pre-aggregated unique keys -- line numbers repeat within an order in
-    this corpus), emit sorted keys and 'k=v' entry strings (a canonical,
-    engine-comparable rendering of map content)."""
+    this corpus), emit sorted keys and 'k=v' entry strings joined into one
+    scalar per row (the driver's hasher rejects list cells)."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
     per_line = (li.groupBy("l_orderkey", "l_linenumber")
                 .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)"))
@@ -245,11 +253,13 @@ def f_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").alias("k"), F.col("qty").alias("v"))))
     m = F.map_from_entries(entries)
     return (per_line.groupBy("l_orderkey")
-            .agg(F.map_keys(m).alias("line_numbers"),
-                 F.transform(
+            .agg(F.concat_ws(",", F.transform(F.map_keys(m),
+                                              lambda x: x.cast("string")))
+                  .alias("line_numbers_csv"),
+                 F.concat_ws(";", F.transform(
                      entries,
                      lambda e: F.concat(e["k"].cast("string"), F.lit("="),
-                                        e["v"].cast("string")))
+                                        e["v"].cast("string"))))
                  .alias("line_qty_entries")))
 
 
@@ -288,15 +298,30 @@ def a_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("c_acctbal", F.lit(0.75)).alias("p75"))
 
 
-@register("a_approx_count_distinct")  # HLL sketches differ across engines => rows-only
+@register(
+    "a_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           ABS(CAST(approx_count_distinct(l_orderkey) AS DOUBLE)
+               - COUNT(DISTINCT l_orderkey))
+             <= 0.10 * COUNT(DISTINCT l_orderkey) AS approx_within_10pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) -- the at-scale substitute for
-    exact COUNT(DISTINCT) on high-cardinality keys; sketch values are
-    engine-specific so the check is rows-only."""
+    exact COUNT(DISTINCT) on high-cardinality keys. Raw sketch estimates are
+    engine-specific, so the gate-visible columns are the exact count plus a
+    boolean asserting each engine's OWN estimate lands within 10% of exact
+    (both engines' HLL default rsd is ~2-5%, so this is robustly true)."""
     li = load_table(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_orderkey")
+    approx = F.approx_count_distinct("l_orderkey")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"))
+        exact.alias("exact_orders"),
+        (F.abs(approx.cast("double") - exact) <= 0.10 * exact)
+        .alias("approx_within_10pct"))
 
 
 @register(

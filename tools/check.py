@@ -35,8 +35,10 @@ def canon(v):
         return repr(float(v))
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict)):
+        # The driver hashes result cells through pandas factorize, which
+        # raises on unhashable list/map cells -- so must we.
+        raise TypeError(f"complex-typed result cell not allowed: {v!r}")
     return str(v)
 
 
@@ -77,6 +79,14 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
+            failed.append(name)
+            continue
+        complex_cols = [f.name for f in sdf.schema.fields
+                        if f.dataType.typeName() in ("array", "map", "struct")]
+        if complex_cols and name in oracles:
+            # mirror the driver: its pandas-based hasher crashes on these
+            print(f"FAIL {name}: complex-typed result columns {complex_cols} "
+                  f"(driver hasher rejects list/map/struct cells)")
             failed.append(name)
             continue
         if name not in oracles:
