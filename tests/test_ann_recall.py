@@ -1,0 +1,104 @@
+"""Recall / containment assertions for the rows-only (oracle-less) LSH and
+ANN operators (VERDICT r1 #6): each approximate path is pinned against an
+exact, independently-computed ground truth, so the queries the DuckDB gate
+can never verify still carry a correctness bound.
+
+All operators under test are deterministic (seeded xxhash64 hyperplanes,
+seeded KMeans, fixed band layout), so the measured recall floors are stable
+run-to-run, not flaky thresholds.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_CHECK, SF_SMOKE
+
+
+def _queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+@pytest.fixture(scope="module")
+def true_jaccard_pairs():
+    """Unblocked exact Jaccard >= 0.8 pairs at sf0.001, computed in plain
+    Python over the raw parquet -- fully independent of the Spark lineage."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    toks = {r.doc_id: {t for t in r.text.split(" ") if t}
+            for r in docs.itertuples()}
+    pairs = {}
+    for a, b in itertools.combinations(sorted(toks), 2):
+        inter = len(toks[a] & toks[b])
+        j = inter / (len(toks[a]) + len(toks[b]) - inter)
+        if j >= 0.8:
+            pairs[(a, b)] = j
+    return pairs
+
+
+def test_minhash_lsh_sound_and_recall(spark, true_jaccard_pairs):
+    """Every MinHash+LSH pair must be a TRUE >= 0.8 Jaccard pair (the verify
+    stage makes the operator sound by construction -- this catches a broken
+    verify); the banded candidate generation must retain a nonzero floor of
+    the true pairs despite the frequent-bucket cap (which prunes hard on
+    this corpus's 40-word-vocabulary near-dup pathology)."""
+    out = {(r.doc_a, r.doc_b): r.jaccard
+           for r in _queries()["x1_dedup_minhash_lsh"](spark, SF_SMOKE).collect()}
+    assert out, "LSH returned no pairs"
+    for pair, j in out.items():
+        assert pair in true_jaccard_pairs, f"unsound pair {pair} (j={j})"
+        assert abs(true_jaccard_pairs[pair] - j) < 1e-9
+    recall = len(set(out) & set(true_jaccard_pairs)) / len(true_jaccard_pairs)
+    assert recall >= 0.03, f"LSH recall collapsed: {recall:.3f}"
+
+
+def test_jaccard_prefix_equals_naive(spark):
+    """The lossless prefix-filtered variant must return EXACTLY the naive
+    inverted-index join's pairs (same oracle, different physical plan)."""
+    qs = _queries()
+    naive = {(r.doc_a, r.doc_b): r.jaccard
+             for r in qs["x1_dedup_jaccard_ngram"](spark, SF_SMOKE).collect()}
+    pref = {(r.doc_a, r.doc_b): r.jaccard
+            for r in qs["x1_dedup_jaccard_prefix"](spark, SF_SMOKE).collect()}
+    assert naive == pref
+
+
+def test_bruteforce_topk_matches_exact(spark):
+    """The packed-array brute-force path must pick the same top-k pairs as
+    the decimal-exact oracle variant (cosine values differ only in FP fold
+    order, never enough to flip a rank on this data)."""
+    qs = _queries()
+    exact = {(r.query_id, r.match_id, r.rnk)
+             for r in qs["x2_cosine_topk"](spark, SF_CHECK).collect()}
+    brute = {(r.query_id, r.match_id, r.rnk)
+             for r in qs["x2_cosine_topk_bruteforce"](spark, SF_CHECK).collect()}
+    assert exact == brute
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """Banded random-hyperplane LSH top-5 must overlap the exact top-5
+    meaningfully even on clusterless random vectors (measured 0.42 at
+    sf0.01 with 4 bands x 3 planes; floor leaves headroom, and the
+    construction is deterministic)."""
+    qs = _queries()
+    exact = {(r.query_id, r.match_id)
+             for r in qs["x2_cosine_topk"](spark, SF_CHECK).collect()}
+    ann = {(r.query_id, r.match_id)
+           for r in qs["x2_ann_lsh_buckets"](spark, SF_CHECK).collect()
+           if r.query_id < 10}
+    assert len(exact & ann) / len(exact) >= 0.3
+
+
+def test_ann_ivf_recall_vs_exact(spark):
+    """IVF/KMeans probe search recall vs the exact top-5 (measured 0.5 at
+    sf0.01 probing 2 of 8 cells; seeded KMeans => deterministic)."""
+    qs = _queries()
+    exact = {(r.query_id, r.match_id)
+             for r in qs["x2_cosine_topk"](spark, SF_CHECK).collect()}
+    ivf = {(r.query_id, r.match_id)
+           for r in qs["x2_ann_ivf_kmeans"](spark, SF_CHECK).collect()}
+    assert len(exact & ivf) / len(exact) >= 0.4
