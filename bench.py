@@ -33,6 +33,7 @@ OPTIONAL = [
     "f9_events_json_extract",
     "doc_u7_extraction_cascade",
     "doc_pipeline_scaled",
+    "doc_pipeline_scoped_scaled",
     "x1_dedup_exact",
     "x1_dedup_jaccard_ngram",
     "x1_dedup_minhash_lsh",

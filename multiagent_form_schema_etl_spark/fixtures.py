@@ -78,6 +78,10 @@ SCALAR_ROWS: list[tuple] = [
     (28, "0"),
     (29, "42"),
     (30, "3.14 and 2.72"),
+    (31, "Effective 2021-03-05"),       # date as a substring (re.search)
+    (32, "March 15 2021"),              # comma-less "Month D YYYY"
+    (33, "signed on 3/15/2021."),       # slash date mid-sentence
+    (34, "15 MARCH 2021"),              # IGNORECASE month name
 ]
 
 

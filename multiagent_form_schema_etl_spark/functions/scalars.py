@@ -48,16 +48,33 @@ def nullify(col: Column | str) -> Column:
 
 
 # The reference accepts 4 date shapes (extraction/form_filler.py:147-163):
-# ISO, MM/DD/YYYY, "Month D, YYYY", "D Month YYYY".
-_DATE_FORMATS = ("yyyy-M-d", "M/d/yyyy", "MMMM d, yyyy", "d MMMM yyyy")
+# ISO, MM/DD/YYYY, "Month D[,] YYYY", "D Month YYYY" -- re.search'd as a
+# SUBSTRING anywhere in the value (e.g. "Effective 2021-03-05" parses), with
+# IGNORECASE month names and an optional comma.
+_MONTHS = ("(?:January|February|March|April|May|June|July|August|September"
+           "|October|November|December)")
+_DATE_TOKEN_PATTERNS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    (r"(\d{4}-\d{1,2}-\d{1,2})", ("yyyy-M-d",)),
+    (r"(\d{1,2}/\d{1,2}/\d{4})", ("M/d/yyyy",)),
+    (rf"({_MONTHS}\s+\d{{1,2}},?\s+\d{{4}})", ("MMMM d, yyyy", "MMMM d yyyy")),
+    (rf"(\d{{1,2}}\s+{_MONTHS}\s+\d{{4}})", ("d MMMM yyyy",)),
+)
 
 
 def parse_date_multi(col: Column | str) -> Column:
-    """First format that parses wins (F5). NULL if none do."""
-    c = F.col(col) if isinstance(col, str) else col
-    c = F.trim(c)
-    return F.coalesce(*[F.try_to_timestamp(c, F.lit(fmt)).cast("date")
-                        for fmt in _DATE_FORMATS])
+    """First pattern whose extracted token parses wins (F5); NULL if none.
+    The token is regexp-extracted first (reference re.search semantics --
+    the date may sit anywhere in the value), then initcap-normalized so
+    case-variant month names parse like the reference's IGNORECASE (the
+    DuckDB twin needs no initcap: its strptime %B is case-insensitive)."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    branches = []
+    for pat, fmts in _DATE_TOKEN_PATTERNS:
+        tok = F.regexp_extract(c, "(?i)" + pat, 1)
+        tok = F.when(tok == "", F.lit(None)).otherwise(F.initcap(tok))
+        branches.append(
+            F.coalesce(*[F.try_to_timestamp(tok, F.lit(f)) for f in fmts]))
+    return F.coalesce(*branches).cast("date")
 
 
 def parse_number(col: Column | str) -> Column:

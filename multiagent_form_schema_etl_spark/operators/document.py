@@ -662,6 +662,12 @@ def doc_a6_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_j2_section_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered fixture-scale J2 query; core logic in section_context."""
+    return section_context(spark).select("doc_id", "field_name", "context")
+
+
+def section_context(spark: SparkSession, blocks: DataFrame | None = None,
+                    doc_forms: DataFrame | None = None) -> DataFrame:
     """J2: section-key → clause context resolution: exact key hit first,
     else fuzzy containment (key substring-of clause key OR clause text) with
     matches concatenated in clause first-appearance order
@@ -673,25 +679,26 @@ def doc_j2_section_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     the form size. Exact and fuzzy hits are then resolved in a single
     conditional aggregation instead of three separate joins + reassembly
     (which planned as a stack of sort-merge joins, VERDICT r1 #7)."""
-    fields = (doc_forms_df(spark)
-              .join(F.broadcast(schema_meta_df(spark)
-                                .select("form_name", "field_name", "section")),
-                    "form_name"))
-    c = clauses_df(spark)
+    forms = doc_forms if doc_forms is not None else doc_forms_df(spark)
+    fields = forms.join(
+        F.broadcast(schema_meta_df(spark)
+                    .select("form_name", "field_name", "section")),
+        "form_name")
+    c = clauses_df(spark, blocks)
     j = fields.join(c, "doc_id", "left")
     is_exact = F.col("section_key") == F.col("section")
     is_fuzzy = ((F.instr(F.lower("section_key"), F.lower("section")) > 0)
                 | (F.instr(F.lower("clause_text"), F.lower("section")) > 0))
     # collect_list drops NULL entries, so each CASE keeps only its matches;
     # section_key is unique per doc => at most one exact hit (max() picks it)
-    return (j.groupBy("doc_id", "field_name")
+    return (j.groupBy("doc_id", "form_name", "field_name")
             .agg(F.max(F.when(is_exact, F.col("clause_text"))).alias("exact_ctx"),
                  F.concat_ws(" ", F.transform(
                      F.array_sort(F.collect_list(
                          F.when(is_fuzzy, F.struct("first_pos", "clause_text")))),
                      lambda x: x["clause_text"])).alias("fuzzy_concat"),
                  F.max(F.when(is_fuzzy, F.lit(True))).alias("any_fuzzy"))
-            .select("doc_id", "field_name",
+            .select("doc_id", "form_name", "field_name",
                     F.coalesce(
                         "exact_ctx",
                         F.when(F.col("any_fuzzy"), F.col("fuzzy_concat")),
@@ -780,7 +787,9 @@ def doc_a6_baseline_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _scoped_cascade_case(engine: str) -> str:
     """One CASE over field_name dispatching each field's cascade against the
-    row's own scoped ``context`` column (the per-(doc,field) relation)."""
+    row's own scoped ``context`` column (the per-(doc,field) relation).
+    Used for the DuckDB oracle; the Spark side uses the column-hoisted
+    variant below (same janino-size rationale as extraction_df)."""
     whens = []
     for r in SCHEMA_ROWS:
         _, fname, ftype, _, _, keywords, patterns, *_ = r
@@ -788,6 +797,34 @@ def _scoped_cascade_case(engine: str) -> str:
                                   keywords or [], engine)
         whens.append(f"WHEN field_name = '{fname}' THEN {val}")
     return "(CASE " + " ".join(whens) + " END)"
+
+
+def scoped_cascade_values(scoped: DataFrame) -> DataFrame:
+    """Spark-side scoped cascade over a (doc_id, form_name, field_name,
+    context) relation: per-field extracts are hoisted into CASE-guarded
+    columns (only the row's own field fires its regexes, preserving the
+    dispatch CASE's short-circuit cost), then the value CASE references only
+    cheap columns -- small codegen units, same semantics as
+    _scoped_cascade_case by construction. First registration of a
+    field_name wins, exactly like the oracle's CASE."""
+    col_defs: list[str] = []
+    whens = []
+    seen: set[str] = set()
+    for fi, r in enumerate(SCHEMA_ROWS):
+        _, fname, ftype, _, _, keywords, patterns, *_ = r
+        if fname in seen:
+            continue
+        seen.add(fname)
+        cols, val, _ = G.cascade_cols("context", ftype, patterns or [],
+                                      keywords or [], f"s{fi}", SPARK)
+        col_defs += [f"(CASE WHEN field_name = '{fname}' THEN {sql} END) AS {name}"
+                     for name, sql in cols]
+        whens.append(f"WHEN field_name = '{fname}' THEN {val}")
+    value_case = "(CASE " + " ".join(whens) + " END)"
+    return (scoped
+            .selectExpr("doc_id", "form_name", "field_name", *col_defs)
+            .selectExpr("doc_id", "form_name", "field_name",
+                        f"{value_case} AS value"))
 
 
 @register(
@@ -824,12 +861,7 @@ def doc_u7_scoped_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §2.12 / form_filler.py:67): each field's cascade runs only
     against its section's resolved clause context. Both modes are first-class
     engine options; this is the scoped one."""
-    ctx = doc_j2_section_context(spark, sf_dir)
-    forms = doc_forms_df(spark)
-    scoped = ctx.join(F.broadcast(forms), "doc_id")
-    return scoped.select(
-        "doc_id", "form_name", "field_name",
-        F.expr(_scoped_cascade_case(SPARK)).alias("value"))
+    return scoped_cascade_values(section_context(spark))
 
 
 _SCALE_COPIES = 2500  # 4 fixture docs -> 10k documents
@@ -860,6 +892,29 @@ def doc_pipeline_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("required") & F.col("value").isNull(), 1)
                         .otherwise(0)).cast("long").alias("n_missing_required"),
                  F.count("value").alias("n_values")))
+
+
+@register("doc_pipeline_scoped_scaled")  # replicated corpus; throughput => rows-only
+def doc_pipeline_scoped_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput twin of doc_pipeline_scaled for the reference's INTENDED
+    clause-grounded mode (form_filler.py:101-115): blocks→clauses→J2 section
+    context→scoped cascade over a 10k-document corpus, rolled up per form.
+    Exercises the sessionization windows, the doc_id-co-partitioned context
+    join, and the guarded-hoisted cascade at data scale -- everything stays
+    partitioned by doc_id, so the shape carries to 100 TB."""
+    copies = spark.range(_SCALE_COPIES).select(F.col("id").alias("copy"))
+    shift = F.col("copy") * 4
+    blocks = (blocks_df(spark).crossJoin(copies)
+              .withColumn("doc_id", F.col("doc_id") + shift)
+              .drop("copy"))
+    doc_forms = (doc_forms_df(spark).crossJoin(copies)
+                 .withColumn("doc_id", F.col("doc_id") + shift)
+                 .drop("copy"))
+    vals = scoped_cascade_values(section_context(spark, blocks, doc_forms))
+    return (vals.groupBy("form_name")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("value").alias("n_values"),
+                 F.count(F.lit(1)).alias("n_fields")))
 
 
 @register("doc_u1_model_labeled_clauses")  # python-side classifier => rows-only

@@ -31,22 +31,36 @@ def _scalar_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(SCALAR_ROWS, _SCALAR_SCHEMA)
 
 
+_MONTHS_RE = ("(?:January|February|March|April|May|June|July|August|September"
+              "|October|November|December)")
+_T3 = (f"NULLIF(regexp_extract(TRIM(raw), '(?i)({_MONTHS_RE}"
+       r"\s+\d{1,2},?\s+\d{4})', 1), '')")
+
+
 @register(
     "f5_date_parse_multi",
     oracle=f"""
     SELECT id,
            COALESCE(
-             TRY_STRPTIME(TRIM(raw), '%Y-%m-%d'),
-             TRY_STRPTIME(TRIM(raw), '%m/%d/%Y'),
-             TRY_STRPTIME(TRIM(raw), '%B %d, %Y'),
-             TRY_STRPTIME(TRIM(raw), '%d %B %Y')
+             TRY_STRPTIME(NULLIF(regexp_extract(TRIM(raw),
+               '(\\d{{4}}-\\d{{1,2}}-\\d{{1,2}})', 1), ''), '%Y-%m-%d'),
+             TRY_STRPTIME(NULLIF(regexp_extract(TRIM(raw),
+               '(\\d{{1,2}}/\\d{{1,2}}/\\d{{4}})', 1), ''), '%m/%d/%Y'),
+             TRY_STRPTIME({_T3}, '%B %d, %Y'),
+             TRY_STRPTIME({_T3}, '%B %d %Y'),
+             TRY_STRPTIME(NULLIF(regexp_extract(TRIM(raw),
+               '(?i)(\\d{{1,2}}\\s+{_MONTHS_RE}\\s+\\d{{4}})', 1), ''), '%d %B %Y')
            )::DATE AS parsed_date
     FROM {_V}
     """,
 )
 def f5_date_parse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-format date parse, first-format-wins (reference
-    extraction/form_filler.py:147-163)."""
+    """Multi-format date parse, reference re.search semantics: the date
+    token is extracted as a SUBSTRING anywhere in the value, month names
+    match IGNORECASE, the comma in "Month D, YYYY" is optional, and the
+    first pattern whose token parses wins
+    (extraction/form_filler.py:147-163). DuckDB's strptime %B is already
+    case-insensitive; Spark initcap-normalizes the token instead."""
     return _scalar_df(spark).select(
         "id", parse_date_multi("raw").alias("parsed_date"))
 

@@ -43,6 +43,14 @@ class DocumentPipeline:
         """Late-bind schemas from a JSON directory (S4)."""
         from .sources.schemas import load_schemas
 
+        schemas = load_schemas(spark, schema_dir)
+        n = schemas.count()
+        if n > 10_000:
+            # schemas are compiled into plan-time expressions; a mis-pointed
+            # directory (e.g. a data lake path) would OOM the driver here
+            raise ValueError(
+                f"schema_dir {schema_dir!r} holds {n} field rows -- "
+                "refusing to collect (is this really a schema directory?)")
         rows = [
             (r["form_name"], r["field_name"], r["ftype"], r["section"],
              bool(r["required"]), r["keywords"], r["patterns"], r["examples"],
