@@ -294,6 +294,74 @@ def x1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "jaccard"))
 
 
+@register(
+    "x1_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_TOKENS_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tok_d a JOIN tok_d b
+        ON a.token = b.token AND a.lang = b.lang AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN tok_sizes sa ON i.doc_a = sa.doc_id
+      JOIN tok_sizes sb ON i.doc_b = sb.doc_id
+      WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.8),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component_id
+             FROM reach GROUP BY src)
+    SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM comp GROUP BY component_id
+    """,
+)
+def x1_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the Jaccard >= 0.8
+    pair graph, so each duplicate cluster gets one canonical id (min doc_id)
+    -- the step that turns pairwise near-dup hits into actual corpus dedup
+    decisions at scale.
+
+    Spark side is iterative min-label propagation: each round every node
+    takes the min of its own and its neighbors' labels (one join + one
+    groupBy per round, all shuffles on doc_id), converging in O(graph
+    diameter) rounds -- near-dup clusters are near-cliques, so 2-4 rounds in
+    practice. localCheckpoint truncates the growing lineage each round; the
+    convergence check is a scalar aggregate, not a data collect. The DuckDB
+    twin computes the same components via recursive reachability + MIN."""
+    pairs = x1_dedup_jaccard_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+             .unionByName(pairs.select(F.col("doc_b").alias("a"),
+                                       F.col("doc_a").alias("b"))))
+    edges = edges.localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    prev_sum = None
+    for _ in range(15):  # diameter cap; converges far earlier
+        neighbor_min = (edges.join(labels, edges.a == labels.doc_id)
+                        .groupBy(F.col("b").alias("doc_id"))
+                        .agg(F.min("label").alias("nlabel")))
+        labels = (labels.join(neighbor_min, "doc_id", "left")
+                  .select("doc_id",
+                          F.least("label", F.coalesce("nlabel", "label"))
+                           .alias("label"))
+                  .localCheckpoint())
+        # labels are monotonically non-increasing, so an unchanged SUM means
+        # no label moved -- one scalar aggregate instead of an old-vs-new join
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return (labels.groupBy(F.col("label").alias("component_id"))
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
 @register("x1_dedup_minhash_mllib")  # MLlib model hashing => rows-only
 def x1_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MLlib-native near-dup path (SURVEY §2.11 X1): CountVectorizer →

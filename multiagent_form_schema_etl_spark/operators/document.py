@@ -804,27 +804,46 @@ def scoped_cascade_values(scoped: DataFrame) -> DataFrame:
     context) relation: per-field extracts are hoisted into CASE-guarded
     columns (only the row's own field fires its regexes, preserving the
     dispatch CASE's short-circuit cost), then the value CASE references only
-    cheap columns -- small codegen units, same semantics as
-    _scoped_cascade_case by construction. First registration of a
-    field_name wins, exactly like the oracle's CASE."""
-    col_defs: list[str] = []
-    whens = []
-    seen: set[str] = set()
-    for fi, r in enumerate(SCHEMA_ROWS):
-        _, fname, ftype, _, _, keywords, patterns, *_ = r
-        if fname in seen:
-            continue
-        seen.add(fname)
-        cols, val, _ = G.cascade_cols("context", ftype, patterns or [],
-                                      keywords or [], f"s{fi}", SPARK)
-        col_defs += [f"(CASE WHEN field_name = '{fname}' THEN {sql} END) AS {name}"
-                     for name, sql in cols]
-        whens.append(f"WHEN field_name = '{fname}' THEN {val}")
-    value_case = "(CASE " + " ".join(whens) + " END)"
-    return (scoped
-            .selectExpr("doc_id", "form_name", "field_name", *col_defs)
-            .selectExpr("doc_id", "form_name", "field_name",
-                        f"{value_case} AS value"))
+    cheap columns.
+
+    Split per form like extraction_df: each branch carries only its form's
+    fields, so every codegen unit stays within janino's 64 KB method limit
+    even when the projection fuses into an adjacent aggregate stage (one
+    giant 66-column projection overflowed `processNext`/
+    `hashAgg_doAggregateWithKeys` at any scale). Semantics stay identical to
+    the oracle's single CASE: dispatch is on field_name with FIRST
+    registration winning globally (start_date appears in two forms with
+    different cascades; both forms must use the first definition), so each
+    form's branch looks up the first-wins definition per field name."""
+    first_def: dict[str, tuple] = {}
+    for r in SCHEMA_ROWS:
+        first_def.setdefault(r[1], r)
+    parts = []
+    for form in sorted({r[0] for r in SCHEMA_ROWS}):
+        fnames = []
+        seen: set[str] = set()
+        for r in SCHEMA_ROWS:
+            if r[0] == form and r[1] not in seen:
+                seen.add(r[1])
+                fnames.append(r[1])
+        col_defs: list[str] = []
+        whens = []
+        for fi, fname in enumerate(fnames):
+            _, _, ftype, _, _, keywords, patterns, *_ = first_def[fname]
+            cols, val, _ = G.cascade_cols("context", ftype, patterns or [],
+                                          keywords or [], f"s{fi}", SPARK)
+            col_defs += [f"(CASE WHEN field_name = '{fname}' THEN {sql} END) AS {name}"
+                         for name, sql in cols]
+            whens.append(f"WHEN field_name = '{fname}' THEN {val}")
+        value_case = "(CASE " + " ".join(whens) + " END)"
+        parts.append(scoped.filter(F.col("form_name") == form)
+                     .selectExpr("doc_id", "form_name", "field_name", *col_defs)
+                     .selectExpr("doc_id", "form_name", "field_name",
+                                 f"{value_case} AS value"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @register(
@@ -911,10 +930,17 @@ def doc_pipeline_scoped_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .withColumn("doc_id", F.col("doc_id") + shift)
                  .drop("copy"))
     vals = scoped_cascade_values(section_context(spark, blocks, doc_forms))
-    return (vals.groupBy("form_name")
-            .agg(F.countDistinct("doc_id").alias("n_docs"),
-                 F.count("value").alias("n_values"),
-                 F.count(F.lit(1)).alias("n_fields")))
+    # Two-level rollup instead of countDistinct: the per-(form, doc) partial
+    # agg is map-side-combinable on a high-cardinality key (no distinct
+    # Expand, no 3-key skew), and it keeps the giant cascade projection out
+    # of the distinct-aggregate codegen unit (janino 64KB method limit).
+    per_doc = (vals.groupBy("form_name", "doc_id")
+               .agg(F.count("value").alias("n_values"),
+                    F.count(F.lit(1)).alias("n_fields")))
+    return (per_doc.groupBy("form_name")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_values").cast("long").alias("n_values"),
+                 F.sum("n_fields").cast("long").alias("n_fields")))
 
 
 @register("doc_u1_model_labeled_clauses")  # python-side classifier => rows-only

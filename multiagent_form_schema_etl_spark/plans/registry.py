@@ -101,6 +101,7 @@ def load_all_modules() -> None:
         dedup,
         similarity,
         textstats,
+        llmprep,
         multimodal,
     )
     from ..streaming import batch_windows  # noqa: F401
