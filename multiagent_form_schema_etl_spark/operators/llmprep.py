@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..plans.registry import register
+from . import sqlgen as G
 from .dedup import _md5_int_sql
 
 _SPLITS_SQL = """CASE WHEN bucket < 80 THEN 'train'
@@ -105,3 +106,255 @@ def x5_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tokens").alias("n_tokens"),
                  F.min("doc_id").alias("first_doc"),
                  F.max("doc_id").alias("last_doc")))
+
+
+_DECON_N = 4          # n-gram order for contamination checks
+_DECON_MAX_DF = 100   # drop boilerplate grams seen in more train docs
+
+
+@register(
+    "x5_decontaminate_ngram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_md5_int_sql('text', 'duck')} % 100 AS bucket,
+             list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, bucket >= 80 AS heldout,
+             array_to_string(l[i:i+{_DECON_N - 1}], ' ') AS gram
+      FROM toks, unnest(range(1, len(l) - {_DECON_N - 2})) AS t(i)
+      WHERE len(l) >= {_DECON_N}),
+    train_grams AS (
+      SELECT gram, COUNT(*) AS train_df FROM grams
+      WHERE NOT heldout GROUP BY gram
+      HAVING COUNT(*) <= {_DECON_MAX_DF})
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams,
+           CAST(SUM(t.train_df) AS BIGINT) AS n_train_hits
+    FROM grams g JOIN train_grams t ON g.gram = t.gram
+    WHERE g.heldout
+    GROUP BY g.doc_id
+    """,
+)
+def x5_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/held-out contamination scan: a held-out (validation/test) doc is
+    contaminated when it shares a word n-gram (n=4) with any train doc --
+    the standard n-gram decontamination pass run before evaluating a model
+    on held-out data. Split membership reuses the deterministic md5 bucket
+    of x5_train_test_split_hash.
+
+    Scale shape: distinct (doc, gram) shingles on both sides, then an
+    inverted-index equi-join on the gram -- never doc x doc. Grams seen in
+    more than _DECON_MAX_DF train docs are dropped as boilerplate before
+    the join (df-pruning), which both matches decontamination practice and
+    bounds the worst-case join fan-out per gram."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.expr(_md5_int_sql("text", "spark")) % 100 >= 80).alias("heldout"),
+        F.filter(F.split("text", " "), lambda x: x != "").alias("l"))
+    grams = (toks.filter(F.size("l") >= _DECON_N)
+             .select("doc_id", "heldout",
+                     F.explode(F.expr(
+                         f"transform(sequence(1, size(l) - {_DECON_N - 1}),"
+                         f" i -> concat_ws(' ', slice(l, i, {_DECON_N})))"))
+                      .alias("gram"))
+             .distinct())
+    train_grams = (grams.filter(~F.col("heldout"))
+                   .groupBy("gram")
+                   .agg(F.count(F.lit(1)).alias("train_df"))
+                   .filter(F.col("train_df") <= _DECON_MAX_DF))
+    held = grams.filter(F.col("heldout"))
+    return (held.join(train_grams, "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_grams"),
+                 F.sum("train_df").cast("long").alias("n_train_hits")))
+
+
+_PHONE_PAT = r"\b\d{2}-\d{3}-\d{3}-\d{4}\b"
+
+
+def _contact_blob_sql(engine: str) -> str:
+    """Deterministic free-text contact blob per customer. The synthetic
+    customer table carries no address/phone/comment columns, so the phone is
+    derived arithmetically from c_custkey (identical integer math in both
+    engines); every 4th customer gets no phone so detection is non-trivial.
+    The *redaction machinery* -- regex scan, global replace, audit rollup --
+    is the operator under test, not the blob."""
+    s = "STRING" if engine == G.SPARK else "VARCHAR"
+    def num(expr: str, width: int) -> str:
+        return f"lpad(CAST({expr} AS {s}), {width}, '0')"
+    phone = (f"{num('c_custkey % 90 + 10', 2)} || '-' || "
+             f"{num('(c_custkey * 7) % 1000', 3)} || '-' || "
+             f"{num('(c_custkey * 13) % 1000', 3)} || '-' || "
+             f"{num('(c_custkey * 29) % 10000', 4)}")
+    return (f"c_name || CASE WHEN c_custkey % 4 = 0 THEN ' no contact on file'"
+            f" ELSE ' reach at ' || {phone} END || ' (' || c_mktsegment || ')'")
+
+
+@register(
+    "x5_pii_redact_phones",
+    oracle=f"""
+    WITH blobs AS (
+      SELECT c_mktsegment, {_contact_blob_sql('duck')} AS blob
+      FROM customer),
+    scanned AS (
+      SELECT c_mktsegment, blob,
+             {G.rx('blob', _PHONE_PAT, 'duck')} AS has_phone,
+             regexp_replace(blob, {G.pat_lit(_PHONE_PAT, 'duck')},
+                            '[PHONE]', 'g') AS redacted
+      FROM blobs)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN has_phone THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_phone,
+           CAST(SUM(length(blob) - length(redacted)) AS BIGINT)
+             AS chars_removed
+    FROM scanned GROUP BY c_mktsegment
+    """,
+)
+def x5_pii_redact_phones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: detect and mask phone numbers in free-text
+    contact blobs, reporting per-segment hit counts and redaction volume --
+    the audit rollup a corpus pipeline emits when scrubbing crawl text.
+    Pure regexp projection + small-key rollup: one narrow pass at any
+    scale, no shuffle beyond the final 5-key agg. The regex is rendered per
+    engine by sqlgen (Spark literals eat single backslashes; DuckDB
+    regexp_replace needs the 'g' flag to replace all occurrences)."""
+    cust = load_table(spark, sf_dir, "customer")
+    scanned = (cust
+               .selectExpr("c_mktsegment",
+                           f"{_contact_blob_sql(G.SPARK)} AS blob")
+               .select(
+                   "c_mktsegment", "blob",
+                   F.expr(G.rx("blob", _PHONE_PAT, "spark"))
+                    .alias("has_phone"),
+                   F.expr(f"regexp_replace(blob,"
+                          f" {G.pat_lit(_PHONE_PAT, 'spark')},"
+                          " '[PHONE]')").alias("redacted")))
+    return (scanned.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.when(F.col("has_phone"), 1).otherwise(0))
+                  .cast("long").alias("n_with_phone"),
+                 F.sum(F.length("blob") - F.length("redacted"))
+                  .cast("long").alias("chars_removed")))
+
+
+@register(
+    "x5_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents),
+    words AS (
+      -- DuckDB zips parallel unnests in one SELECT (poor man's posexplode)
+      SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos
+      FROM toks),
+    tok_counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM words GROUP BY doc_id, tok),
+    bigrams AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok AS bg, COUNT(*) AS c
+      FROM words a JOIN words b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.doc_id, a.tok || ' ' || b.tok),
+    per_doc AS (
+      SELECT t.doc_id,
+             CAST(SUM(t.c) AS BIGINT) AS n_tokens,
+             MAX(t.c) AS top_tok,
+             (SELECT MAX(c) FROM bigrams b WHERE b.doc_id = t.doc_id)
+               AS top_bigram
+      FROM tok_counts t GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(top_tok AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+           ROUND(CAST(COALESCE(top_bigram, 0) AS DOUBLE)
+                 / GREATEST(n_tokens - 1, 1), 6) AS top_bigram_frac,
+           (CAST(top_tok AS DOUBLE) / n_tokens > 0.2
+            OR CAST(COALESCE(top_bigram, 0) AS DOUBLE)
+               / GREATEST(n_tokens - 1, 1) > 0.18) AS is_repetitive
+    FROM per_doc
+    """,
+)
+def x5_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction of
+    tokens taken by the single most frequent token, and by the most frequent
+    word bigram -- the filters that catch boilerplate/looping text in a
+    training corpus. All explode + two-level groupBy, partitioned by doc_id
+    throughout (no cross-doc shuffle wider than the doc itself). The
+    fractions are single IEEE divisions of exact integer counts, so both
+    engines round identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda x: x != ""))
+         .alias("pos", "tok")))
+    tok_counts = (words.groupBy("doc_id", "tok")
+                  .agg(F.count(F.lit(1)).alias("c")))
+    per_doc_tok = (tok_counts.groupBy("doc_id")
+                   .agg(F.sum("c").cast("long").alias("n_tokens"),
+                        F.max("c").alias("top_tok")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigram_counts = (words
+                     .withColumn("nxt", F.lead("tok").over(w))
+                     .filter(F.col("nxt").isNotNull())
+                     .select("doc_id",
+                             F.concat_ws(" ", "tok", "nxt").alias("bg"))
+                     .groupBy("doc_id", "bg")
+                     .agg(F.count(F.lit(1)).alias("c")))
+    per_doc_bg = (bigram_counts.groupBy("doc_id")
+                  .agg(F.max("c").alias("top_bigram")))
+    j = per_doc_tok.join(per_doc_bg, "doc_id", "left")
+    tok_frac = F.col("top_tok").cast("double") / F.col("n_tokens")
+    bg_frac = (F.coalesce("top_bigram", F.lit(0)).cast("double")
+               / F.greatest(F.col("n_tokens") - 1, F.lit(1)))
+    return j.select(
+        "doc_id", "n_tokens",
+        F.round(tok_frac, 6).alias("top_token_frac"),
+        F.round(bg_frac, 6).alias("top_bigram_frac"),
+        ((tok_frac > 0.2) | (bg_frac > 0.18)).alias("is_repetitive"))
+
+
+# Per-language sampling rates for the target training mixture.
+_MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "ja": 0.25}
+
+
+def _mix_rate_sql() -> str:
+    whens = " ".join(f"WHEN lang = '{k}' THEN {v}"
+                     for k, v in sorted(_MIX_RATES.items()))
+    return f"(CASE {whens} ELSE 0.1 END)"
+
+
+@register(
+    "x5_domain_mixture_sample",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             {_md5_int_sql("text || ':mix'", 'duck')} % 1000 AS draw,
+             {_mix_rate_sql()} AS rate
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN draw < rate * 1000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN draw < rate * 1000 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM assigned GROUP BY lang
+    """,
+)
+def x5_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain/language mixture sampling: each doc draws a
+    stable pseudo-uniform in [0,1000) from md5(text||salt) and is kept when
+    the draw falls under its language's target rate -- reproducible weighted
+    downsampling (same doc always samples the same way, independent of
+    partitioning), the way training mixtures are cut from a large corpus.
+    One narrow pass + 5-key rollup at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    draw = F.expr(_md5_int_sql("text || ':mix'", "spark")) % 1000
+    rate = F.expr(_mix_rate_sql())
+    keep = draw < rate * 1000
+    return (docs.select("lang", "n_chars", keep.alias("keep"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                  .cast("long").alias("n_kept"),
+                 F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
+                  .cast("long").alias("kept_chars")))
