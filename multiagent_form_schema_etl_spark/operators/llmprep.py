@@ -1,10 +1,13 @@
-"""X5 -- training-data preparation operators over ``documents`` (the ops a
-100 TB LLM-corpus pipeline runs after dedup/quality: deterministic corpus
-splitting and context-window sequence packing).
+"""X5 -- training-corpus preparation operators (the ops a 100 TB LLM-data
+pipeline runs around dedup/quality filtering): deterministic train/val/test
+splitting, context-window sequence packing, n-gram decontamination, PII
+redaction auditing, repetition-based quality signals, and weighted
+language-mixture sampling.
 
-Both are pure relational compositions (hash assignment, running-sum windows)
--- no UDFs, no driver loops -- so they scale as one pass over the corpus and
-carry exact DuckDB oracles via the portable md5 hash.
+All are pure relational compositions (hash assignment, running-sum windows,
+inverted-index joins, regex projections) -- no UDFs, no driver loops -- so
+each scales as one or two passes over the corpus, and every operator carries
+an exact DuckDB oracle (portable md5 hashes; per-engine regex via sqlgen).
 """
 
 from __future__ import annotations

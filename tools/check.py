@@ -4,6 +4,8 @@ on Spark and its oracle_sql() twin on DuckDB at sf0.01, compare row count,
 column names, and (order-insensitively) values.
 
 Usage: python tools/check.py [query_name ...]   (default: all)
+Env: SPARK_GRAFT_SF_DIR overrides the sf0.01 default (e.g. a full sf0.1
+robustness pass -- catches LIMIT ties and scale-dependent divergence).
 """
 
 from __future__ import annotations
@@ -16,7 +18,8 @@ sys.path.insert(0, ".")
 
 import duckdb  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
 
