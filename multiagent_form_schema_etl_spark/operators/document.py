@@ -100,8 +100,17 @@ def words_df(spark: SparkSession, blocks: DataFrame | None = None) -> DataFrame:
 def key_words(w: DataFrame) -> DataFrame:
     """F3/F4/W1/W2 core over any (doc_id, pos, word, label) relation:
     per-word heading trigger, section-key extraction with 2-word lookahead,
-    and the running 'current clause' state (layout_structure.py:152-208)."""
-    win = Window.partitionBy("doc_id").orderBy("pos")
+    and the running 'current clause' state (layout_structure.py:152-208).
+
+    When the relation still carries (block_idx, widx), the windows order by
+    those instead of pos: the ordering is identical (pos IS row_number over
+    it), but it matches words_df's window spec exactly, so Catalyst runs
+    the whole row_number+lead+last cascade on ONE shuffle and ONE sort
+    instead of re-sorting 5x more word rows than blocks."""
+    if "widx" in w.columns:
+        win = Window.partitionBy("doc_id").orderBy("block_idx", "widx")
+    else:
+        win = Window.partitionBy("doc_id").orderBy("pos")
     w = (w.withColumn("nw1", F.lead("word", 1).over(win))
           .withColumn("nw2", F.lead("word", 2).over(win))
           .withColumn("trig", F.expr(
