@@ -640,3 +640,25 @@ def a_statistics_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("var_pop_value"),
         F.round((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n"), 6)
          .alias("covar_pop_value_k"))
+
+
+@register(
+    "f_unpivot_melt",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val
+    FROM part
+    """,
+)
+def f_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> EAV unpivot (melt) via stack(): the inverse of the
+    doc_form_pivot_nda pivot, and the shape that turns feature columns into
+    long-format rows for per-attribute aggregation. stack() is a generator
+    expression -- one narrow pass, rows fan out 2x with no shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'p_size', CAST(p_size AS DOUBLE),"
+        " 'p_retailprice', p_retailprice) AS (attr, val)")

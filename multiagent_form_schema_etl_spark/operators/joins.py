@@ -341,3 +341,47 @@ def etl_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (diff.withColumn("change_type", change)
             .filter(F.col("change_type") != "unchanged")
             .select("c_custkey", "change_type", "old_bal", "new_bal"))
+
+
+@register(
+    "etl_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type),
+    intervals AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM changes)
+    SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM intervals
+    """,
+)
+def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from a change stream: collapse
+    consecutive duplicate states per user, then derive [valid_from,
+    valid_to) validity intervals with a lead window and flag the open
+    (current) row -- the standard warehouse dimension-history pattern. Two
+    window passes over the same (user_id, ts) sort; at scale both reuse one
+    shuffle+sort on user_id, and state never leaves its user partition."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (ev.select("user_id", "event_type", "ts", "event_id")
+               .withColumn("prev_type", F.lag("event_type").over(w))
+               .filter(F.col("prev_type").isNull()
+                       | (F.col("event_type") != F.col("prev_type"))))
+    return (changes
+            .withColumn("valid_to", F.lead("ts").over(w))
+            .select("user_id", "event_type",
+                    F.col("ts").alias("valid_from"), "valid_to",
+                    F.col("valid_to").isNull().alias("is_current")))

@@ -165,3 +165,28 @@ def w_sliding_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
          / F.count("value").over(w)).alias("moving_avg_3"),
     )
+
+
+@register(
+    "w_percent_rank_cume",
+    oracle="""
+    SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           CAST(rank() OVER w AS BIGINT) AS rnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window family: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rows<=current / n) per nation ordered by balance. Both are
+    single integer divisions, so the doubles match bit-for-bit across
+    engines; the (c_acctbal, c_custkey) sort is unique, pinning ranks."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nation"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.rank().over(w).cast("long").alias("rnk"))

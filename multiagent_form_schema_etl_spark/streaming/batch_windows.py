@@ -169,3 +169,47 @@ def st_multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_mg
         GROUP BY GROUPING SETS ((event_type, bucket_hour), (event_type, bucket_day))
     """)
+
+
+@register(
+    "st_click_purchase_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS c_ts
+      FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS p_ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.purchase_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks_1h,
+           MIN(c.click_id) AS first_click_id
+    FROM purchases p JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.c_ts BETWEEN p.p_ts - INTERVAL 1 HOUR AND p.p_ts
+    GROUP BY p.purchase_id
+    """,
+)
+def st_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming_click_purchase_join (stream-stream inner join
+    with event-time bounds, structured.py:110): purchases matched to the
+    same user's clicks in the preceding hour, rolled up per purchase. The
+    join is an equi-join on user_id with a range residual -- co-partitioned
+    on the user key at any scale, state bounded by the 1-hour range exactly
+    as the streaming version's watermark bounds its join buffer."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("event_id").alias("click_id")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("purchase_id")))
+    j = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")))
+    return (j.groupBy("purchase_id")
+            .agg(F.count(F.lit(1)).alias("n_clicks_1h"),
+                 F.min("click_id").alias("first_click_id")))
