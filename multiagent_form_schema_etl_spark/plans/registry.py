@@ -53,12 +53,13 @@ PRIORITY: tuple[str, ...] = (
     "doc_j1_field_scoring", "doc_a5_eval_metrics", "doc_a6_eval_report",
     "doc_j2_section_context", "doc_a6_baseline_compare",
     "doc_u7_scoped_extraction", "doc_form_pivot_nda",
-    # EXT: dedup / similarity / text / multimodal
+    # EXT: dedup / similarity / text / corpus prep / multimodal
     "x1_dedup_exact", "x1_dedup_jaccard_ngram", "x1_dedup_simhash",
-    "x1_dedup_embedding_cosine", "x2_cosine_topk",
-    "x4_token_stats", "x4_term_frequencies", "x4_tf_rarity_topk",
-    "x4_lang_id_heuristic", "x4_quality_score", "x4_doc_fingerprint",
-    "x4_token_count_bpe", "x4_doc_rolling_hash", "x4_lang_id_char_ngram",
+    "x1_dedup_embedding_cosine", "x1_dedup_components", "x2_cosine_topk",
+    "x4_token_stats", "x4_tf_rarity_topk",
+    "x4_quality_score", "x4_doc_fingerprint", "x4_lang_id_char_ngram",
+    "x5_train_test_split_hash", "x5_decontaminate_ngram",
+    "x5_repetition_stats",
     "x3_multimodal_schema",
     # streaming twins
     "st_tumbling_window", "st_sliding_window", "st_session_window",
