@@ -361,3 +361,192 @@ def x5_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("long").alias("n_kept"),
                  F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
                   .cast("long").alias("kept_chars")))
+
+
+_CHUNK_SIZE = 32      # tokens per chunk (context-window slice)
+_CHUNK_STRIDE = 24    # chunk start stride (8-token overlap)
+
+
+@register(
+    "x5_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents),
+    base AS (SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) > 0),
+    chunks AS (
+      SELECT doc_id,
+             CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+             CAST(s AS BIGINT) AS start_token,
+             list_slice(l, s + 1, s + {_CHUNK_SIZE}) AS c
+      FROM base, unnest(range(0, n, {_CHUNK_STRIDE})) AS t(s))
+    SELECT doc_id, chunk_idx, start_token,
+           CAST(len(c) AS BIGINT) AS n_tokens,
+           array_to_string(c, ' ') AS chunk_text
+    FROM chunks
+    """,
+)
+def x5_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for embedding / pretraining prep:
+    each doc is tokenized once and sliced into {_CHUNK_SIZE}-token chunks
+    whose starts advance by {_CHUNK_STRIDE} tokens (8-token overlap keeps
+    context across boundaries), the standard chunker ahead of an embedding
+    or long-context packing stage.
+
+    Scale shape: one narrow pass -- tokenize, generate the start offsets
+    with `sequence` (no join, no shuffle), `posexplode`-free slice per
+    offset. Chunk rows stay co-partitioned with their source doc, so a
+    downstream per-chunk embed (mapInPandas) or chunk-level dedup needs no
+    extra exchange. Mirrors reference context slicing
+    (extraction/form_filler.py:101-115 window grounding)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = (docs.select(
+                "doc_id",
+                F.filter(F.split("text", " "), lambda x: x != "").alias("l"))
+            .withColumn("n", F.size("l"))
+            .filter(F.col("n") > 0))
+    chunks = base.select(
+        "doc_id", "l",
+        F.explode(F.expr(f"sequence(0, n - 1, {_CHUNK_STRIDE})")).alias("s"))
+    return chunks.select(
+        "doc_id",
+        F.expr(f"CAST(s DIV {_CHUNK_STRIDE} AS BIGINT)").alias("chunk_idx"),
+        F.col("s").cast("long").alias("start_token"),
+        F.expr(f"CAST(size(slice(l, s + 1, {_CHUNK_SIZE})) AS BIGINT)")
+         .alias("n_tokens"),
+        F.expr(f"concat_ws(' ', slice(l, s + 1, {_CHUNK_SIZE}))")
+         .alias("chunk_text"))
+
+
+_DEDUP_CHUNK_N = 8    # tokens per non-overlapping dedup chunk
+
+
+@register(
+    "x1_dedup_chunk_exact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(s AS BIGINT) AS start_token,
+             array_to_string(list_slice(l, s + 1, s + {_DEDUP_CHUNK_N}), ' ')
+               AS chunk_text
+      FROM toks, unnest(range(0, len(l), {_DEDUP_CHUNK_N})) AS t(s)
+      WHERE len(list_slice(l, s + 1, s + {_DEDUP_CHUNK_N})) = {_DEDUP_CHUNK_N})
+    SELECT md5(chunk_text) AS chunk_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS rep_doc,
+           MIN(start_token) FILTER (WHERE doc_id = (
+             SELECT MIN(c2.doc_id) FROM chunks c2
+             WHERE c2.chunk_text = chunks.chunk_text)) AS rep_start
+    FROM chunks
+    GROUP BY chunk_text
+    HAVING COUNT(*) > 1
+    """,
+)
+def x1_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (chunk) exact dedup: the corpus is cut into
+    non-overlapping {_DEDUP_CHUNK_N}-token chunks and chunks repeated
+    anywhere in the corpus are reported with their occurrence counts and a
+    deterministic representative (lowest doc_id, then lowest offset) -- the
+    relational reduction of suffix-array substring dedup to fixed-length
+    passages, used to strip boilerplate repeated across documents.
+
+    Scale shape: narrow chunking pass, then one groupBy on the chunk hash
+    (fixed-width uniform key; at 100 TB this is the same map-side-combine
+    shuffle as exact doc dedup). No joins, no doc x doc comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = (docs.select(
+                  "doc_id",
+                  F.filter(F.split("text", " "), lambda x: x != "").alias("l"))
+              .select("doc_id", "l",
+                      F.explode(F.expr(
+                          f"sequence(0, size(l) - 1, {_DEDUP_CHUNK_N})"))
+                       .alias("s"))
+              .select("doc_id",
+                      F.col("s").cast("long").alias("start_token"),
+                      F.expr(f"concat_ws(' ', slice(l, s + 1, {_DEDUP_CHUNK_N}))")
+                       .alias("chunk_text"),
+                      F.expr(f"size(slice(l, s + 1, {_DEDUP_CHUNK_N}))")
+                       .alias("clen"))
+              .filter(F.col("clen") == _DEDUP_CHUNK_N))
+    per_chunk = (chunks.groupBy("chunk_text")
+                 .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                      F.countDistinct("doc_id").alias("n_docs"),
+                      F.min(F.struct("doc_id", "start_token")).alias("rep"))
+                 .filter(F.col("n_occurrences") > 1))
+    return per_chunk.select(
+        F.md5("chunk_text").alias("chunk_hash"),
+        "n_occurrences", "n_docs",
+        F.col("rep.doc_id").alias("rep_doc"),
+        F.col("rep.start_token").alias("rep_start"))
+
+
+_SHARD_BUDGET = 2000   # tokens per output shard
+_SHARD_BUCKET = 100    # docs per coarse prefix-sum bucket
+
+
+@register(
+    "x5_shard_by_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(length(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS running
+      FROM toks)
+    SELECT CAST((running - n_tokens) // {_SHARD_BUDGET} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM cum GROUP BY 1
+    """,
+)
+def x5_shard_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-token output sharding: documents are laid out in doc_id order
+    and assigned to the training shard their global running token offset
+    falls into (offset DIV {_SHARD_BUDGET}) -- the write-side sharder that
+    gives every output file the same token budget regardless of document
+    length skew.
+
+    Scale shape: the oracle states the semantics as ONE global running-sum
+    window, which on a cluster would funnel the whole corpus through a
+    single partition. The Spark plan instead computes the identical
+    assignment in two phases: (1) per-bucket token totals over coarse
+    doc_id buckets ({_SHARD_BUCKET} docs each -- corpus/100 rows), prefix-
+    summed in a window that only ever sees the tiny bucket table, then
+    broadcast back; (2) a per-bucket running sum (partitioned window, fully
+    parallel) offset by the bucket's prefix. Hash-equality against the
+    naive single-window oracle proves the decomposition exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+         .cast("long").alias("n_tokens"),
+        F.expr(f"doc_id DIV {_SHARD_BUCKET}").alias("bucket"))
+    wb = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = (toks.groupBy("bucket")
+               .agg(F.sum("n_tokens").alias("btok"))
+               .withColumn("offset", F.sum("btok").over(wb) - F.col("btok"))
+               .select("bucket", "offset"))
+    ww = (Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (toks.join(F.broadcast(offsets), "bucket")
+           .withColumn("running",
+                       F.col("offset") + F.sum("n_tokens").over(ww)))
+    assigned = cum.withColumn(
+        "shard",
+        F.expr(f"CAST((running - n_tokens) DIV {_SHARD_BUDGET} AS BIGINT)"))
+    return (assigned.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))

@@ -55,19 +55,19 @@ PRIORITY: tuple[str, ...] = (
     "doc_u7_scoped_extraction", "doc_form_pivot_nda",
     # EXT: dedup / similarity / text / corpus prep / multimodal
     "x1_dedup_exact", "x1_dedup_jaccard_ngram", "x1_dedup_simhash",
-    "x1_dedup_embedding_cosine", "x1_dedup_components", "x2_cosine_topk",
-    "x4_token_stats", "x4_tf_rarity_topk",
+    "x1_dedup_embedding_cosine", "x1_dedup_components",
+    "x1_dedup_chunk_exact", "x2_cosine_topk",
+    "x4_token_stats",
     "x4_quality_score", "x4_doc_fingerprint", "x4_lang_id_char_ngram",
     "x5_train_test_split_hash", "x5_decontaminate_ngram",
-    "x5_repetition_stats",
+    "x5_repetition_stats", "x5_chunk_overlap", "x5_shard_by_budget",
     "x3_multimodal_schema",
     # streaming twins
     "st_tumbling_window", "st_sliding_window", "st_session_window",
     "st_latest_event_per_user", "st_multi_granularity_rollup",
     # window functions
     "w1_running_revenue_per_customer", "w_rank_top_customers_per_nation",
-    "w2_lead_lag_event_gaps", "w_ntile_acctbal_quartiles",
-    "w_sliding_frame_moving_avg",
+    "w2_lead_lag_event_gaps",
     # advanced joins / ETL
     "j_asof_backward_join", "j_range_interval_join",
     "etl_upsert_latest_wins", "etl_cdc_snapshot_diff",
