@@ -808,7 +808,8 @@ def _scoped_cascade_case(engine: str) -> str:
     return "(CASE " + " ".join(whens) + " END)"
 
 
-def scoped_cascade_values(scoped: DataFrame) -> DataFrame:
+def scoped_cascade_values(scoped: DataFrame,
+                          share_input: bool = False) -> DataFrame:
     """Spark-side scoped cascade over a (doc_id, form_name, field_name,
     context) relation: per-field extracts are hoisted into CASE-guarded
     columns (only the row's own field fires its regexes, preserving the
@@ -823,7 +824,21 @@ def scoped_cascade_values(scoped: DataFrame) -> DataFrame:
     the oracle's single CASE: dispatch is on field_name with FIRST
     registration winning globally (start_date appears in two forms with
     different cascades; both forms must use the first definition), so each
-    form's branch looks up the first-wins definition per field name."""
+    form's branch looks up the first-wins definition per field name.
+
+    ``share_input=True`` persists the scoped relation before the per-form
+    branches consume it. Without it each union branch re-derives the whole
+    clause-sessionization subtree (the per-form filter pushes into the
+    doc_forms side but cannot prune the windowed clause build, so that
+    subtree runs once PER FORM -- 3x the corpus sessionization CPU at
+    scale). A single-pass column-hoisted variant was tried instead and
+    collapses back into one giant projection that overflows janino's 64 KB
+    method limit, so row-splitting by form plus a shared materialized input
+    is the plan that both compiles and reads the input once. The cache is
+    MEMORY_AND_DISK, lineage-preserving (recompute on executor loss), and
+    LRU-evicted after the query's action completes."""
+    if share_input:
+        scoped = scoped.persist()
     first_def: dict[str, tuple] = {}
     for r in SCHEMA_ROWS:
         first_def.setdefault(r[1], r)
@@ -889,7 +904,7 @@ def doc_u7_scoped_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §2.12 / form_filler.py:67): each field's cascade runs only
     against its section's resolved clause context. Both modes are first-class
     engine options; this is the scoped one."""
-    return scoped_cascade_values(section_context(spark))
+    return scoped_cascade_values(section_context(spark), share_input=True)
 
 
 _SCALE_COPIES = 2500  # 4 fixture docs -> 10k documents
@@ -938,7 +953,8 @@ def doc_pipeline_scoped_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_forms = (doc_forms_df(spark).crossJoin(copies)
                  .withColumn("doc_id", F.col("doc_id") + shift)
                  .drop("copy"))
-    vals = scoped_cascade_values(section_context(spark, blocks, doc_forms))
+    vals = scoped_cascade_values(section_context(spark, blocks, doc_forms),
+                                 share_input=True)
     # Two-level rollup instead of countDistinct: the per-(form, doc) partial
     # agg is map-side-combinable on a high-cardinality key (no distinct
     # Expand, no 3-key skew), and it keeps the giant cascade projection out
