@@ -187,8 +187,16 @@ def extraction_df(spark: SparkSession, blocks: DataFrame | None = None,
     runtime."""
     rows = schema_rows if schema_rows is not None else SCHEMA_ROWS
     ft = fulltext_df(spark, blocks, doc_forms)
+    forms = sorted({r[0] for r in rows})
+    if len(forms) > 1:
+        # The per-form filter below pushes into the broadcast doc_forms side
+        # but cannot prune the per-doc full-text concat agg, so without
+        # sharing, that agg re-runs once PER FORM. Persist the per-doc
+        # relation (corpus-doc-count rows, not blocks) so the union branches
+        # read one materialization; lineage-preserving, LRU-evicted.
+        ft = ft.persist()
     parts = []
-    for form in sorted({r[0] for r in rows}):
+    for form in forms:
         # Three small projections instead of one giant stack expression:
         # (1) every full-text regexp_extract once, (2) each field's cascade
         # CASE over those columns, (3) stack + method. Keeps each codegen
