@@ -146,20 +146,49 @@ def x2_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x1_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup: all pairs with cosine >= 0.45 (threshold
     sized to this corpus; random 64-dim vectors top out around 0.51).
-    Same decimal-exact machinery as x2_cosine_topk."""
-    e = (load_table(spark, sf_dir, "embeddings")
-         .select("vec_id", F.posexplode(F.transform("embedding",
-                                                    lambda x: x.cast("double")))
-                 .alias("i", "v")))
-    dec_dot = lambda x: F.sum(x.cast(_DEC)).cast("double")  # noqa: E731
-    norms = e.groupBy("vec_id").agg(
-        F.sqrt(dec_dot(F.col("v") * F.col("v"))).alias("nrm"))
-    a, b = e.alias("a"), e.alias("b")
-    dots = (a.join(b, (F.col("a.i") == F.col("b.i"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .groupBy(F.col("a.vec_id").alias("vec_a"),
-                     F.col("b.vec_id").alias("vec_b"))
-            .agg(dec_dot(F.col("a.v") * F.col("b.v")).alias("dot")))
+
+    The oracle states the dot products as explode + dim-join + SUM; the
+    Spark plan instead keeps arrays packed and folds each pair's product
+    through a DECIMAL accumulator (`zip_with` + `aggregate`). Decimal
+    addition is exact and order-independent, so the fold is bit-identical
+    to the oracle's SUM -- which frees the plan from the dim join entirely
+    (its key has only `dims` distinct values: a shuffled self-join on it is
+    maximally skewed, and was ~18s at sf0.01 vs <2s for this shape). The
+    remaining join is a broadcast pair join; norms are a 1-row-per-vector
+    broadcast. Still O(n^2) by construction -- this is the oracle/rerank
+    variant; the LSH/IVF/PQ paths are the at-scale candidates."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("vec")))
+    # Decimal typing: products are cast to DECIMAL(27,20) -- the SAME
+    # 20-digit fractional rounding as the oracle's CAST(x AS DECIMAL(38,20))
+    # since |product| < 1e7 -- and accumulate into DECIMAL(37,20).
+    # (37,20)+(27,20) yields (38,20) with NO scale reduction, and the cast
+    # back to (37,20) only narrows unused integer headroom, so every
+    # addition is exact; with (38,20) operands Spark would cap the result at
+    # scale 19 and round away the oracle's last digit.
+    _ACC = "DECIMAL(37,20)"
+    _ITEM = "DECIMAL(27,20)"
+    dec0 = F.expr(f"CAST(0 AS {_ACC})")
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, dec0, lambda a, x: (a + x).cast(_ACC)).cast("double")
+    norms = emb.select(
+        "vec_id",
+        F.sqrt(fold(F.transform("vec", lambda x: (x * x).cast(_ITEM))))
+         .alias("nrm"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    pairs = F.broadcast(a).join(b, F.col("vec_a") < F.col("vec_b"))
+    # Double-precision sieve before the exact pass: plain-double cosine is
+    # within ~1e-15 of the decimal value, so a 1e-6 slack cannot drop a true
+    # >= 0.45 pair, and the expensive BigDecimal fold then runs only on the
+    # few surviving candidates instead of every pair (same cheap-prune /
+    # exact-verify shape as the LSH paths).
+    pairs = pairs.filter(_cos_expr("va", "vb") >= 0.45 - 1e-6)
+    dots = pairs.select(
+        "vec_a", "vec_b",
+        fold(F.zip_with("va", "vb", lambda x, y: (x * y).cast(_ITEM)))
+         .alias("dot"))
     na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
     return (dots.join(F.broadcast(na), "vec_a").join(F.broadcast(nb), "vec_b")
