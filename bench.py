@@ -43,6 +43,7 @@ OPTIONAL = [
     "x4_doc_fingerprint",
     "x5_decontaminate_ngram",
     "x5_repetition_stats",
+    "x5_corpus_filter_funnel",
     "st_tumbling_window",
     "st_session_window",
 ]

@@ -16,9 +16,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..fixtures import values_sql
 from ..plans.registry import register
 from . import sqlgen as G
 from .dedup import _md5_int_sql
+from .textstats import _LANG_PROFILE_COLS, _LANG_PROFILE_ROWS, _TOKENS
 
 _SPLITS_SQL = """CASE WHEN bucket < 80 THEN 'train'
                       WHEN bucket < 90 THEN 'validation'
@@ -550,3 +552,178 @@ def x5_shard_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tokens").alias("n_tokens"),
                  F.min("doc_id").alias("first_doc"),
                  F.max("doc_id").alias("last_doc")))
+
+
+def _funnel_quality_sql() -> str:
+    """Same saturating quality formula as x4_quality_score (IEEE-identical
+    in both engines), rounded to 6 before thresholding."""
+    return ("ROUND(CASE WHEN len >= 200 THEN 1.0 ELSE len / 200 END * 0.5"
+            " + CASE WHEN n_tokens >= 40 THEN 1.0"
+            " ELSE CAST(n_tokens AS DOUBLE) / 40 END * 0.5, 6)")
+
+
+@register(
+    "x5_corpus_filter_funnel",
+    oracle=f"""
+    WITH {_TOKENS},
+    profiles AS (SELECT * FROM {values_sql(_LANG_PROFILE_ROWS, _LANG_PROFILE_COLS)}),
+    doc_sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tokens GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id, p.profile_lang, COUNT(*) AS n_hits
+      FROM tokens t JOIN profiles p ON t.token = p.stopword
+      GROUP BY t.doc_id, p.profile_lang),
+    pred AS (
+      SELECT doc_id, profile_lang AS predicted_lang FROM (
+        SELECT h.doc_id, h.profile_lang,
+               ROW_NUMBER() OVER (PARTITION BY h.doc_id
+                 ORDER BY CAST(h.n_hits AS DOUBLE) / s.n_tok DESC,
+                          h.profile_lang) AS rn
+        FROM hits h JOIN doc_sizes s ON h.doc_id = s.doc_id)
+      WHERE rn = 1),
+    words AS (
+      SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS l
+            FROM documents)),
+    tok_counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM words GROUP BY doc_id, tok),
+    bigrams AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok AS bg, COUNT(*) AS c
+      FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.doc_id, a.tok || ' ' || b.tok),
+    rep AS (
+      SELECT t.doc_id,
+             CAST(SUM(t.c) AS BIGINT) AS n_tokens,
+             (CAST(MAX(t.c) AS DOUBLE) / SUM(t.c) <= 0.1
+              AND CAST(COALESCE((SELECT MAX(c) FROM bigrams b
+                                 WHERE b.doc_id = t.doc_id), 0) AS DOUBLE)
+                  / GREATEST(SUM(t.c) - 1, 1) <= 0.18) AS not_repetitive
+      FROM tok_counts t GROUP BY t.doc_id),
+    dedup AS (
+      SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) = 1 AS is_rep
+      FROM documents),
+    flags AS (
+      SELECT d.doc_id, r.n_tokens,
+             COALESCE(p.predicted_lang = d.lang, FALSE) AS s1,
+             CAST(length(d.text) AS DOUBLE) AS len_,
+             r.not_repetitive, dd.is_rep
+      FROM documents d
+      LEFT JOIN pred p ON d.doc_id = p.doc_id
+      JOIN rep r ON d.doc_id = r.doc_id
+      JOIN dedup dd ON d.doc_id = dd.doc_id),
+    staged AS (
+      SELECT doc_id, n_tokens, s1,
+             s1 AND {_funnel_quality_sql().replace('len', 'len_').replace('n_tokens', 'n_tokens')} >= 0.8 AS s2,
+             FALSE AS _pad
+      FROM flags),
+    staged2 AS (
+      SELECT f.doc_id, f.n_tokens, st.s1, st.s2,
+             st.s2 AND f.not_repetitive AS s3,
+             st.s2 AND f.not_repetitive AND f.is_rep AS s4
+      FROM flags f JOIN staged st ON f.doc_id = st.doc_id)
+    SELECT stage,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (
+      SELECT '0_all' AS stage, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens FROM staged2
+      UNION ALL
+      SELECT '1_lang_id', SUM(CASE WHEN s1 THEN 1 ELSE 0 END),
+             SUM(CASE WHEN s1 THEN n_tokens ELSE 0 END) FROM staged2
+      UNION ALL
+      SELECT '2_quality', SUM(CASE WHEN s2 THEN 1 ELSE 0 END),
+             SUM(CASE WHEN s2 THEN n_tokens ELSE 0 END) FROM staged2
+      UNION ALL
+      SELECT '3_repetition', SUM(CASE WHEN s3 THEN 1 ELSE 0 END),
+             SUM(CASE WHEN s3 THEN n_tokens ELSE 0 END) FROM staged2
+      UNION ALL
+      SELECT '4_dedup', SUM(CASE WHEN s4 THEN 1 ELSE 0 END),
+             SUM(CASE WHEN s4 THEN n_tokens ELSE 0 END) FROM staged2)
+    """,
+)
+def x5_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning funnel -- the composite every training-data
+    pipeline runs: language-ID agreement, then quality threshold, then
+    repetition filter, then exact-dedup representative selection, with
+    per-stage surviving doc and token counts (the retention report that
+    decides filter tuning).
+
+    Composition of the individually-verified operators (x4_lang_id_heuristic,
+    x4_quality_score, x5_repetition_stats, x1_dedup_exact semantics) as one
+    plan: every derived relation is per-doc and joins back on doc_id, so the
+    whole funnel is doc-partitioned narrow work plus one tiny 5-row final
+    rollup; nothing in it widens at 100 TB."""
+    from .textstats import _tokens_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens_df(spark, sf_dir)
+    profiles = spark.createDataFrame(_LANG_PROFILE_ROWS,
+                                     "profile_lang string, stopword string")
+    sizes = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    hits = (t.join(F.broadcast(profiles), t.token == profiles.stopword)
+            .groupBy("doc_id", "profile_lang")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    wl = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("n_hits").cast("double") / F.col("n_tok")),
+        F.asc("profile_lang"))
+    pred = (hits.join(sizes, "doc_id")
+            .withColumn("rn", F.row_number().over(wl))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("profile_lang").alias("predicted_lang")))
+
+    words = (docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda x: x != ""))
+         .alias("pos", "tok")))
+    tok_counts = words.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ww = Window.partitionBy("doc_id").orderBy("pos")
+    bigram_max = (words.withColumn("nxt", F.lead("tok").over(ww))
+                  .filter(F.col("nxt").isNotNull())
+                  .groupBy("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+                  .agg(F.count(F.lit(1)).alias("c"))
+                  .groupBy("doc_id").agg(F.max("c").alias("top_bigram")))
+    rep = (tok_counts.groupBy("doc_id")
+           .agg(F.sum("c").cast("long").alias("n_tokens"),
+                F.max("c").alias("top_tok"))
+           .join(bigram_max, "doc_id", "left")
+           .select("doc_id", "n_tokens",
+                   ((F.col("top_tok").cast("double") / F.col("n_tokens") <= 0.1)
+                    & (F.coalesce(F.col("top_bigram"), F.lit(0)).cast("double")
+                       / F.greatest(F.col("n_tokens") - 1, F.lit(1)) <= 0.18))
+                   .alias("not_repetitive")))
+
+    wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = docs.select(
+        "doc_id", (F.row_number().over(wd) == 1).alias("is_rep"))
+
+    quality = F.expr(_funnel_quality_sql().replace("len", "len_"))
+    flags = (docs.select("doc_id", "lang",
+                         F.length("text").cast("double").alias("len_"))
+             .join(pred, "doc_id", "left")
+             .join(rep, "doc_id")
+             .join(dedup, "doc_id")
+             .select(
+                 "doc_id", "n_tokens",
+                 F.coalesce(F.col("predicted_lang") == F.col("lang"),
+                            F.lit(False)).alias("s1"),
+                 "len_", "not_repetitive", "is_rep"))
+    staged = flags.select(
+        "doc_id", "n_tokens", "s1", "not_repetitive", "is_rep",
+        (F.col("s1") & (quality >= 0.8)).alias("s2"))
+    staged = staged.select(
+        "n_tokens", "s1", "s2",
+        (F.col("s2") & F.col("not_repetitive")).alias("s3"),
+        (F.col("s2") & F.col("not_repetitive") & F.col("is_rep")).alias("s4"))
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    tok = lambda c: F.sum(F.when(c, F.col("n_tokens")).otherwise(0)).cast("long")  # noqa: E731
+    agg = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("c0"),
+        F.sum("n_tokens").cast("long").alias("t0"),
+        cnt(F.col("s1")).alias("c1"), tok(F.col("s1")).alias("t1"),
+        cnt(F.col("s2")).alias("c2"), tok(F.col("s2")).alias("t2"),
+        cnt(F.col("s3")).alias("c3"), tok(F.col("s3")).alias("t3"),
+        cnt(F.col("s4")).alias("c4"), tok(F.col("s4")).alias("t4"))
+    return agg.selectExpr(
+        "stack(5, '0_all', c0, t0, '1_lang_id', c1, t1, '2_quality', c2, t2,"
+        " '3_repetition', c3, t3, '4_dedup', c4, t4)"
+        " AS (stage, n_docs, n_tokens)")

@@ -60,7 +60,7 @@ PRIORITY: tuple[str, ...] = (
     "x4_token_stats",
     "x4_quality_score", "x4_doc_fingerprint", "x4_lang_id_char_ngram",
     "x5_train_test_split_hash", "x5_decontaminate_ngram",
-    "x5_repetition_stats", "x5_chunk_overlap", "x5_shard_by_budget",
+    "x5_corpus_filter_funnel", "x5_chunk_overlap", "x5_shard_by_budget",
     "x3_multimodal_schema",
     # streaming twins
     "st_tumbling_window", "st_sliding_window", "st_session_window",
