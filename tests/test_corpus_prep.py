@@ -1,0 +1,80 @@
+"""Invariant tests for the late-round corpus-prep operators: chunking
+reconstructs the source, sharding is a contiguous exact partition of the
+token stream, and the cleaning funnel is monotone."""
+
+from __future__ import annotations
+
+from conftest import SF_SMOKE
+
+
+def _queries():
+    from multiagent_form_schema_etl_spark.plans import registry
+
+    registry.load_all_modules()
+    return registry.QUERIES
+
+
+def test_chunk_overlap_reconstructs_documents(spark):
+    """Taking the first `stride` tokens of every chunk (all of the last)
+    in chunk order rebuilds each document's exact token sequence -- i.e.
+    chunking loses nothing and orders deterministically."""
+    from multiagent_form_schema_etl_spark.operators import llmprep as L
+
+    chunks = _queries()["x5_chunk_overlap"](spark, SF_SMOKE).collect()
+    docs = {r.doc_id: r.text for r in spark.read.parquet(
+        f"{SF_SMOKE}/documents.parquet").collect()}
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        toks = [t for t in docs[doc_id].split(" ") if t]
+        rebuilt: list[str] = []
+        for i, r in enumerate(rows):
+            ctoks = r.chunk_text.split(" ")
+            assert r.start_token == i * L._CHUNK_STRIDE
+            assert r.n_tokens == len(ctoks)
+            keep = ctoks if i == len(rows) - 1 else ctoks[:L._CHUNK_STRIDE]
+            rebuilt.extend(keep)
+        assert rebuilt == toks, f"doc {doc_id} not reconstructed"
+        # every non-final chunk overlaps the next by size - stride tokens
+        for a, b in zip(rows, rows[1:]):
+            overlap = a.chunk_text.split(" ")[L._CHUNK_STRIDE:]
+            assert b.chunk_text.split(" ")[: len(overlap)] == overlap
+
+
+def test_shard_by_budget_partitions_token_stream(spark):
+    """Shards are a contiguous, gap-free, exact partition of the global
+    doc_id-ordered token stream, and every shard closes within one document
+    of its budget (the defining property of offset DIV budget binning)."""
+    from multiagent_form_schema_etl_spark.operators import llmprep as L
+
+    rows = sorted(_queries()["x5_shard_by_budget"](spark, SF_SMOKE).collect(),
+                  key=lambda r: r.shard)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    total_tokens = sum(len([t for t in r.text.split(" ") if t]) for r in docs)
+    max_doc = max(len([t for t in r.text.split(" ") if t]) for r in docs)
+
+    assert [r.shard for r in rows] == list(range(len(rows)))
+    assert sum(r.n_tokens for r in rows) == total_tokens
+    assert sum(r.n_docs for r in rows) == len(docs)
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_doc < b.first_doc  # contiguous in doc_id order
+    # a shard only closes once its running offset crosses the budget, so
+    # every non-final shard holds at least budget - (max doc - 1) tokens
+    # and at most budget + (max doc - 1)
+    for r in rows[:-1]:
+        assert L._SHARD_BUDGET - max_doc < r.n_tokens < L._SHARD_BUDGET + max_doc
+
+
+def test_corpus_filter_funnel_is_monotone(spark):
+    rows = {r.stage: r for r in
+            _queries()["x5_corpus_filter_funnel"](spark, SF_SMOKE).collect()}
+    stages = ["0_all", "1_lang_id", "2_quality", "3_repetition", "4_dedup"]
+    assert sorted(rows) == stages
+    for a, b in zip(stages, stages[1:]):
+        assert rows[a].n_docs >= rows[b].n_docs
+        assert rows[a].n_tokens >= rows[b].n_tokens
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert rows["0_all"].n_docs == n_docs
