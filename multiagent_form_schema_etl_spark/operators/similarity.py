@@ -23,6 +23,32 @@ _N_QUERIES = 10  # bounded query set for the exact-oracle variant
 _TOP_K = 5
 _DEC = "DECIMAL(38,20)"
 
+# Exact decimal fold over packed arrays -- the oracle states dot products as
+# explode + dim-join + SUM(DECIMAL(38,20)); these helpers compute the SAME
+# decimal values without unpacking the arrays. Typing: items are cast to
+# DECIMAL(27,20), which applies the identical 20-digit fractional rounding
+# as CAST(x AS DECIMAL(38,20)) for |x| < 1e7, and accumulate into
+# DECIMAL(37,20): (37,20)+(27,20) -> (38,20) with NO scale reduction, and
+# the cast back to (37,20) only narrows unused integer headroom, so every
+# addition is exact. With (38,20) operands Spark would cap the sum at scale
+# 19 and round away the oracle's last digit. Decimal addition is exact and
+# order-independent, so fold order vs SUM order cannot diverge.
+_DEC_ACC = "DECIMAL(37,20)"
+_DEC_ITEM = "DECIMAL(27,20)"
+
+
+def _dec_fold(arr: F.Column) -> F.Column:
+    dec0 = F.expr(f"CAST(0 AS {_DEC_ACC})")
+    return F.aggregate(arr, dec0, lambda a, x: (a + x).cast(_DEC_ACC)).cast("double")
+
+
+def _dec_dot(a: str | F.Column, b: str | F.Column) -> F.Column:
+    return _dec_fold(F.zip_with(a, b, lambda x, y: (x * y).cast(_DEC_ITEM)))
+
+
+def _dec_norm(v: str | F.Column) -> F.Column:
+    return F.sqrt(_dec_fold(F.transform(v, lambda x: (x * x).cast(_DEC_ITEM))))
+
 
 @register(
     "x2_cosine_topk",
@@ -56,26 +82,20 @@ _DEC = "DECIMAL(38,20)"
 def x2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for a 10-vector query set (oracle variant).
 
-    Expressed as explode → dim-join → decimal-exact dot products so the
-    oracle is bit-identical; ranking ties break on match_id. The dim join
-    shuffles on dimension index -- bounded by n_queries * n_vectors * dims."""
-    e = (load_table(spark, sf_dir, "embeddings")
-         .select("vec_id", F.posexplode(F.transform("embedding",
-                                                    lambda x: x.cast("double")))
-                 .alias("i", "v")))
-    dec_dot = lambda x: F.sum(x.cast(_DEC)).cast("double")  # noqa: E731
-    norms = e.groupBy("vec_id").agg(
-        F.sqrt(dec_dot(F.col("v") * F.col("v"))).alias("nrm"))
-    # query side is n_queries*dims rows -> broadcast it so the corpus side
-    # never shuffles (the join key `i` has only `dims` distinct values, which
-    # would skew a shuffled join badly)
-    a = F.broadcast(e.filter(F.col("vec_id") < _N_QUERIES)).alias("a")
-    b = e.alias("b")
-    dots = (a.join(b, (F.col("a.i") == F.col("b.i"))
-                   & (F.col("b.vec_id") != F.col("a.vec_id")))
-            .groupBy(F.col("a.vec_id").alias("query_id"),
-                     F.col("b.vec_id").alias("match_id"))
-            .agg(dec_dot(F.col("a.v") * F.col("b.v")).alias("dot")))
+    The oracle states the dots as explode → dim-join → SUM; the Spark plan
+    keeps arrays packed and computes the identical decimal values with the
+    `_dec_dot` fold over a broadcast pair join (the query side is 10 rows),
+    so the corpus side is one narrow pass -- no explode, no dim-key
+    shuffle. Ranking ties break on match_id."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("vec")))
+    norms = emb.select("vec_id", _dec_norm("vec").alias("nrm"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("match_id"), F.col("vec").alias("mv"))
+    dots = (F.broadcast(q).join(b, F.col("query_id") != F.col("match_id"))
+            .select("query_id", "match_id", _dec_dot("qv", "mv").alias("dot")))
     na = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("vec_id").alias("match_id"), F.col("nrm").alias("nb"))
     cos = (dots.join(F.broadcast(na), "query_id").join(F.broadcast(nb), "match_id")
@@ -160,22 +180,7 @@ def x1_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (load_table(spark, sf_dir, "embeddings")
            .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
                    .alias("vec")))
-    # Decimal typing: products are cast to DECIMAL(27,20) -- the SAME
-    # 20-digit fractional rounding as the oracle's CAST(x AS DECIMAL(38,20))
-    # since |product| < 1e7 -- and accumulate into DECIMAL(37,20).
-    # (37,20)+(27,20) yields (38,20) with NO scale reduction, and the cast
-    # back to (37,20) only narrows unused integer headroom, so every
-    # addition is exact; with (38,20) operands Spark would cap the result at
-    # scale 19 and round away the oracle's last digit.
-    _ACC = "DECIMAL(37,20)"
-    _ITEM = "DECIMAL(27,20)"
-    dec0 = F.expr(f"CAST(0 AS {_ACC})")
-    fold = lambda arr: F.aggregate(  # noqa: E731
-        arr, dec0, lambda a, x: (a + x).cast(_ACC)).cast("double")
-    norms = emb.select(
-        "vec_id",
-        F.sqrt(fold(F.transform("vec", lambda x: (x * x).cast(_ITEM))))
-         .alias("nrm"))
+    norms = emb.select("vec_id", _dec_norm("vec").alias("nrm"))
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
     pairs = F.broadcast(a).join(b, F.col("vec_a") < F.col("vec_b"))
@@ -185,10 +190,7 @@ def x1_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # few surviving candidates instead of every pair (same cheap-prune /
     # exact-verify shape as the LSH paths).
     pairs = pairs.filter(_cos_expr("va", "vb") >= 0.45 - 1e-6)
-    dots = pairs.select(
-        "vec_a", "vec_b",
-        fold(F.zip_with("va", "vb", lambda x, y: (x * y).cast(_ITEM)))
-         .alias("dot"))
+    dots = pairs.select("vec_a", "vec_b", _dec_dot("va", "vb").alias("dot"))
     na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
     return (dots.join(F.broadcast(na), "vec_a").join(F.broadcast(nb), "vec_b")
@@ -425,3 +427,73 @@ def x2_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cos.withColumn("rnk", F.row_number().over(wr))
             .filter(F.col("rnk") <= _TOP_K)
             .select("query_id", "match_id", "cosine", "rnk"))
+
+
+_KNN_K = 3        # neighbors per vector in the graph
+_KNN_MARGIN = 20  # double-sieve rank margin before the exact decimal pass
+
+
+@register(
+    "x2_knn_graph",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+             unnest(range(1, length(embedding) + 1)) AS i
+      FROM embeddings),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(CAST(v * v AS {_DEC})) AS DOUBLE)) AS nrm
+      FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             CAST(SUM(CAST(a.v * b.v AS {_DEC})) AS DOUBLE) AS dot
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+    cos AS (
+      SELECT d.src, d.dst, ROUND(d.dot / (na.nrm * nb.nrm), 9) AS cosine
+      FROM dots d
+      JOIN norms na ON d.src = na.vec_id
+      JOIN norms nb ON d.dst = nb.vec_id)
+    SELECT src, dst, cosine, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src
+                     ORDER BY cosine DESC, dst) AS BIGINT) AS rnk
+      FROM cos)
+    WHERE rnk <= {_KNN_K}
+    """,
+)
+def x2_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-nearest-neighbor graph over the WHOLE corpus (top-{_KNN_K}
+    cosine neighbors per vector) -- the structure graph-based dedup,
+    semantic clustering, and diversity sampling all start from.
+
+    Two-phase exactness: a plain-double pass ranks every pair and keeps the
+    top {_KNN_MARGIN} candidates per source (double vs decimal cosine agree
+    to ~1e-15, so the true top-{_KNN_K} by the 9-dp-rounded decimal value
+    cannot sit outside a {_KNN_MARGIN}-deep double ranking), then the exact
+    decimal fold recomputes and re-ranks only those candidates against the
+    oracle's semantics. O(n^2) doubles + O(n*k) decimals; at 100 TB the
+    candidate stage swaps for the LSH/IVF/PQ paths and the exact re-rank
+    stays as-is."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("vec")))
+    norms = emb.select("vec_id", _dec_norm("vec").alias("nrm"))
+    a = emb.select(F.col("vec_id").alias("src"), F.col("vec").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("vec").alias("vb"))
+    pairs = (F.broadcast(a).join(b, F.col("src") != F.col("dst"))
+             .select("src", "dst", "va", "vb",
+                     _cos_expr("va", "vb").alias("dcos")))
+    ws = Window.partitionBy("src").orderBy(F.desc("dcos"), F.asc("dst"))
+    cand = (pairs.withColumn("crnk", F.row_number().over(ws))
+            .filter(F.col("crnk") <= _KNN_MARGIN))
+    dots = cand.select("src", "dst", _dec_dot("va", "vb").alias("dot"))
+    na = norms.select(F.col("vec_id").alias("src"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("dst"), F.col("nrm").alias("nb"))
+    cos = (dots.join(F.broadcast(na), "src").join(F.broadcast(nb), "dst")
+           .select("src", "dst",
+                   F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
+                    .alias("cosine")))
+    wr = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (cos.withColumn("rnk", F.row_number().over(wr).cast("long"))
+            .filter(F.col("rnk") <= _KNN_K)
+            .select("src", "dst", "cosine", "rnk"))
