@@ -727,3 +727,125 @@ def x5_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(5, '0_all', c0, t0, '1_lang_id', c1, t1, '2_quality', c2, t2,"
         " '3_repetition', c3, t3, '4_dedup', c4, t4)"
         " AS (stage, n_docs, n_tokens)")
+
+
+_STRATUM_N = 20  # docs kept per (lang, split) stratum
+
+
+@register(
+    "x5_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_md5_int_sql('text', 'duck')}, doc_id) AS rnk
+      FROM documents)
+    SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars
+    FROM ranked WHERE rnk <= {_STRATUM_N}
+    """,
+)
+def x5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: the first {_STRATUM_N} documents per
+    language by content-hash rank. Unlike rate-based `sample()`, the per-
+    stratum count is exact and membership is a pure function of the text
+    (stable across re-runs and engine versions -- the property eval-set
+    construction needs). One window per stratum; the md5 rank key spreads
+    uniformly, so no stratum hot-spots a partition beyond its own size."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.expr(_md5_int_sql("text", "spark")), F.asc("doc_id"))
+    return (docs.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= _STRATUM_N)
+            .select("lang", "rnk", "doc_id", "n_chars"))
+
+
+_BPE_ROUNDS = 4  # learned merges; << distinct pair count at any real scale
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Chained-CTE DuckDB twin of the Spark driver loop: one
+    (pairs -> argmax -> apply-merge) block per round. The merge is applied
+    with the same space-doubling string trick as the Spark side, so greedy
+    left-to-right non-overlapping semantics match exactly."""
+    parts = [r"""
+    w0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+             trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS syms
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word)"""]
+    for i in range(rounds):
+        lft = f"(SELECT lft FROM m{i})"
+        rgt = f"(SELECT rgt FROM m{i})"
+        parts.append(f"""
+    p{i} AS (
+      SELECT p[1] AS lft, p[2] AS rgt, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM (SELECT cnt, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS p
+            FROM (SELECT cnt, string_split(syms, ' ') AS a FROM w{i}))
+      GROUP BY 1, 2),
+    m{i} AS (
+      SELECT CAST({i + 1} AS BIGINT) AS rnd, lft, rgt, pair_count FROM p{i}
+      ORDER BY pair_count DESC, lft, rgt LIMIT 1),
+    w{i + 1} AS (
+      SELECT cnt,
+             replace(trim(replace(' ' || replace(syms, ' ', '  ') || ' ',
+                     ' ' || {lft} || '  ' || {rgt} || ' ',
+                     ' ' || {lft} || {rgt} || ' ')), '  ', ' ') AS syms
+      FROM w{i})""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(rounds))
+    return ("WITH" + ",".join(parts)
+            + f" SELECT rnd, lft, rgt, pair_count FROM ({union})")
+
+
+@register("x5_bpe_vocab_train", oracle=_bpe_oracle(_BPE_ROUNDS))
+def x5_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary training -- the iterative tokenizer-
+    learning loop (count adjacent symbol pairs, merge the most frequent,
+    repeat) that turns a corpus into a merge table.
+
+    Distributed shape: the corpus collapses to a word-TYPE table (Zipf:
+    orders of magnitude smaller than the corpus) in one explode+groupBy
+    pass; each round then runs pair-count + argmax as a distributed agg
+    over the cached types table and collects exactly ONE row (the winning
+    pair -- the same tiny convergence-scalar collect as
+    x1_dedup_components). Merges are applied as plain string replaces (no
+    regex) using a space-doubling encoding that makes a single non-
+    overlapping replace implement BPE's greedy left-to-right merge: with
+    boundaries doubled, consuming one space on each side of a match leaves
+    neighbouring pair sites intact ('l l l' merges to 'll l', not 'l ll').
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+             .select("cnt", F.trim(F.regexp_replace("word", "(.)", "$1 "))
+                     .alias("syms"))
+             .persist())
+    merges: list[tuple[int, str, str, int]] = []
+    cur = words
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        a = F.split("syms", " ")
+        pairs = (cur.select(
+            "cnt",
+            F.explode(F.arrays_zip(F.slice(a, 1, F.size(a) - 1),
+                                   F.slice(a, 2, F.size(a) - 1))).alias("p"))
+            .select("cnt", F.col("p.`0`").alias("lft"),
+                    F.col("p.`1`").alias("rgt")))
+        top = (pairs.groupBy("lft", "rgt")
+               .agg(F.sum("cnt").alias("pair_count"))
+               .orderBy(F.desc("pair_count"), F.asc("lft"), F.asc("rgt"))
+               .limit(1).collect())
+        if not top:
+            break
+        lft, rgt, cnt = top[0]["lft"], top[0]["rgt"], top[0]["pair_count"]
+        merges.append((rnd, lft, rgt, int(cnt)))
+        doubled = F.concat(F.lit(" "),
+                           F.replace(F.col("syms"), F.lit(" "), F.lit("  ")),
+                           F.lit(" "))
+        merged = F.replace(doubled, F.lit(f" {lft}  {rgt} "),
+                           F.lit(f" {lft}{rgt} "))
+        cur = cur.select("cnt", F.replace(F.trim(merged), F.lit("  "),
+                                          F.lit(" ")).alias("syms"))
+    words.unpersist()
+    return spark.createDataFrame(
+        merges, schema="rnd BIGINT, lft STRING, rgt STRING, pair_count BIGINT")

@@ -384,3 +384,58 @@ def x4_tfidf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.filter(arr, lambda x: x > 0)).alias("nnz"),
         F.round(F.array_max(arr), 6).alias("max_weight"))
+
+
+@register(
+    "x4_readability_bands",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id, lang, source,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+             greatest(length(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+             length(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      FROM documents),
+    scored AS (
+      SELECT lang, source,
+             206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+                     - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+               AS flesch
+      FROM per_doc WHERE n_words > 0)
+    SELECT lang, source,
+           CASE WHEN flesch >= 70.0 THEN 'easy'
+                WHEN flesch >= 50.0 THEN 'medium' ELSE 'hard' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def x4_readability_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability banding per (lang, source) -- the classic
+    surface-level quality signal a pretraining filter cuts on (alongside the
+    Gopher repetition stats and the length/punct quality score).
+
+    Syllables are approximated as vowel-group runs and sentences as
+    terminal-punctuation runs, so the whole score is three regex counts --
+    one narrow JVM-side pass, then a tiny (lang, source, band) rollup. The
+    score itself stays a raw double (identical IEEE ops from integer counts
+    in both engines); only integer counts are aggregated, so the oracle is
+    exact without decimal routing."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang", "source",
+        F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+         .alias("n_words"),
+        F.greatest(F.regexp_count("text", F.lit("[.!?]+")), F.lit(1))
+         .alias("n_sents"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).alias("n_syll"))
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (F.col("n_words").cast("double")
+                                / F.col("n_sents").cast("double"))
+              - F.lit(84.6) * (F.col("n_syll").cast("double")
+                               / F.col("n_words").cast("double")))
+    scored = (per_doc.filter(F.col("n_words") > 0)
+              .select("lang", "source", flesch.alias("flesch")))
+    band = (F.when(F.col("flesch") >= 70.0, "easy")
+            .when(F.col("flesch") >= 50.0, "medium").otherwise("hard"))
+    return (scored.select("lang", "source", band.alias("band"))
+            .groupBy("lang", "source", "band")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
