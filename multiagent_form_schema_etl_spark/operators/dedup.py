@@ -294,6 +294,45 @@ def x1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def min_label_components(nodes: DataFrame, pairs: DataFrame,
+                         max_rounds: int = 15) -> DataFrame:
+    """Connected components by iterative min-label propagation, shared by
+    every pair-graph clustering operator (Jaccard near-dups, embedding
+    semantic clusters): each round every node takes the min of its own and
+    its neighbors' labels (one join + one groupBy per round, all shuffles on
+    the node id), converging in O(graph diameter) rounds -- near-dup
+    clusters are near-cliques, so 2-4 rounds in practice. localCheckpoint
+    truncates the growing lineage each round; labels are monotonically
+    non-increasing, so an unchanged label SUM means convergence -- one
+    scalar aggregate per round, never a data collect.
+
+    ``nodes``: single-column node-id relation. ``pairs``: two-column
+    undirected edge list. Returns (node_id, component_id) with
+    component_id = min node id of the component."""
+    node_col, (pa, pb) = nodes.columns[0], pairs.columns[:2]
+    edges = (pairs.select(F.col(pa).alias("a"), F.col(pb).alias("b"))
+             .unionByName(pairs.select(F.col(pb).alias("a"),
+                                       F.col(pa).alias("b"))))
+    edges = edges.localCheckpoint()
+    labels = nodes.select(F.col(node_col).alias("node_id"),
+                          F.col(node_col).alias("label"))
+    prev_sum = None
+    for _ in range(max_rounds):  # diameter cap; converges far earlier
+        neighbor_min = (edges.join(labels, edges.a == labels.node_id)
+                        .groupBy(F.col("b").alias("node_id"))
+                        .agg(F.min("label").alias("nlabel")))
+        labels = (labels.join(neighbor_min, "node_id", "left")
+                  .select("node_id",
+                          F.least("label", F.coalesce("nlabel", "label"))
+                           .alias("label"))
+                  .localCheckpoint())
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node_id", F.col("label").alias("component_id"))
+
+
 @register(
     "x1_dedup_components",
     oracle=f"""
@@ -333,32 +372,13 @@ def x1_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy per round, all shuffles on doc_id), converging in O(graph
     diameter) rounds -- near-dup clusters are near-cliques, so 2-4 rounds in
     practice. localCheckpoint truncates the growing lineage each round; the
-    convergence check is a scalar aggregate, not a data collect. The DuckDB
-    twin computes the same components via recursive reachability + MIN."""
+    convergence check is a scalar aggregate, not a data collect (see
+    min_label_components). The DuckDB twin computes the same components via
+    recursive reachability + MIN."""
     pairs = x1_dedup_jaccard_ngram(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-             .unionByName(pairs.select(F.col("doc_b").alias("a"),
-                                       F.col("doc_a").alias("b"))))
-    edges = edges.localCheckpoint()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
-    prev_sum = None
-    for _ in range(15):  # diameter cap; converges far earlier
-        neighbor_min = (edges.join(labels, edges.a == labels.doc_id)
-                        .groupBy(F.col("b").alias("doc_id"))
-                        .agg(F.min("label").alias("nlabel")))
-        labels = (labels.join(neighbor_min, "doc_id", "left")
-                  .select("doc_id",
-                          F.least("label", F.coalesce("nlabel", "label"))
-                           .alias("label"))
-                  .localCheckpoint())
-        # labels are monotonically non-increasing, so an unchanged SUM means
-        # no label moved -- one scalar aggregate instead of an old-vs-new join
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return (labels.groupBy(F.col("label").alias("component_id"))
+    comp = min_label_components(docs, pairs)
+    return (comp.groupBy("component_id")
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 

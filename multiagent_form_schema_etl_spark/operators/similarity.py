@@ -497,3 +497,54 @@ def x2_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cos.withColumn("rnk", F.row_number().over(wr).cast("long"))
             .filter(F.col("rnk") <= _KNN_K)
             .select("src", "dst", "cosine", "rnk"))
+
+
+@register(
+    "x1_dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+             unnest(range(1, length(embedding) + 1)) AS i
+      FROM embeddings),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(CAST(v * v AS {_DEC})) AS DOUBLE)) AS nrm
+      FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(SUM(CAST(a.v * b.v AS {_DEC})) AS DOUBLE) AS dot
+      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+    cos_pairs AS (
+      SELECT d.vec_a, d.vec_b
+      FROM dots d
+      JOIN norms na ON d.vec_a = na.vec_id
+      JOIN norms nb ON d.vec_b = nb.vec_id
+      WHERE ROUND(d.dot / (na.nrm * nb.nrm), 9) >= 0.45),
+    edges AS (SELECT vec_a AS a, vec_b AS b FROM cos_pairs
+              UNION ALL SELECT vec_b, vec_a FROM cos_pairs),
+    reach(src, dst) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.src, g.b FROM reach r JOIN edges g ON r.dst = g.a),
+    comp AS (SELECT src AS vec_id, MIN(dst) AS component_id
+             FROM reach GROUP BY src)
+    SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM comp GROUP BY component_id
+    """,
+)
+def x1_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup clustering: connected components over the embedding-
+    cosine near-dup graph (>= 0.45 after exact 9-dp rounding), giving each
+    semantic duplicate group one canonical id -- the embedding-space twin of
+    the token-space x1_dedup_components, sharing the same min-label
+    propagation kernel. At 100 TB the pair stage swaps for the LSH/IVF
+    candidate paths exactly as in the near-dup query; the component kernel
+    is unchanged."""
+    from .dedup import min_label_components
+
+    pairs = x1_dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    comp = min_label_components(vecs, pairs)
+    return (comp.groupBy("component_id")
+            .agg(F.count(F.lit(1)).alias("n_vecs")))
