@@ -405,3 +405,109 @@ def x1_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("datasetA.doc_id").alias("doc_a"),
                     F.col("datasetB.doc_id").alias("doc_b"),
                     "jaccard_dist"))
+
+
+_BATCH_SOURCE = "src0"  # the "incoming batch"; every other source = corpus
+
+
+@register(
+    "x1_dedup_incremental",
+    oracle=f"""
+    WITH batch AS (SELECT * FROM documents WHERE source = '{_BATCH_SOURCE}'),
+    ref AS (SELECT * FROM documents WHERE source <> '{_BATCH_SOURCE}'),
+    exact_hits AS (
+      SELECT DISTINCT b.doc_id FROM batch b
+      JOIN ref r ON sha256(b.text) = sha256(r.text)),
+    tb AS (SELECT DISTINCT doc_id, lang,
+                  CAST(FLOOR(n_chars / 50.0) AS BIGINT) AS bucket, token
+           FROM (SELECT doc_id, lang, n_chars,
+                        unnest(string_split(text, ' ')) AS token FROM batch)
+           WHERE token <> ''),
+    tr AS (SELECT DISTINCT doc_id, lang,
+                  CAST(FLOOR(n_chars / 50.0) AS BIGINT) AS bucket, token
+           FROM (SELECT doc_id, lang, n_chars,
+                        unnest(string_split(text, ' ')) AS token FROM ref)
+           WHERE token <> ''),
+    sb AS (SELECT doc_id, COUNT(*) AS n_tok FROM tb GROUP BY doc_id),
+    sr AS (SELECT doc_id, COUNT(*) AS n_tok FROM tr GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tb a JOIN tr b
+        ON a.token = b.token AND a.lang = b.lang AND a.bucket = b.bucket
+      GROUP BY 1, 2),
+    near_hits AS (
+      SELECT DISTINCT i.doc_a AS doc_id
+      FROM inter i
+      JOIN sb ON i.doc_a = sb.doc_id
+      JOIN sr ON i.doc_b = sr.doc_id
+      WHERE CAST(i.n_inter AS DOUBLE)
+            / (sb.n_tok + sr.n_tok - i.n_inter) >= 0.8)
+    SELECT b.lang, CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_dup,
+           CAST(SUM(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_dup,
+           CAST(SUM(CASE WHEN n.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM batch b
+    LEFT JOIN exact_hits e ON b.doc_id = e.doc_id
+    LEFT JOIN near_hits n ON b.doc_id = n.doc_id
+    GROUP BY b.lang
+    """,
+)
+def x1_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup: screen an incoming batch (source '{_BATCH_SOURCE}')
+    against the already-accumulated corpus -- the shape every continuously-
+    ingesting pipeline runs per micro-batch, where re-deduping the whole
+    corpus from scratch is a non-starter at 100 TB.
+
+    Exact tier: semi-join on content hash (the batch side is the small one
+    -- broadcast it and the reference corpus never shuffles). Near tier: the
+    same (lang, length-bucket)-blocked inverted-index Jaccard join as the
+    full dedup, but batch-vs-reference instead of all-pairs, so cost is
+    |batch| x |matching block|, not |corpus|^2. Exact hits are a subset of
+    near hits (identical text => Jaccard 1), so kept = batch - near."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") == _BATCH_SOURCE)
+    ref = docs.filter(F.col("source") != _BATCH_SOURCE)
+
+    bh = batch.select("doc_id", F.sha2("text", 256).alias("h"))
+    rh = ref.select(F.sha2("text", 256).alias("h")).distinct()
+    exact = (F.broadcast(bh).join(rh, "h", "left_semi")
+             .select("doc_id").distinct()
+             .withColumn("is_exact", F.lit(True)))
+
+    def tokd(side: DataFrame) -> DataFrame:
+        attrs = side.select(
+            "doc_id", "lang",
+            F.floor(F.col("n_chars") / 50.0).cast("long").alias("bucket"))
+        tok = (side.select("doc_id",
+                           F.explode(F.split("text", " ")).alias("token"))
+               .filter(F.col("token") != "").distinct())
+        return tok.join(F.broadcast(attrs), "doc_id")
+
+    ta, tb = tokd(batch), tokd(ref)
+    sa = ta.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    sb = tb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a, b = ta.alias("a"), tb.alias("b")
+    inter = (a.join(b, (F.col("a.token") == F.col("b.token"))
+                    & (F.col("a.lang") == F.col("b.lang"))
+                    & (F.col("a.bucket") == F.col("b.bucket")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    near = (_jaccard_filter(inter, sa.unionByName(sb))
+            .select(F.col("doc_a").alias("doc_id")).distinct()
+            .withColumn("is_near", F.lit(True)))
+
+    flagged = (batch.select("doc_id", "lang")
+               .join(F.broadcast(exact), "doc_id", "left")
+               .join(F.broadcast(near), "doc_id", "left"))
+    return (flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.when(F.col("is_exact"), 1).otherwise(0)).cast("long")
+         .alias("n_exact_dup"),
+        F.sum(F.when(F.col("is_near"), 1).otherwise(0)).cast("long")
+         .alias("n_near_dup"),
+        F.sum(F.when(F.col("is_near").isNull(), 1).otherwise(0)).cast("long")
+         .alias("n_kept")))
