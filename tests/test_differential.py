@@ -220,3 +220,108 @@ def test_extraction_cascade_matches_python_model(spark):
             if g != want:
                 mismatches.append((doc_id, r[1], g, want, text))
     assert not mismatches, mismatches[:3]
+
+
+# --- BPE trainer vs python model ---------------------------------------------
+
+def _model_bpe(word_counts: dict[str, int], rounds: int):
+    """Independent row-at-a-time BPE: pair counts over word types, argmax
+    with (count desc, pair asc) tie-break, greedy left-to-right merge."""
+    syms = {w: list(w) for w in word_counts}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for w, cnt in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + cnt
+        if not pc:
+            break
+        (lft, rgt), c = min(pc.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rnd, lft, rgt, c))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == lft and s[i + 1] == rgt:
+                    out.append(lft + rgt)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def _bpe_corpus_dir(tmp_path, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["src0"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    }), str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_bpe_matches_python_model_random(spark, tmp_path):
+    """Overlap-heavy random corpus ('aaaa', 'ababab', ...) stresses the
+    greedy left-to-right merge semantics of the space-doubling replace."""
+    from multiagent_form_schema_etl_spark.operators.llmprep import (
+        _BPE_ROUNDS, x5_bpe_vocab_train)
+
+    rng = random.Random(7)
+    words = ["".join(rng.choice("ab") for _ in range(rng.randint(1, 8)))
+             for _ in range(60)]
+    texts = [" ".join(rng.choice(words) for _ in range(rng.randint(3, 20)))
+             for _ in range(40)]
+    got = sorted(tuple(r) for r in
+                 x5_bpe_vocab_train(spark, _bpe_corpus_dir(tmp_path, texts))
+                 .collect())
+
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    want = sorted(_model_bpe(counts, _BPE_ROUNDS))
+    assert got == want
+
+
+def test_bpe_matches_python_model_real_corpus(spark):
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.operators.llmprep import (
+        _BPE_ROUNDS, x5_bpe_vocab_train)
+    from tests.conftest import SF_SMOKE
+
+    got = sorted(tuple(r) for r in
+                 x5_bpe_vocab_train(spark, SF_SMOKE).collect())
+    counts: dict[str, int] = {}
+    for row in load_table(spark, SF_SMOKE, "documents").select("text").collect():
+        for w in row["text"].split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    want = sorted(_model_bpe(counts, _BPE_ROUNDS))
+    assert got == want
+
+
+# --- components kernel on a known graph --------------------------------------
+
+def test_min_label_components_chain_graph(spark):
+    """A 10-node path graph (diameter 9) forces the propagation loop through
+    many rounds -- corpus near-dup clusters are cliques that converge in 2,
+    so this is the shape that would catch a broken iteration/convergence
+    check. Nodes 10-12 are isolated singletons."""
+    from multiagent_form_schema_etl_spark.operators.dedup import (
+        min_label_components)
+
+    nodes = spark.createDataFrame([(i,) for i in range(13)], "node_id long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(9)],
+                                  "a long, b long")
+    comp = {r["node_id"]: r["component_id"]
+            for r in min_label_components(nodes, chain).collect()}
+    assert all(comp[i] == 0 for i in range(10))
+    assert all(comp[i] == i for i in range(10, 13))
