@@ -185,6 +185,45 @@ def x1_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_filter(inter, sizes)
 
 
+@register("x1_dedup_jaccard_blockpairs", oracle=_JACCARD_ORACLE)
+def x1_dedup_jaccard_blockpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard >= 0.8 near-dup as a blocked PAIR join over packed token-set
+    arrays: docs shuffle once on (lang, length-bucket), pairs form block-
+    locally, and the intersection is a JVM-side array_intersect on the two
+    sorted token arrays -- no token explode, no quadratic join OUTPUT
+    through a shuffle, no groupBy at all.
+
+    Third physical strategy on the shared oracle. Cost model: the inverted
+    index (x1_dedup_jaccard_ngram) moves O(sum over tokens of block-pair
+    matches) rows through a shuffle + hash agg -- on a DENSE-match corpus
+    that is ~|vocab| rows PER PAIR. This plan moves each doc's token array
+    exactly once and pays O(|a|+|b|) per pair in-line, so it wins precisely
+    where the corpus is dense; with sparse matches and big blocks the m^2
+    pair enumeration loses to the index. Dense -> blockpairs, sparse ->
+    prefix, default -> ngram; all three are measured, not assumed."""
+    docs = load_table(spark, sf_dir, "documents")
+    sets = docs.select(
+        "doc_id", "lang",
+        F.floor(F.col("n_chars") / 50.0).cast("long").alias("bucket"),
+        F.array_sort(F.array_distinct(
+            F.filter(F.split("text", " "), lambda w: w != ""))).alias("toks"))
+    a, b = sets.alias("a"), sets.alias("b")
+    pairs = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.size(F.array_intersect("a.toks", "b.toks"))
+                      .alias("n_inter"),
+                     F.size("a.toks").alias("na"),
+                     F.size("b.toks").alias("nb")))
+    jac = (F.col("n_inter").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("n_inter")))
+    return (pairs.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= 0.8)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
 def _md5_int_sql(expr: str, engine: str) -> str:
     """Portable 32-bit integer hash: first 8 hex digits of md5. Identical in
     Spark and DuckDB, unlike murmur/xxhash."""
