@@ -64,7 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "x3_multimodal_schema",
     # streaming twins
     "st_tumbling_window", "st_sliding_window", "st_session_window",
-    "st_latest_event_per_user", "st_multi_granularity_rollup",
+    "st_latest_event_per_user", "st_stateful_threshold_batches",
     # window functions
     "w1_running_revenue_per_customer", "w_rank_top_customers_per_nation",
     "w2_lead_lag_event_gaps",
@@ -105,4 +105,4 @@ def load_all_modules() -> None:
         llmprep,
         multimodal,
     )
-    from ..streaming import batch_windows  # noqa: F401
+    from ..streaming import batch_windows, stateful  # noqa: F401

@@ -103,3 +103,64 @@ def test_stream_stream_join_matches_batch(spark):
         F.expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
         .collect())
     assert got == want and len(got) > 0
+
+
+def test_stateful_threshold_batches_state_survives_microbatches(spark, tmp_path):
+    """applyInPandasWithState threshold batching: stream the events table as
+    TWO ts-ordered files with maxFilesPerTrigger=1, so every user's running
+    (acc, n, batch_id) state must cross a micro-batch boundary; the emitted
+    closed batches must equal the oracle-backed batch twin's closed rows
+    bit-for-bit (identical sequential double accumulation)."""
+    import os
+    import shutil
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.streaming import stateful as stf
+
+    ev = (load_table(spark, SF_SMOKE, "events")
+          .select("user_id", "event_id", "ts", "value"))
+    split = ev.orderBy("ts", "event_id").collect()[ev.count() // 2]
+    first_half = ((F.col("ts") < split["ts"]) |
+                  ((F.col("ts") == split["ts"]) &
+                   (F.col("event_id") <= split["event_id"])))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (name, part) in enumerate(
+            [("a.parquet", ev.filter(first_half)),
+             ("b.parquet", ev.filter(~first_half))]):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        [pf] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.copy(stage / pf, src / name)
+        os.utime(src / name, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (spark.readStream
+           .schema("user_id long, event_id long, ts timestamp, value double")
+           .format("parquet").option("maxFilesPerTrigger", "1")
+           .load(str(src)))
+    st.run_append_to_memory(
+        stf.streaming_threshold_batches(spark, SF_SMOKE, source=raw),
+        "t_thresh")
+    got = _rows(spark.sql("SELECT * FROM t_thresh"))
+    want = _rows(stf.st_stateful_threshold_batches(spark, SF_SMOKE)
+                 .filter("closed"))
+    assert got == want and len(got) > 0
+
+
+def test_threshold_batches_kernel_properties(spark):
+    """Every closed batch crosses the threshold exactly once (removing its
+    last event drops it back below); open batches stay below it."""
+    from multiagent_form_schema_etl_spark.streaming import stateful as stf
+
+    rows = stf.st_stateful_threshold_batches(spark, SF_SMOKE).collect()
+    assert all(r["batch_value"] >= 100.0 for r in rows if r["closed"])
+    assert all(r["batch_value"] < 100.0 for r in rows if not r["closed"])
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    for u, bs in per_user.items():
+        bids = sorted(b["batch_id"] for b in bs)
+        assert bids == list(range(1, len(bids) + 1))
+        open_bs = [b for b in bs if not b["closed"]]
+        assert all(b["batch_id"] == len(bs) for b in open_bs)
