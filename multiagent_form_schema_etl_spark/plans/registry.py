@@ -104,5 +104,6 @@ def load_all_modules() -> None:
         textstats,
         llmprep,
         multimodal,
+        python_surface,
     )
     from ..streaming import batch_windows, stateful  # noqa: F401
