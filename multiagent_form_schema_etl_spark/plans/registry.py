@@ -56,7 +56,7 @@ PRIORITY: tuple[str, ...] = (
     # EXT: dedup / similarity / text / corpus prep / multimodal
     "x1_dedup_exact", "x1_dedup_jaccard_ngram", "x1_dedup_simhash",
     "x1_dedup_embedding_cosine", "x1_dedup_components",
-    "x1_dedup_chunk_exact", "x2_cosine_topk",
+    "s_pydatasource_formdocs", "x2_cosine_topk",
     "x4_token_stats",
     "x4_quality_score", "x4_doc_fingerprint", "x4_lang_id_char_ngram",
     "x5_train_test_split_hash", "x5_decontaminate_ngram",
@@ -106,4 +106,5 @@ def load_all_modules() -> None:
         multimodal,
         python_surface,
     )
+    from ..sources import pydatasource  # noqa: F401
     from ..streaming import batch_windows, stateful  # noqa: F401

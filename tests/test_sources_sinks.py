@@ -103,3 +103,38 @@ def test_golden_test_case_scan(spark):
         assert rows[(1, "governing_law")] == "California"
         assert rows[(2, "effective_date")] is None
         assert len(rows) == 4
+
+
+def test_pydatasource_formdocs_matches_driver_side_generation(spark):
+    """The Arrow-batched Python DataSource must emit exactly the rows its
+    generation rule describes (fixture blocks cycled over doc ids)."""
+    from multiagent_form_schema_etl_spark import fixtures
+    from multiagent_form_schema_etl_spark.sources.pydatasource import (
+        _N_FIXTURE_DOCS, formdocs)
+
+    got = sorted(tuple(r) for r in formdocs(spark, n_docs=12).collect())
+    want = sorted(
+        (d,) + row[1:]
+        for d in range(12)
+        for row in fixtures.BLOCK_ROWS
+        if row[0] == d % _N_FIXTURE_DOCS + 1)
+    assert got == want and len(got) > 0
+
+
+def test_pydatasource_pushdown_prunes_partitions(spark):
+    """doc_id range predicates reach pushFilters and shrink the planned
+    partition set; the residual filter still runs in Spark (correct rows)."""
+    from pyspark.sql import functions as F
+
+    from multiagent_form_schema_etl_spark.sources.pydatasource import formdocs
+
+    full = formdocs(spark, n_docs=200, partitions=8)
+    assert full.rdd.getNumPartitions() == 8
+    pruned = (formdocs(spark, n_docs=200, partitions=8)
+              .filter(F.col("doc_id") < 50))
+    assert pruned.rdd.getNumPartitions() == 2
+    assert pruned.select(F.max("doc_id")).collect()[0][0] == 49
+    point = (formdocs(spark, n_docs=200, partitions=8)
+             .filter(F.col("doc_id") == 130))
+    assert point.rdd.getNumPartitions() == 1
+    assert point.count() > 0
