@@ -26,12 +26,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to microseconds
-        # (integer `div`, matching DuckDB's ns→us cast truncation).
+        # events.parquet has carried two physical types for `ts` across
+        # driver testdata generations: TIMESTAMP(NANOS) (which Spark's
+        # vectorized reader rejects -- read nanos as long, truncate to
+        # microseconds with integer `div`, matching DuckDB's ns→us cast)
+        # and plain TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ).
+        # Normalize both to session-TZ TIMESTAMP (session TZ is pinned UTC).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes)["ts"] in ("bigint", "long"):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

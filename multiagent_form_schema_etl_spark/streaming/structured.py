@@ -16,8 +16,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_EVENT_SCHEMA = ("event_id long, ts long, user_id long, event_type string, "
-                 "value double, props string")
+_EVENT_SCHEMA_TEMPLATE = ("event_id long, ts {ts_type}, user_id long, "
+                          "event_type string, value double, props string")
 
 _DEC = "decimal(28,6)"
 
@@ -34,9 +34,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
     d = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(src, os.path.join(d, "events.parquet"))
-    raw = (spark.readStream.schema(_EVENT_SCHEMA)
+    # The declared stream schema must match the file's physical ts type
+    # (nanos-as-long vs native micros); probe it with a batch footer read.
+    ts_type = dict(spark.read.parquet(src).dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        raw = (spark.readStream
+               .schema(_EVENT_SCHEMA_TEMPLATE.format(ts_type="long"))
+               .format("parquet").load(d))
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = (spark.readStream
+           .schema(_EVENT_SCHEMA_TEMPLATE.format(ts_type=ts_type))
            .format("parquet").load(d))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
