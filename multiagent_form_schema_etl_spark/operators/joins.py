@@ -385,3 +385,47 @@ def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "event_type",
                     F.col("ts").alias("valid_from"), "valid_to",
                     F.col("valid_to").isNull().alias("is_current")))
+
+
+@register(
+    "etl_incremental_agg",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(SUM(CASE WHEN o_orderdate >= DATE '1997-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view refresh): fold a
+    delta batch (orders from 1997 on) into a previously-materialized base
+    aggregate (orders before 1997) by merging per-key PARTIAL aggregates --
+    count/sum are commutative monoids, so re-aggregating the union of
+    partials is exactly a full recompute (the oracle), never a rescan of
+    history. This is how a 100 TB nightly pipeline absorbs a day's data:
+    the base partials are read back from the materialized rollup (here:
+    recomputed, same lineage), only the delta scans new files, and the
+    merge shuffles one row per touched key. Partial sums stay DECIMAL until
+    the final cast so the merged double is bit-identical to the one-pass
+    aggregate. n_delta_orders exposes which keys the delta touched."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("date")
+    dec = "decimal(28,6)"
+
+    def partials(df: DataFrame, is_delta: bool) -> DataFrame:
+        g = (df.groupBy("o_custkey")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.sum(F.col("o_totalprice").cast(dec)).alias("rev_part")))
+        return g.withColumn(
+            "n_delta", F.col("n_orders") if is_delta else F.lit(0).cast("long"))
+
+    base = partials(orders.filter(F.col("o_orderdate") < cutoff), False)
+    delta = partials(orders.filter(F.col("o_orderdate") >= cutoff), True)
+    return (base.unionByName(delta)
+            .groupBy("o_custkey")
+            .agg(F.sum("n_orders").cast("long").alias("n_orders"),
+                 F.sum("rev_part").cast("double").alias("revenue"),
+                 F.sum("n_delta").cast("long").alias("n_delta_orders")))
