@@ -163,3 +163,121 @@ def streaming_threshold_batches(spark: SparkSession, sf_dir: str,
         stateStructType="acc double, n_events long, batch_id long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+# ---------------------------------------------------------------------------
+# transformWithState face (Spark 4 arbitrary-state API): per-user running
+# totals. Complements the applyInPandasWithState operator above with the
+# modern processor-class API (typed ValueState, update semantics).
+# ---------------------------------------------------------------------------
+
+_RT_SCHEMA = ("user_id long, event_id long, ts timestamp, "
+              "running_value double, n_events long")
+
+
+@register(
+    "st_tws_running_totals",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                OVER (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+           CAST(COUNT(*) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_events
+    FROM events
+    """,
+)
+def st_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the transformWithState running-totals operator: one
+    row PER EVENT carrying the user's running value total and event count
+    in (ts, event_id) order -- the update-mode view a feature store or
+    fraud scorer keeps per entity. The running sum routes through
+    DECIMAL(28,6) (order-independent addition) so batch, streaming, and
+    oracle agree bit-identically; one shuffle+sort on user_id serves both
+    window functions."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.sum(F.col("value").cast("decimal(28,6)")).over(w)
+         .cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_events"))
+
+
+def streaming_running_totals_tws(spark: SparkSession, sf_dir: str,
+                                 source: DataFrame | None = None) -> DataFrame:
+    """Live transformWithStateInPandas plan (Spark 4 StatefulProcessor).
+
+    State per user = (micros, n): the running total in exact integer
+    micro-units plus the event count. Each input row emits an updated
+    (running_value, n_events) snapshot (update semantics). Accumulating in
+    integer micros -- each double quantized through its shortest decimal
+    representation exactly like Spark's double->DECIMAL(28,6) cast -- keeps
+    the emitted doubles bit-identical to the batch twin's decimal window
+    sum regardless of arrival batching. Within a micro-batch rows are
+    processed in (ts, event_id) order; ValueState carries totals across
+    micro-batches (proven in tests with a 2-file maxFilesPerTrigger=1
+    source). Scale: two longs per user in the state store; output is
+    append-shaped per input row, so no state ever rescans history.
+
+    Environment gate: transformWithState's Python state-server client
+    speaks protobuf; if ``google.protobuf`` is not importable (it is not
+    baked into this container) this raises ImportError up front instead of
+    crashing the streaming runner mid-query. The batch twin above is
+    unaffected."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pyspark's state-server client); install protobuf or use "
+            "streaming_threshold_batches (applyInPandasWithState) instead"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .structured import stream_events
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType([StructField("micros", LongType()),
+                                 StructField("n", LongType())])
+            self._acc = handle.getValueState("acc", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            from decimal import ROUND_HALF_UP, Decimal
+
+            micros, n = self._acc.get() if self._acc.exists() else (0, 0)
+            uid = int(key[0])
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+                for eid, ts, v in zip(pdf["event_id"], pdf["ts"],
+                                      pdf["value"]):
+                    micros += int(Decimal(repr(float(v))).scaleb(6)
+                                  .to_integral_value(ROUND_HALF_UP))
+                    n += 1
+                    out.append((uid, int(eid), ts, micros / 1e6, n))
+            self._acc.update((micros, n))
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "ts",
+                              "running_value", "n_events"])
+
+        def close(self) -> None:
+            pass
+
+    ev = (source if source is not None
+          else stream_events(spark, sf_dir)).select(
+        "user_id", "event_id", "ts", "value")
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=_RT_SCHEMA,
+        outputMode="Update",
+        timeMode="None")

@@ -164,3 +164,65 @@ def test_threshold_batches_kernel_properties(spark):
         assert bids == list(range(1, len(bids) + 1))
         open_bs = [b for b in bs if not b["closed"]]
         assert all(b["batch_id"] == len(bs) for b in open_bs)
+
+
+def test_tws_running_totals_state_survives_microbatches(spark, tmp_path):
+    """transformWithStateInPandas running totals: stream events as TWO
+    ts-ordered files with maxFilesPerTrigger=1 so every user's (micros, n)
+    ValueState must cross a micro-batch boundary; the per-event update
+    stream must equal the oracle-backed batch twin bit-for-bit (integer
+    micro-unit accumulation == decimal window sum). Requires the RocksDB
+    state store (the transformWithState backend) and protobuf (the state
+    client wire format) -- skips where protobuf isn't installed."""
+    import os
+    import shutil
+
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state client requires protobuf")
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.streaming import stateful as stf
+
+    ev = (load_table(spark, SF_SMOKE, "events")
+          .select("user_id", "event_id", "ts", "value"))
+    split = ev.orderBy("ts", "event_id").collect()[ev.count() // 2]
+    first_half = ((F.col("ts") < split["ts"]) |
+                  ((F.col("ts") == split["ts"]) &
+                   (F.col("event_id") <= split["event_id"])))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (name, part) in enumerate(
+            [("a.parquet", ev.filter(first_half)),
+             ("b.parquet", ev.filter(~first_half))]):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        [pf] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.copy(stage / pf, src / name)
+        os.utime(src / name, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (spark.readStream
+           .schema("user_id long, event_id long, ts timestamp, value double")
+           .format("parquet").option("maxFilesPerTrigger", "1")
+           .load(str(src)))
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        st.run_update_to_memory(
+            stf.streaming_running_totals_tws(spark, SF_SMOKE, source=raw),
+            "t_tws")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    got = _rows(spark.sql("SELECT * FROM t_tws"))
+    want = _rows(stf.st_tws_running_totals(spark, SF_SMOKE))
+    assert got == want and len(got) > 0
