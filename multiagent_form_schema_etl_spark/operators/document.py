@@ -844,7 +844,17 @@ def scoped_cascade_values(scoped: DataFrame,
     method limit, so row-splitting by form plus a shared materialized input
     is the plan that both compiles and reads the input once. The cache is
     MEMORY_AND_DISK, lineage-preserving (recompute on executor loss), and
-    LRU-evicted after the query's action completes."""
+    LRU-evicted after the query's action completes.
+
+    A third layout -- persist only the (smaller) clauses relation and give
+    each branch its own form-pruned fields-join + context agg -- was
+    measured and rejected for the local bench: every branch then re-analyzes
+    the full cascade lineage (3x the driver-side Catalyst constant) and
+    re-shuffles the clause side, which loses once the session carries other
+    queries' caches. On a real cluster, where analysis amortizes and cache
+    memory is per-executor, that trade inverts; both layouts keep identical
+    semantics (every doc carries exactly one form, so form-branching
+    partitions rows disjointly)."""
     if share_input:
         scoped = scoped.persist()
     first_def: dict[str, tuple] = {}
