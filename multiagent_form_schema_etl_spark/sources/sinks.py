@@ -31,7 +31,10 @@ def write_final_json(df: DataFrame, out_dir: str, name: str) -> str:
     JSON file. coalesce(1) is deliberate and only valid because these
     outputs are tiny aggregates."""
     path = os.path.join(out_dir, name)
-    df.coalesce(1).write.mode("overwrite").json(path)
+    # Explicit nulls: the reference's json.dump writes null-valued fields
+    # (main.py:212-221); Spark's writer drops them unless told otherwise.
+    (df.coalesce(1).write.mode("overwrite")
+     .option("ignoreNullFields", "false").json(path))
     return path
 
 

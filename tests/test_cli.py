@@ -1,0 +1,56 @@
+"""CLI surface tests (__main__.py): the reference's entry points (SURVEY
+§3.1-3.3) driven end-to-end over the fixtures."""
+
+from __future__ import annotations
+
+import json
+import glob
+import os
+
+from multiagent_form_schema_etl_spark.__main__ import main
+
+
+def test_cli_pipeline_writes_stages_and_forms(spark, tmp_path):
+    out = str(tmp_path / "out")
+    rc = main(["pipeline", "--out", out,
+               "--stages", "clauses,forms"])
+    assert rc == 0
+    assert spark.read.parquet(os.path.join(out, "clauses")).count() > 0
+    [jf] = glob.glob(os.path.join(out, "forms_json", "part-*.json"))
+    rows = [json.loads(line) for line in open(jf)]
+    assert rows and {"doc_id", "field_name", "value"} <= set(rows[0])
+
+
+def test_cli_pipeline_scoped_mode_and_form_filter(spark, tmp_path):
+    out = str(tmp_path / "scoped")
+    rc = main(["pipeline", "--mode", "scoped", "--form", "NDA_Form",
+               "--out", out])
+    assert rc == 0
+    [jf] = glob.glob(os.path.join(out, "forms_json", "part-*.json"))
+    rows = [json.loads(line) for line in open(jf)]
+    assert rows and all(r["form_name"] == "NDA_Form" for r in rows)
+
+
+def test_cli_evaluate_writes_report(spark, tmp_path):
+    out = str(tmp_path / "eval")
+    rc = main(["evaluate", "--out", out])
+    assert rc == 0
+    [jf] = glob.glob(os.path.join(out, "eval_report", "part-*.json"))
+    rows = [json.loads(line) for line in open(jf)]
+    assert rows and "f1" in rows[0]
+
+
+def test_cli_query_runs_and_rejects_unknown(spark, capsys, tmp_path):
+    assert main(["query", "q01_pricing_summary",
+                 "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"]) == 0
+    lines = [json.loads(line)
+             for line in capsys.readouterr().out.strip().splitlines()]
+    assert 0 < len(lines) <= 3 and "l_returnflag" in lines[0]
+    assert main(["query", "no_such_query"]) == 2
+
+
+def test_cli_list_names_every_registered_query(spark, capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    import __spark_entry__ as e
+    assert all(name in out for name in e.queries())
