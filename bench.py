@@ -61,11 +61,22 @@ def main() -> None:
     # Warm the JVM + parquet footers once so timings measure steady state.
     qs[names[0]](spark, SF_DIR).collect()
 
+    from pyspark.sql import functions as F
+
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
         df = qs[name](spark, SF_DIR)
-        n = df.count() if len(df.columns) > 12 else len(df.collect())
-        assert n >= 0
+        # Reduce through count + a hash of EVERY output column: forces full
+        # computation of the result (nothing is prunable the way it is
+        # under a bare count) while shipping one row to the driver -- the
+        # timing measures the engine, not Python Row materialization of
+        # large results (w1 at sf0.1 is 150k rows; collecting them costs
+        # ~2.5s of pure driver-side transfer that no cluster deploy pays).
+        [r] = (df.select(F.count(F.lit(1)).alias("n"),
+                         F.max(F.xxhash64(*[F.col(c) for c in df.columns]))
+                          .alias("h"))
+               .collect())
+        assert r["n"] >= 0
         return round(time.perf_counter() - t0, 3)
 
     # Cold pass (includes each query's one-time Catalyst analysis + codegen

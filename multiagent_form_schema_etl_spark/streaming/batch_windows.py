@@ -213,3 +213,105 @@ def st_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.groupBy("purchase_id")
             .agg(F.count(F.lit(1)).alias("n_clicks_1h"),
                  F.min("click_id").alias("first_click_id")))
+
+
+@register(
+    "st_gap_fill_forward",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(SUM(CAST(value AS {_DEC})) AS DOUBLE) AS hour_value
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds)
+    SELECT g.user_id, g.h AS hour_start,
+           hr.hour_value IS NOT NULL AS observed,
+           LAST_VALUE(hr.hour_value IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.h
+                   ROWS UNBOUNDED PRECEDING) AS filled_value
+    FROM grid g
+    LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+    """,
+)
+def st_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: densify each user's hourly activity onto a
+    complete hour grid (min..max observed hour) and forward-fill the last
+    observed hourly total across the gaps -- the standard resample+ffill
+    step before feature windows or charting, done relationally: per-user
+    ``sequence()`` explode for the grid (no driver loop, no cross join
+    against a global calendar), one co-partitioned left join, one ordered
+    window for the fill. Everything stays partitioned by user_id; grid
+    size is bounded per user by its own activity span."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.sum(F.col("value").cast(_DEC)).cast("double")
+                   .alias("hour_value")))
+    grid = (hourly.groupBy("user_id")
+            .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+            .select("user_id",
+                    F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR")))
+                     .alias("h")))
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    w = (Window.partitionBy("user_id").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return j.select(
+        "user_id", F.col("h").alias("hour_start"),
+        F.col("hour_value").isNotNull().alias("observed"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"))
+
+
+@register(
+    "st_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+      GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click,
+           CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v) AS view_to_purchase_rate
+    """,
+)
+def st_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view -> click -> purchase): per user, the first
+    view, the first click strictly AFTER it, the first purchase strictly
+    after that; one row of per-step user counts + the end-to-end rate (an
+    exact count ratio, so the double division is engine-identical). Each
+    step is a min-aggregate semi-joined to the previous step's users --
+    shuffles stay on user_id end to end, and each step's input shrinks, the
+    standard funnel shape at event-log scale (no window over the full log,
+    no self-join explosion)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    counts = (v.agg(F.count(F.lit(1)).alias("n_viewed"))
+              .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+              .crossJoin(p.agg(F.count(F.lit(1))
+                               .alias("n_purchased_after_click"))))
+    return counts.select(
+        "n_viewed", "n_clicked_after_view", "n_purchased_after_click",
+        (F.col("n_purchased_after_click").cast("double")
+         / F.col("n_viewed")).alias("view_to_purchase_rate"))
