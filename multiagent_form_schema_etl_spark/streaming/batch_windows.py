@@ -315,3 +315,49 @@ def st_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_viewed", "n_clicked_after_view", "n_purchased_after_click",
         (F.col("n_purchased_after_click").cast("double")
          / F.col("n_viewed")).alias("view_to_purchase_rate"))
+
+
+@register(
+    "st_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+               AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS active_week
+      FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('week', f.cohort_week, a.active_week) AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def st_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their first
+    event; for each (cohort_week, week_offset) the count of users still
+    active. The per-user min and the distinct (user, week) activity set
+    both shuffle ONCE on user_id, their join is co-partitioned, and only
+    the final tiny (cohort, offset) rollup re-keys -- the standard shape
+    for retention matrices over event logs at any scale. week_offset
+    counts whole Mondays-to-Monday weeks between truncated dates, so the
+    integer division is exact on both engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.to_date(F.date_trunc("week", F.min("ts")))
+                   .alias("cohort_week")))
+    activity = (ev.select("user_id",
+                          F.to_date(F.date_trunc("week", "ts"))
+                           .alias("active_week"))
+                .distinct())
+    j = firsts.join(activity, "user_id")
+    return (j.groupBy(
+                "cohort_week",
+                (F.datediff("active_week", "cohort_week") / 7)
+                 .cast("long").alias("week_offset"))
+            .agg(F.countDistinct("user_id").cast("long").alias("n_active")))
