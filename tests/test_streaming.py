@@ -226,3 +226,55 @@ def test_tws_running_totals_state_survives_microbatches(spark, tmp_path):
     got = _rows(spark.sql("SELECT * FROM t_tws"))
     want = _rows(stf.st_tws_running_totals(spark, SF_SMOKE))
     assert got == want and len(got) > 0
+
+
+def test_gap_fill_grid_is_contiguous_and_filled(spark):
+    """Every user's gap-filled grid is a complete hourly sequence from the
+    first to the last observed hour; filled_value is never NULL (row 1 is
+    always observed) and equals the last observed hourly total."""
+    from multiagent_form_schema_etl_spark.plans import registry
+
+    registry.load_all_modules()
+    rows = registry.QUERIES["st_gap_fill_forward"](spark, SF_SMOKE).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for rs in by_user.values():
+        rs.sort(key=lambda r: r["hour_start"])
+        assert rs[0]["observed"]  # grid starts at the first observed hour
+        for a, b in zip(rs, rs[1:]):
+            assert (b["hour_start"] - a["hour_start"]).total_seconds() == 3600
+        assert all(r["filled_value"] is not None for r in rs)
+        last = None
+        for r in rs:
+            if r["observed"]:
+                last = r["filled_value"]
+            assert r["filled_value"] == last
+
+
+def test_funnel_steps_monotonically_shrink(spark):
+    from multiagent_form_schema_etl_spark.plans import registry
+
+    registry.load_all_modules()
+    [r] = registry.QUERIES["st_funnel_conversion"](spark, SF_SMOKE).collect()
+    assert r["n_viewed"] >= r["n_clicked_after_view"] >= r["n_purchased_after_click"] >= 0
+    assert r["n_viewed"] > 0
+    assert abs(r["view_to_purchase_rate"]
+               - r["n_purchased_after_click"] / r["n_viewed"]) == 0.0
+
+
+def test_cohort_retention_offsets_start_at_zero(spark):
+    """Every cohort has a week-0 row whose n_active covers every user the
+    cohort ever counts (week 0 is the cohort's own first-event week)."""
+    from multiagent_form_schema_etl_spark.plans import registry
+
+    registry.load_all_modules()
+    rows = registry.QUERIES["st_cohort_retention"](spark, SF_SMOKE).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r["n_active"]
+    assert by_cohort
+    for offsets in by_cohort.values():
+        assert 0 in offsets and min(offsets) == 0
+        assert offsets[0] == max(offsets.values())
