@@ -278,3 +278,64 @@ def test_cohort_retention_offsets_start_at_zero(spark):
     for offsets in by_cohort.values():
         assert 0 in offsets and min(offsets) == 0
         assert offsets[0] == max(offsets.values())
+
+
+def test_threshold_batches_state_survives_query_restart(spark, tmp_path):
+    """Durable state recovery: drain file 1 with an explicit checkpoint
+    location, STOP the query, add file 2, start a NEW query on the same
+    checkpoint -- the restarted query must resume from the stored offsets
+    (re-emitting nothing) and its state must carry the open batches, so the
+    union of both runs' closed batches equals the batch twin's closed rows
+    bit-for-bit."""
+    import os
+    import shutil
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.streaming import stateful as stf
+
+    ev = (load_table(spark, SF_SMOKE, "events")
+          .select("user_id", "event_id", "ts", "value"))
+    split = ev.orderBy("ts", "event_id").collect()[ev.count() // 2]
+    first_half = ((F.col("ts") < split["ts"]) |
+                  ((F.col("ts") == split["ts"]) &
+                   (F.col("event_id") <= split["event_id"])))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_file(i, part):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        [pf] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.copy(stage / pf, src / f"{chr(97 + i)}.parquet")
+        os.utime(src / f"{chr(97 + i)}.parquet",
+                 (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        # memory sink can't recover from a checkpoint; the parquet file
+        # sink can (exactly-once via its _spark_metadata commit log).
+        raw = (spark.readStream
+               .schema("user_id long, event_id long, ts timestamp, value double")
+               .format("parquet").load(str(src)))
+        q = (stf.streaming_threshold_batches(spark, SF_SMOKE, source=raw)
+             .writeStream.format("parquet").option("path", out)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return _rows(spark.read.parquet(out))
+
+    add_file(0, ev.filter(first_half))
+    run1 = drain()
+
+    add_file(1, ev.filter(~first_half))
+    total = drain()  # fresh query, same checkpoint + sink
+
+    want = _rows(stf.st_stateful_threshold_batches(spark, SF_SMOKE)
+                 .filter("closed"))
+    assert total == want
+    run2 = [r for r in total if r not in set(run1)]
+    assert len(run1) > 0 and len(run2) > 0  # both runs closed batches
+    assert sorted(run1 + run2) == total     # restart re-emitted nothing
