@@ -888,9 +888,7 @@ def scoped_cascade_values(scoped: DataFrame,
     return out
 
 
-@register(
-    "doc_u7_scoped_extraction",
-    oracle=f"""{_CTES},
+_SCOPED_CTES = f"""{_CTES},
     field_sections AS (
       SELECT s.form_name, s.field_name, s.section, f.doc_id
       FROM schema_meta s JOIN doc_forms f ON s.form_name = f.form_name),
@@ -910,7 +908,12 @@ def scoped_cascade_values(scoped: DataFrame,
              COALESCE(e.clause_text, fz.ctx, '') AS context
       FROM field_sections fs
       LEFT JOIN exact e ON fs.doc_id = e.doc_id AND fs.field_name = e.field_name
-      LEFT JOIN fuzzy fz ON fs.doc_id = fz.doc_id AND fs.field_name = fz.field_name)
+      LEFT JOIN fuzzy fz ON fs.doc_id = fz.doc_id AND fs.field_name = fz.field_name)"""
+
+
+@register(
+    "doc_u7_scoped_extraction",
+    oracle=f"""{_SCOPED_CTES}
     SELECT doc_id, form_name, field_name,
            {_scoped_cascade_case(DUCK)} AS value
     FROM scoped
@@ -928,13 +931,30 @@ def doc_u7_scoped_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCALE_COPIES = 2500  # 4 fixture docs -> 10k documents
 
 
-@register("doc_pipeline_scaled")  # replicated corpus; throughput path => rows-only
+@register(
+    "doc_pipeline_scaled",
+    oracle=f"""{_CTES}
+    SELECT form_name,
+           CAST(COUNT(DISTINCT doc_id) * {_SCALE_COPIES} AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN required AND value IS NULL THEN 1 ELSE 0 END)
+                * {_SCALE_COPIES} AS BIGINT) AS n_missing_required,
+           CAST(COUNT(value) * {_SCALE_COPIES} AS BIGINT) AS n_values
+    FROM recovered GROUP BY form_name
+    """,
+)
 def doc_pipeline_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput variant: the full blocks→clauses→extraction→validation→
     recovery lineage over a 10k-document corpus (fixture docs replicated
     with shifted doc_ids via a range cross-join -- pure Spark, no driver
     loop). Output is the per-form completeness rollup, so bench measures the
     whole pipeline while collecting only 3 rows.
+
+    Oracle: replication is linear -- every copy is the fixture corpus with
+    a shifted doc_id key space -- so the scaled rollup must equal the
+    fixture-scale rollup times the copy count exactly. The hash-match
+    therefore verifies BOTH the pipeline semantics at 10k docs and the
+    isolation of the replication (any window/aggregate leaking across the
+    shifted doc_id boundaries breaks the multiplier).
 
     This is the shape that carries to 100 TB: replication only changes the
     doc_id key space; every stage stays partitioned by doc_id."""
@@ -955,14 +975,29 @@ def doc_pipeline_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("value").alias("n_values")))
 
 
-@register("doc_pipeline_scoped_scaled")  # replicated corpus; throughput => rows-only
+@register(
+    "doc_pipeline_scoped_scaled",
+    oracle=f"""{_SCOPED_CTES},
+    vals AS (
+      SELECT doc_id, form_name, {_scoped_cascade_case(DUCK)} AS value
+      FROM scoped)
+    SELECT form_name,
+           CAST(COUNT(DISTINCT doc_id) * {_SCALE_COPIES} AS BIGINT) AS n_docs,
+           CAST(COUNT(value) * {_SCALE_COPIES} AS BIGINT) AS n_values,
+           CAST(COUNT(*) * {_SCALE_COPIES} AS BIGINT) AS n_fields
+    FROM vals GROUP BY form_name
+    """,
+)
 def doc_pipeline_scoped_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput twin of doc_pipeline_scaled for the reference's INTENDED
     clause-grounded mode (form_filler.py:101-115): blocks→clauses→J2 section
     context→scoped cascade over a 10k-document corpus, rolled up per form.
     Exercises the sessionization windows, the doc_id-co-partitioned context
     join, and the guarded-hoisted cascade at data scale -- everything stays
-    partitioned by doc_id, so the shape carries to 100 TB."""
+    partitioned by doc_id, so the shape carries to 100 TB. Oracle = the
+    fixture-scale scoped rollup times the copy count (replication is
+    linear; see doc_pipeline_scaled for why the multiplier is also an
+    isolation check)."""
     copies = spark.range(_SCALE_COPIES).select(F.col("id").alias("copy"))
     shift = F.col("copy") * 4
     blocks = (blocks_df(spark).crossJoin(copies)
