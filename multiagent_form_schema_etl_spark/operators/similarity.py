@@ -140,6 +140,66 @@ def x2_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rnk") <= _TOP_K))
 
 
+@register("x2_cosine_topk_gemm")  # BLAS fp64 fold order != SQL sum => rows-only
+def x2_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k via Arrow-batched numpy GEMM -- the kernel a
+    100 TB bucket-rerank actually wants.
+
+    The zip_with/aggregate fold (`x2_cosine_topk_bruteforce`) evaluates one
+    scalar expression per (pair, dim); a matrix multiply against the whole
+    Arrow batch amortizes that into one BLAS call per batch:
+    ``scores = batch_matrix @ Q.T`` where Q is the L2-normalized query
+    matrix (10 x 64, riding the task closure -- small enough that a
+    broadcast variable would be overkill). Per batch, each query keeps a
+    local top-k under the FINAL ordering (cosine desc, match_id asc), so
+    the global window over the union of local winners is exact, and only
+    k rows per (query, batch) ever reach the shuffle.
+
+    Cosines are rounded at 9 dp (engine policy) and ties break on
+    match_id; BLAS fp64 accumulation order differs from a SQL SUM, so this
+    registers rows-only -- rank agreement with the decimal-exact
+    `x2_cosine_topk` is pinned in pytest (test_ann_recall.py)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("vec")))
+    qrows = (emb.filter(F.col("vec_id") < _N_QUERIES)
+             .orderBy("vec_id").collect())  # 10 x 64 -- driver-side by design
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qm = np.array([r.vec for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    top_k = _TOP_K
+
+    def gemm_topk(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            scores = np.round(m @ qm.T, 9)  # (batch, n_queries)
+            out_q, out_m, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = scores[:, j]
+                mask = ids != qid
+                cand_ids, cand_cos = ids[mask], col[mask]
+                # local top-k under the exact final ordering
+                order = np.lexsort((cand_ids, -cand_cos))[:top_k]
+                out_q.extend([qid] * len(order))
+                out_m.extend(cand_ids[order])
+                out_c.extend(cand_cos[order])
+            yield pd.DataFrame({"query_id": np.array(out_q, dtype=np.int64),
+                                "match_id": np.array(out_m, dtype=np.int64),
+                                "cosine": np.array(out_c, dtype=np.float64)})
+
+    local = emb.mapInPandas(
+        gemm_topk, "query_id long, match_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (local.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= _TOP_K)
+            .select("query_id", "match_id", "cosine", "rnk"))
+
+
 @register(
     "x1_dedup_embedding_cosine",
     oracle=f"""

@@ -79,6 +79,23 @@ def test_bruteforce_topk_matches_exact(spark):
     assert exact == brute
 
 
+def test_gemm_topk_matches_exact(spark):
+    """The Arrow/numpy GEMM brute-force path must pick the same top-k pairs
+    (and ranks) as the decimal-exact oracle variant; its 9-dp-rounded
+    cosines may differ from the decimal values only below the rounding
+    grain."""
+    qs = _queries()
+    exact = {(r.query_id, r.match_id): (r.rnk, r.cosine)
+             for r in qs["x2_cosine_topk"](spark, SF_CHECK).collect()}
+    gemm = {(r.query_id, r.match_id): (r.rnk, r.cosine)
+            for r in qs["x2_cosine_topk_gemm"](spark, SF_CHECK).collect()}
+    assert exact.keys() == gemm.keys()
+    for pair, (rnk, cos) in exact.items():
+        grnk, gcos = gemm[pair]
+        assert grnk == rnk
+        assert abs(gcos - cos) <= 2e-9
+
+
 def test_ann_lsh_recall_vs_exact(spark):
     """Banded random-hyperplane LSH top-5 must overlap the exact top-5
     meaningfully even on clusterless random vectors (measured 0.42 at
