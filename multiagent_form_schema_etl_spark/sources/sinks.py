@@ -38,5 +38,41 @@ def write_final_json(df: DataFrame, out_dir: str, name: str) -> str:
     return path
 
 
+def write_layout_optimized(df: DataFrame, out_dir: str, stage: str,
+                           range_key: str, n_files: int,
+                           sort_keys: list[str] | None = None,
+                           max_records_per_file: int = 0) -> str:
+    """Layout-aware parquet sink: the write-side lever for read performance
+    at 100 TB.
+
+    Three knobs, applied together:
+
+    - ``repartitionByRange(n_files, range_key)`` -- each output file covers
+      a disjoint key range, so every file's parquet min/max statistics are
+      NARROW on the range key and a point/range predicate on re-read prunes
+      to O(1) files instead of scanning all of them. (Hash partitioning
+      spreads every key range over every file -- min/max stats then span
+      the whole domain and prune nothing.)
+    - ``sortWithinPartitions`` -- rows inside each file are ordered, so
+      parquet page-level (column index) stats prune within the file too,
+      and run-length/dictionary encodings compress better.
+    - ``maxRecordsPerFile`` -- caps file size so one hot range cannot
+      produce a multi-GB file (the write-side analog of AQE skew
+      splitting); 0 = no cap. n_files controls the opposite failure: too
+      many small files (name-node pressure, per-file open cost).
+
+    Returns the output path. Re-read prunability is asserted in
+    tests/test_sources_sinks.py by checking per-file parquet footer
+    min/max disjointness."""
+    path = os.path.join(out_dir, stage)
+    out = df.repartitionByRange(n_files, range_key)
+    out = out.sortWithinPartitions(*(sort_keys or [range_key]))
+    w = out.write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+    return path
+
+
 def read_stage(spark, out_dir: str, stage: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, stage))

@@ -46,6 +46,58 @@ def test_stage_sink_round_trip(spark):
         assert rep.collect()[0]["count"] == 25
 
 
+def test_layout_optimized_sink_prunes(spark):
+    """write_layout_optimized must produce range-disjoint, in-file-sorted
+    parquet: every file's (min,max) on the range key is narrow and
+    non-overlapping, so a point predicate prunes to one file -- unlike a
+    hash-partitioned write of the same data, whose per-file stats span the
+    whole key domain."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+
+    def key_ranges(path):
+        spans = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("o_orderkey")
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            spans.append((lo, hi))
+        return spans
+
+    with tempfile.TemporaryDirectory() as d:
+        path = sinks.write_layout_optimized(orders, d, "orders_ranged",
+                                            range_key="o_orderkey", n_files=4)
+        spans = sorted(key_ranges(path))
+        assert len(spans) == 4
+        for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+            assert hi_prev < lo_next  # disjoint => min/max pruning works
+
+        # contrast: hash-partitioned layout has full-domain stats per file
+        hashed = orders.repartition(4, "o_orderkey")
+        hashed.write.mode("overwrite").parquet(f"{d}/orders_hashed")
+        hspans = key_ranges(f"{d}/orders_hashed")
+        domain_lo = min(lo for lo, _ in hspans)
+        domain_hi = max(hi for _, hi in hspans)
+        assert all(hi - lo > (domain_hi - domain_lo) * 0.5 for lo, hi in hspans)
+
+        # re-read correctness + in-file ordering
+        back = spark.read.parquet(path)
+        assert back.count() == orders.count()
+        probe = back.filter(F.col("o_orderkey") == 1).collect()
+        assert len(probe) == orders.filter(F.col("o_orderkey") == 1).count()
+        one = pq.read_table(sorted(glob.glob(f"{path}/*.parquet"))[0],
+                            columns=["o_orderkey"]).to_pandas()["o_orderkey"]
+        assert one.is_monotonic_increasing
+
+
 def test_layout_classifier_strategy(spark):
     from multiagent_form_schema_etl_spark.operators.document import words_df
     from multiagent_form_schema_etl_spark.operators.strategies import classify_words
