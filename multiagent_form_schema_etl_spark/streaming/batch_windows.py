@@ -132,6 +132,39 @@ def st_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_stream_static_enrich",
+    oracle="""
+    SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, batch twin: purchase events joined to the
+    customer dimension and rolled up to hourly revenue per market segment.
+
+    The streaming face (`streaming.structured.streaming_static_enrichment`)
+    joins the unbounded stream against the same BROADCAST static dim -- the
+    canonical scale shape for stream enrichment: the dim ships once per
+    executor, the stream never shuffles for the join, and only the windowed
+    aggregation keeps state."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cust = (load_table(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("user_id"),
+                    F.col("c_mktsegment").alias("segment")))
+    return (ev.join(F.broadcast(cust), "user_id")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.sum(F.col("value").cast(_DEC)).cast("double").alias("revenue"))
+            .select(F.col("w.start").alias("window_start"), "segment",
+                    "n_purchases", "revenue"))
+
+
+@register(
     "st_multi_granularity_rollup",
     oracle="""
     WITH base AS (

@@ -116,6 +116,29 @@ def run_foreach_batch_snapshots(df: DataFrame, out_dir: str) -> None:
     q.awaitTermination()
 
 
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment -- streaming twin of
+    st_stream_static_enrich: the purchase stream joins the static customer
+    dimension (broadcast: ships once per executor, stream side never
+    shuffles for the join, no join state kept) and rolls up hourly revenue
+    per market segment. Only the windowed aggregation is stateful, bounded
+    by the watermark."""
+    from ..catalog import load_table
+
+    ev = (stream_events(spark, sf_dir)
+          .filter(F.col("event_type") == "purchase")
+          .withWatermark("ts", "30 minutes"))
+    cust = (load_table(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("user_id"),
+                    F.col("c_mktsegment").alias("segment")))
+    return (ev.join(F.broadcast(cust), "user_id")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.sum(F.col("value").cast(_DEC)).cast("double").alias("revenue"))
+            .select(F.col("w.start").alias("window_start"), "segment",
+                    "n_purchases", "revenue"))
+
+
 def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time bounds: purchases joined to
     the same user's clicks from the preceding hour. Both sides are

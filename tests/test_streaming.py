@@ -30,6 +30,13 @@ def test_streaming_session_matches_batch(spark):
     assert got == want and len(got) > 0
 
 
+def test_streaming_static_enrichment_matches_batch(spark):
+    st.run_to_memory(st.streaming_static_enrichment(spark, SF_SMOKE), "t_enrich")
+    got = _rows(spark.sql("SELECT * FROM t_enrich"))
+    want = _rows(bw.st_stream_static_enrich(spark, SF_SMOKE))
+    assert got == want and len(got) > 0
+
+
 def test_streaming_dedup_drops_nothing_on_unique_ids(spark):
     st.run_append_to_memory(st.streaming_dedup_events(spark, SF_SMOKE), "t_dedup")
     n_stream = spark.sql("SELECT count(*) AS n FROM t_dedup").collect()[0]["n"]
