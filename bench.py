@@ -39,6 +39,7 @@ OPTIONAL = [
     "x1_dedup_minhash_lsh",
     "x2_cosine_topk",
     "x2_cosine_topk_bruteforce",
+    "x2_cosine_topk_gemm",
     "x4_token_stats",
     "x4_doc_fingerprint",
     "x5_decontaminate_ngram",

@@ -372,9 +372,11 @@ def min_label_components(nodes: DataFrame, pairs: DataFrame,
     return labels.select("node_id", F.col("label").alias("component_id"))
 
 
-@register(
-    "x1_dedup_components",
-    oracle=f"""
+# Shared by both connected-components strategies (min-label propagation and
+# large-star/small-star contraction): the physical algorithm differs, the
+# logical result -- per-cluster canonical ids over the Jaccard >= 0.8 pair
+# graph -- is identical, so they share one recursive-CTE oracle.
+_COMPONENTS_ORACLE = f"""
     WITH RECURSIVE {_TOKENS_CTE},
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -398,8 +400,10 @@ def min_label_components(nodes: DataFrame, pairs: DataFrame,
              FROM reach GROUP BY src)
     SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM comp GROUP BY component_id
-    """,
-)
+    """
+
+
+@register("x1_dedup_components", oracle=_COMPONENTS_ORACLE)
 def x1_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: connected components over the Jaccard >= 0.8
     pair graph, so each duplicate cluster gets one canonical id (min doc_id)
@@ -417,6 +421,85 @@ def x1_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = x1_dedup_jaccard_ngram(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     comp = min_label_components(docs, pairs)
+    return (comp.groupBy("component_id")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def star_contraction_components(nodes: DataFrame, pairs: DataFrame,
+                                max_rounds: int = 12) -> DataFrame:
+    """Connected components by alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") -- the
+    100 TB alternative to min-label propagation: label propagation needs
+    O(graph diameter) rounds (a chain of pairwise near-dups propagates one
+    hop per round), star contraction converges in O(log n) rounds
+    regardless of diameter, because every round rewires whole neighborhoods
+    onto their minimum instead of moving labels one edge at a time.
+
+    Each round is two edge rewrites, all shuffles on node id:
+    - large-star: per node u, every LARGER neighbor v re-attaches to
+      m = min(N(u) ∪ {u});
+    - small-star: per node u (edges directed toward smaller ids), every
+      smaller-or-equal neighbor and u itself attach to m.
+    At the fixed point the edge set is exactly the star {(v, root)} per
+    component. Convergence is detected with a scalar signature (edge count
+    + xxhash sum), never a data collect; localCheckpoint truncates lineage
+    per round exactly like the label-prop twin."""
+    node_col, (pa, pb) = nodes.columns[0], pairs.columns[:2]
+    e = (pairs.select(F.col(pa).alias("u"), F.col(pb).alias("v"))
+         .filter(F.col("u") != F.col("v")))
+    e = (e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+         .distinct().localCheckpoint())
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star: group by u over the symmetric edge set
+        mins = (e.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("m")))
+        large = (e.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct())
+        # re-symmetrize for the next grouping
+        ls = (large.unionByName(large.select(F.col("v").alias("u"),
+                                             F.col("u").alias("v")))
+              .distinct())
+        # small-star: direct every edge toward the smaller id, group by the
+        # larger endpoint, attach it and all its smaller neighbors to m
+        directed = ls.filter(F.col("v") < F.col("u"))
+        smins = (directed.groupBy("u").agg(F.min("v").alias("m")))
+        att_nbrs = (directed.join(smins, "u")
+                    .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        att_self = smins.select("u", F.col("m").alias("v"))
+        small = (att_nbrs.unionByName(att_self)
+                 .filter(F.col("u") != F.col("v")).distinct())
+        e = (small.unionByName(small.select(F.col("v").alias("u"),
+                                            F.col("u").alias("v")))
+             .distinct().localCheckpoint())
+        sig = tuple(e.agg(F.count(F.lit(1)),
+                          F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+                          ).first())
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    roots = e.filter(F.col("v") < F.col("u")).select(
+        F.col("u").alias("node_id"), F.col("v").alias("component_id"))
+    # stars guarantee one parent per non-root node; min() is a no-op guard
+    roots = roots.groupBy("node_id").agg(F.min("component_id").alias("component_id"))
+    return (nodes.select(F.col(node_col).alias("node_id"))
+            .join(roots, "node_id", "left")
+            .select("node_id",
+                    F.coalesce("component_id", "node_id").alias("component_id")))
+
+
+@register("x1_dedup_components_star", oracle=_COMPONENTS_ORACLE)
+def x1_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering via large-star/small-star contraction -- same
+    logical result (and oracle) as `x1_dedup_components`, different physical
+    strategy: O(log n) rounds instead of O(diameter), the shape that wins on
+    long-chain duplicate graphs at 100 TB. Cross-strategy equality is also
+    pinned in pytest (test_corpus_prep.py)."""
+    pairs = x1_dedup_jaccard_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = star_contraction_components(docs, pairs)
     return (comp.groupBy("component_id")
             .agg(F.count(F.lit(1)).alias("n_docs")))
 

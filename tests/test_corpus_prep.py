@@ -78,3 +78,27 @@ def test_corpus_filter_funnel_is_monotone(spark):
         assert rows[a].n_tokens >= rows[b].n_tokens
     n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
     assert rows["0_all"].n_docs == n_docs
+
+
+def test_star_contraction_equals_label_propagation(spark):
+    """Both connected-components strategies must produce identical
+    clusterings -- on the real Jaccard pair graph AND on a 60-node chain,
+    the adversarial case for label propagation (diameter = rounds) where
+    star contraction converges in O(log n) rounds."""
+    from multiagent_form_schema_etl_spark.operators import dedup as D
+
+    qs = _queries()
+    lp = {(r.component_id, r.n_docs)
+          for r in qs["x1_dedup_components"](spark, SF_SMOKE).collect()}
+    star = {(r.component_id, r.n_docs)
+            for r in qs["x1_dedup_components_star"](spark, SF_SMOKE).collect()}
+    assert lp == star and len(lp) > 0
+
+    # chain 0-1-2-...-59 plus isolated nodes 100..104
+    nodes = spark.range(0, 60).withColumnRenamed("id", "node").unionByName(
+        spark.range(100, 105).withColumnRenamed("id", "node"))
+    pairs = spark.range(0, 59).selectExpr("id AS a", "id + 1 AS b")
+    got = {(r.node_id, r.component_id)
+           for r in D.star_contraction_components(nodes, pairs).collect()}
+    want = {(n, 0) for n in range(60)} | {(n, n) for n in range(100, 105)}
+    assert got == want
