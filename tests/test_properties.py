@@ -179,3 +179,36 @@ def test_pandas_udf_tokenizer_matches_builtin(spark):
         py_count("text").alias("udf_n"),
         F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("builtin_n"))
     assert both.filter(F.col("udf_n") != F.col("builtin_n")).count() == 0
+
+
+def test_star_contraction_matches_union_find_on_random_graphs(spark):
+    """Differential: star contraction vs a plain Python union-find on
+    seeded random graphs (dense, sparse, and mostly-isolated regimes)."""
+    import random
+
+    from multiagent_form_schema_etl_spark.operators.dedup import (
+        star_contraction_components,
+    )
+
+    for seed, n, m in ((1, 30, 15), (2, 40, 60), (3, 25, 4)):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {(i, find(i)) for i in range(n)}
+
+        nodes = spark.range(0, n).withColumnRenamed("id", "node")
+        pairs = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+        got = {(r.node_id, r.component_id)
+               for r in star_contraction_components(nodes, pairs).collect()}
+        assert got == want, f"seed {seed}"
