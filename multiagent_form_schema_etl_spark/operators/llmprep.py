@@ -814,6 +814,23 @@ def x5_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries doubled, consuming one space on each side of a match leaves
     neighbouring pair sites intact ('l l l' merges to 'll l', not 'l ll').
     """
+    merges = _learn_bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, schema="rnd BIGINT, lft STRING, rgt STRING, pair_count BIGINT")
+
+
+def _apply_merge(syms: F.Column, lft: str, rgt: str) -> F.Column:
+    """One greedy non-overlapping BPE merge via the space-doubling trick."""
+    doubled = F.concat(F.lit(" "), F.replace(syms, F.lit(" "), F.lit("  ")),
+                       F.lit(" "))
+    merged = F.replace(doubled, F.lit(f" {lft}  {rgt} "),
+                       F.lit(f" {lft}{rgt} "))
+    return F.replace(F.trim(merged), F.lit("  "), F.lit(" "))
+
+
+def _learn_bpe_merges(spark: SparkSession,
+                      sf_dir: str) -> list[tuple[int, str, str, int]]:
+    """The shared merge-learning loop (see x5_bpe_vocab_train docstring)."""
     docs = load_table(spark, sf_dir, "documents")
     words = (docs.select(F.explode(F.split("text", " ")).alias("word"))
              .filter(F.col("word") != "")
@@ -839,13 +856,71 @@ def x5_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         lft, rgt, cnt = top[0]["lft"], top[0]["rgt"], top[0]["pair_count"]
         merges.append((rnd, lft, rgt, int(cnt)))
-        doubled = F.concat(F.lit(" "),
-                           F.replace(F.col("syms"), F.lit(" "), F.lit("  ")),
-                           F.lit(" "))
-        merged = F.replace(doubled, F.lit(f" {lft}  {rgt} "),
-                           F.lit(f" {lft}{rgt} "))
-        cur = cur.select("cnt", F.replace(F.trim(merged), F.lit("  "),
-                                          F.lit(" ")).alias("syms"))
+        cur = cur.select("cnt", _apply_merge(F.col("syms"), lft, rgt)
+                         .alias("syms"))
     words.unpersist()
-    return spark.createDataFrame(
-        merges, schema="rnd BIGINT, lft STRING, rgt STRING, pair_count BIGINT")
+    return merges
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """Encode twin: re-derives the merge table with the train CTE chain,
+    applies it to a word-KEYED type chain (wt0..wt{rounds}), then rolls the
+    encoded types back onto each document."""
+    train = _bpe_oracle(rounds)
+    cte_body = train[len("WITH"):train.rindex(" SELECT rnd,")]
+    parts = [cte_body, r""",
+    wt0 AS (
+      SELECT word, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS syms
+      FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> '')"""]
+    for i in range(rounds):
+        lft = f"(SELECT lft FROM m{i})"
+        rgt = f"(SELECT rgt FROM m{i})"
+        parts.append(f""",
+    wt{i + 1} AS (
+      SELECT word,
+             replace(trim(replace(' ' || replace(syms, ' ', '  ') || ' ',
+                     ' ' || {lft} || '  ' || {rgt} || ' ',
+                     ' ' || {lft} || {rgt} || ' ')), '  ', ' ') AS syms
+      FROM wt{i})""")
+    parts.append(f"""
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(w.syms, ' '))) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents) t
+    JOIN wt{rounds} w ON t.word = w.word
+    WHERE t.word <> ''
+    GROUP BY t.doc_id""")
+    return "WITH" + "".join(parts)
+
+
+@register("x5_bpe_encode", oracle=_bpe_encode_oracle(_BPE_ROUNDS))
+def x5_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table to the corpus: per-document word
+    and BPE-token counts -- the encode half of the tokenizer loop (train =
+    x5_bpe_vocab_train).
+
+    Distributed shape: merges apply on the word-TYPE table (Zipf-small),
+    never the corpus -- the corpus only pays one explode plus a BROADCAST
+    join from word to its encoded symbol count. At 100 TB the type table
+    for a web corpus still fits broadcast (tens of millions of types x
+    short strings); if it didn't, the join key is uniform so a shuffle
+    join degrades gracefully."""
+    merges = _learn_bpe_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.col("word") != ""))
+    types = (toks.select("word").distinct()
+             .select("word", F.trim(F.regexp_replace("word", "(.)", "$1 "))
+                     .alias("syms")))
+    for _, lft, rgt, _cnt in merges:
+        types = types.select("word", _apply_merge(F.col("syms"), lft, rgt)
+                             .alias("syms"))
+    types = types.select(
+        "word", F.size(F.split("syms", " ")).cast("long").alias("n_toks"))
+    return (toks.join(F.broadcast(types), "word")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_toks").alias("n_bpe_tokens")))
