@@ -190,3 +190,22 @@ def test_pydatasource_pushdown_prunes_partitions(spark):
              .filter(F.col("doc_id") == 130))
     assert point.rdd.getNumPartitions() == 1
     assert point.count() > 0
+
+
+def test_partitioned_stage_sink_prunes_partitions(spark):
+    """A stage written with partitionBy must let a re-read filter prune at
+    the directory level: the scan's PartitionFilters carry the predicate
+    and only the matching partition's rows are read."""
+    from multiagent_form_schema_etl_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    with tempfile.TemporaryDirectory() as d:
+        sinks.write_stage(ev, d, "by_type", partition_by=["event_type"])
+        back = sinks.read_stage(spark, d, "by_type")
+        q = back.filter(F.col("event_type") == "click")
+        plan = q._sc._jvm.PythonSQLUtils.explainString(
+            q._jdf.queryExecution(), "formatted")
+        part_lines = [ln for ln in plan.splitlines()
+                      if "PartitionFilters" in ln]
+        assert part_lines and any("event_type" in ln for ln in part_lines)
+        assert q.count() == ev.filter(F.col("event_type") == "click").count()
