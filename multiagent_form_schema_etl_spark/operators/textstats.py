@@ -361,6 +361,48 @@ def x4_lang_id_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "score"))
 
 
+@register("x4_quality_classifier")  # trained model => rows-only
+def x4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering -- the fasttext-classifier shape real
+    training-data pipelines layer on top of heuristics: label the heuristic
+    EXTREMES (clearly-good / clearly-bad docs), train a logistic regression
+    on cheap surface features, score EVERY doc with the model. The mid-band
+    docs the heuristic can't call are exactly where the model adds signal.
+
+    Scale shape: feature extraction is one narrow JVM pass; training
+    reduces to a treeAggregate over the (small) labeled extremes; scoring
+    is one broadcast of the coefficient vector. No per-row Python.
+    Trained weights are Spark-internal => rows-only; separation/accuracy
+    invariants are pinned in pytest (test_corpus_prep.py)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    feats = docs.select(
+        "doc_id",
+        F.length("text").cast("double").alias("f_len"),
+        F.size(toks).cast("double").alias("f_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("f_distinct_ratio"),
+        (F.length(F.regexp_replace("text", " ", "")) / F.size(toks))
+        .alias("f_avg_token_len"))
+    label = (F.when((F.col("f_len") >= 200) & (F.col("f_tokens") >= 40), 1.0)
+             .when((F.col("f_len") < 120) | (F.col("f_tokens") < 24), 0.0))
+    feats = feats.withColumn("label", label)
+    asm = VectorAssembler(
+        inputCols=["f_len", "f_tokens", "f_distinct_ratio", "f_avg_token_len"],
+        outputCol="features")
+    vec = asm.transform(feats)
+    lr = LogisticRegression(maxIter=25, regParam=0.01, standardization=True)
+    model = lr.fit(vec.filter(F.col("label").isNotNull()))
+    scored = model.transform(vec)
+    return scored.select(
+        "doc_id", "label",
+        F.round(vector_to_array("probability")[1], 6).alias("prob_good"),
+        F.col("prediction").cast("long").alias("predicted_good"))
+
+
 @register("x4_tfidf_mllib")  # hashed feature indices => rows-only
 def x4_tfidf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MLlib-native TF-IDF path (SURVEY §2.11 X4): HashingTF → IDF over

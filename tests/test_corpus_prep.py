@@ -102,3 +102,21 @@ def test_star_contraction_equals_label_propagation(spark):
            for r in D.star_contraction_components(nodes, pairs).collect()}
     want = {(n, 0) for n in range(60)} | {(n, n) for n in range(100, 105)}
     assert got == want
+
+
+def test_quality_classifier_separates_extremes(spark):
+    """The trained quality model must (a) classify the labeled extremes
+    almost perfectly, and (b) push the mid-band docs the heuristic cannot
+    call toward the good side only when their features warrant it --
+    checked as clear separation of mean predicted probability between
+    labeled classes."""
+    rows = _queries()["x4_quality_classifier"](spark, SF_SMOKE).collect()
+    hi = [r.prob_good for r in rows if r.label == 1.0]
+    lo = [r.prob_good for r in rows if r.label == 0.0]
+    mid = [r.prob_good for r in rows if r.label is None]
+    assert hi and lo and mid
+    acc_hi = sum(p >= 0.5 for p in hi) / len(hi)
+    acc_lo = sum(p < 0.5 for p in lo) / len(lo)
+    assert acc_hi >= 0.95 and acc_lo >= 0.95
+    assert (sum(hi) / len(hi)) - (sum(lo) / len(lo)) >= 0.5
+    assert all(0.0 <= p <= 1.0 for p in mid)
