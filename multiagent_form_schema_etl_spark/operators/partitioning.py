@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.registry import register
+
 _N_SALTS = 16
 
 
@@ -59,3 +61,40 @@ def salted_sum(df: DataFrame, key: str, value: str, alias: str,
                .agg(F.sum(F.col(value).cast(dec)).alias("_part")))
     return (partial.groupBy(key)
             .agg(F.sum("_part").cast("double").alias(alias)))
+
+
+@register(
+    "a_salted_skew_sum",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_salted_skew_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation, gate-visible: lineitem grouped by
+    l_returnflag -- THREE distinct keys over the whole fact table, the
+    textbook aggregation-skew shape (a plain groupBy lands ~1/3 of 100 TB
+    on each of three reducers). Each key's rows first scatter over 16 salt
+    sub-keys (map-side partials stay effective), then the 48 partials
+    collapse in a second, trivially small aggregation. Decimal accumulation
+    is exact and order-free, so salting is semantics-free and the result is
+    bit-identical to the direct-groupBy oracle."""
+    from ..catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(28,6)"
+    salted = li.withColumn(
+        "_salt",
+        (F.crc32(F.col("l_returnflag").cast("string"))
+         + F.monotonically_increasing_id()) % _N_SALTS)
+    partial = (salted.groupBy("l_returnflag", "_salt")
+               .agg(F.count(F.lit(1)).alias("_n"),
+                    F.sum(F.col("l_quantity").cast(dec)).alias("_q"),
+                    F.sum(F.col("l_extendedprice").cast(dec)).alias("_p")))
+    return (partial.groupBy("l_returnflag")
+            .agg(F.sum("_n").alias("n_rows"),
+                 F.sum("_q").cast("double").alias("total_qty"),
+                 F.sum("_p").cast("double").alias("total_price")))

@@ -104,6 +104,7 @@ def load_all_modules() -> None:
         textstats,
         llmprep,
         multimodal,
+        partitioning,
         python_surface,
     )
     from ..sources import pydatasource  # noqa: F401
