@@ -132,6 +132,64 @@ def st_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_max_concurrency",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type,
+             CAST(ts AS TIMESTAMP)
+               + to_seconds(CAST(FLOOR(value * 60) AS BIGINT)) AS t,
+             -1 AS d
+      FROM events),
+    net AS (
+      SELECT event_type, t, CAST(SUM(d) AS BIGINT) AS nd
+      FROM pts GROUP BY event_type, t),
+    run AS (
+      SELECT event_type, t,
+             SUM(nd) OVER (PARTITION BY event_type ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS conc
+      FROM net)
+    SELECT event_type,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           MIN(t) FILTER (WHERE conc = pk) AS peak_start
+    FROM (SELECT *, MAX(conc) OVER (PARTITION BY event_type) AS pk FROM run)
+    GROUP BY event_type
+    """,
+)
+def st_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: treating each event as a session
+    [ts, ts + value minutes), the peak number of simultaneously open
+    sessions per event type, and when the peak first starts.
+
+    The sweep collapses to pure relational algebra: explode each interval
+    into a +1/-1 delta point, pre-aggregate deltas per (type, instant) --
+    which both shrinks the window input AND makes the running sum
+    deterministic (no intra-timestamp ordering exists at all; [start, end)
+    semantics fall out of summing a whole instant's net delta at once) --
+    then one partitioned running sum. Everything shuffles once on
+    event_type; no per-row state, no driver loop. The window's ORDER BY is
+    within-partition only -- no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    dur = F.floor(F.col("value") * 60).cast("long")
+    starts = ev.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("d"))
+    ends = ev.select("event_type",
+                     F.timestamp_add("SECOND", dur, F.col("ts")).alias("t"),
+                     F.lit(-1).alias("d"))
+    net = (starts.unionByName(ends)
+           .groupBy("event_type", "t").agg(F.sum("d").alias("nd")))
+    w = (Window.partitionBy("event_type").orderBy("t")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = net.withColumn("conc", F.sum("nd").over(w))
+    wmax = Window.partitionBy("event_type")
+    return (run.withColumn("pk", F.max("conc").over(wmax))
+            .groupBy("event_type")
+            .agg(F.max("conc").alias("peak_concurrency"),
+                 F.min(F.when(F.col("conc") == F.col("pk"), F.col("t")))
+                 .alias("peak_start")))
+
+
+@register(
     "st_stream_static_enrich",
     oracle="""
     SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS window_start,
