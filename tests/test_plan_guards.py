@@ -1,0 +1,74 @@
+"""Physical-plan regression guards: the scale-critical plan properties the
+PLANS.md audit checks by hand, pinned as tests so a refactor cannot silently
+trade a broadcast for a shuffle, drop a parquet pushdown, or introduce a
+cartesian product on a hot path.
+
+These assert plan SHAPE, not timings -- stable under AQE because they check
+the final adaptive plan's operator inventory.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_CHECK
+
+
+def _plan(spark, name: str) -> str:
+    from multiagent_form_schema_etl_spark.plans import registry
+
+    registry.load_all_modules()
+    df = registry.QUERIES[name](spark, SF_CHECK)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_q05_star_join_broadcasts_every_dimension(spark):
+    plan = _plan(spark, "q05_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_q01_scan_prunes_columns_and_pushes_filter(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    # the date filter must reach the parquet reader, not run post-scan only
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: untouched wide columns never enter the scan schema
+    assert "l_comment" not in plan
+
+
+def test_doc_pipeline_broadcasts_schema_side_no_cartesian(spark):
+    plan = _plan(spark, "doc_u7_extraction_cascade")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 1
+
+
+def test_cosine_topk_keeps_query_side_broadcast(spark):
+    plan = _plan(spark, "x2_cosine_topk")
+    # the 10-vector query side must broadcast; a shuffled pair join here is
+    # the dim-key-skew shape the operator docstring forbids
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_exact_is_single_shuffle(spark):
+    plan = _plan(spark, "x1_dedup_exact")
+    assert plan.count("Exchange") <= 2  # hash agg partials + final
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_stream_static_enrich_has_no_stream_side_shuffle_join(spark):
+    plan = _plan(spark, "st_stream_static_enrich")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("name", [
+    "q03_shipping_priority", "q10_returned_items",
+    "w1_running_revenue_per_customer", "st_tumbling_window",
+])
+def test_headliners_have_no_cartesian_or_python_udf(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python on hot paths
