@@ -74,5 +74,34 @@ def write_layout_optimized(df: DataFrame, out_dir: str, stage: str,
     return path
 
 
+def compact_stage(spark, out_dir: str, stage: str, n_files: int,
+                  range_key: str | None = None) -> str:
+    """Small-files compaction: rewrite a stage directory into ``n_files``
+    right-sized parquet files, optionally range-laid-out on ``range_key``
+    (then the rewrite also buys min/max prunability, see
+    write_layout_optimized).
+
+    The operational half of the file-size story at 100 TB: streaming
+    foreachBatch sinks and fine-grained partitioned writes accumulate
+    thousands of KB-sized files per stage (per-file open cost dominates
+    re-reads; file listings strain the namenode). Compaction is one
+    read → repartition → write; the rewrite lands in a sibling directory
+    and atomically replaces the stage only after the write committed, so a
+    failed compaction never damages the source."""
+    import shutil
+
+    src = os.path.join(out_dir, stage)
+    tmp = src + "__compacting"
+    df = spark.read.parquet(src)
+    out = (df.repartitionByRange(n_files, range_key).sortWithinPartitions(range_key)
+           if range_key else df.repartition(n_files))
+    out.write.mode("overwrite").parquet(tmp)
+    old = src + "__precompact"
+    os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old)
+    return src
+
+
 def read_stage(spark, out_dir: str, stage: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, stage))

@@ -209,3 +209,24 @@ def test_partitioned_stage_sink_prunes_partitions(spark):
                       if "PartitionFilters" in ln]
         assert part_lines and any("event_type" in ln for ln in part_lines)
         assert q.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_compact_stage_reduces_files_preserves_rows(spark):
+    """Compaction must collapse a many-small-files stage to the target
+    file count with identical content, and leave no scratch directories."""
+    import glob
+    import os
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    with tempfile.TemporaryDirectory() as d:
+        ev.repartition(64).write.parquet(os.path.join(d, "noisy"))
+        assert len(glob.glob(f"{d}/noisy/*.parquet")) == 64
+        sinks.compact_stage(spark, d, "noisy", n_files=4)
+        assert len(glob.glob(f"{d}/noisy/*.parquet")) == 4
+        assert not glob.glob(f"{d}/noisy__*")
+        back = sinks.read_stage(spark, d, "noisy")
+        assert back.count() == ev.count()
+        assert (back.agg(F.sum(F.xxhash64(*ev.columns).cast("decimal(38,0)"))).first()[0]
+                == ev.agg(F.sum(F.xxhash64(*ev.columns).cast("decimal(38,0)"))).first()[0])
