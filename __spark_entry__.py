@@ -37,11 +37,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["q05_local_supplier_volume"](spark, "/root/testdata/sf0.001")
 
 
+def _tuned(fn: Callable[[SparkSession, str], DataFrame]
+           ) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin session conf (UTC, AQE, Arrow) before building the plan, so a
+    query's oracle parity never depends on the driver having called
+    ``entry`` (which also tunes) first. Runtime-conf sets are idempotent
+    and cheap."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune_for_session(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so the
     driver's checked window covers every query family (oracle-backed first,
     rows-only last)."""
-    return {n: registry.QUERIES[n] for n in registry.ordered_query_names()}
+    return {n: _tuned(registry.QUERIES[n]) for n in registry.ordered_query_names()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -62,19 +62,18 @@ PRIORITY: tuple[str, ...] = (
     "x5_train_test_split_hash", "x5_decontaminate_ngram",
     "x5_corpus_filter_funnel", "x5_chunk_overlap", "x5_shard_by_budget",
     "x3_multimodal_schema",
-    # streaming twins
+    # streaming twins + event analytics
     "st_tumbling_window", "st_sliding_window", "st_session_window",
     "st_latest_event_per_user", "st_stateful_threshold_batches",
-    # window functions
+    "st_stream_static_enrich", "st_max_concurrency",
+    # window functions (lead/lag also exercised inside doc_a2, in-window)
     "w1_running_revenue_per_customer", "w_rank_top_customers_per_nation",
-    "w2_lead_lag_event_gaps",
-    # advanced joins / ETL
+    # advanced joins / ETL (theta-containment kept via doc_j2, in-window)
     "j_asof_backward_join", "j_range_interval_join",
     "etl_upsert_latest_wins", "etl_cdc_snapshot_diff",
-    "j2_containment_theta_join",
-    # aggregates
+    # aggregates (a8 stays oracle-backed just outside the window)
     "a4_conditional_aggregation", "a7_bool_and_completeness",
-    "a8_distinct_key_union", "a_approx_count_distinct",
+    "a_salted_skew_sum", "a_approx_count_distinct",
 )
 
 
