@@ -255,6 +255,50 @@ def j_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j_range_bucketed_join",
+    oracle="""
+    SELECT o_orderkey, COUNT(*) AS n_events_in_week
+    FROM orders JOIN events
+      ON CAST(events.ts AS TIMESTAMP) - INTERVAL 10000 DAY >= o_orderdate
+     AND CAST(events.ts AS TIMESTAMP) - INTERVAL 10000 DAY < o_orderdate + INTERVAL 7 DAY
+    WHERE o_orderkey < 2000
+    GROUP BY o_orderkey
+    """,
+)
+def j_range_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-fact scale shape of `j_range_interval_join` (same semantics,
+    same oracle): neither side broadcasts. Both sides bucket by a coarse
+    7-day grid; the interval side explodes into the (at most 2) buckets its
+    week can touch, the join runs as an EQUI join on the bucket, and the
+    exact range predicate applies as a residual filter. Each (event, order)
+    pair matches at most once -- an event has one bucket and the order's
+    two exploded buckets are distinct.
+
+    At 100 TB this replaces an O(n*m) theta join with a shuffle on a
+    uniform bucket key: candidate volume is |events| * (avg orders per
+    2-bucket span), and bucket width tunes the selectivity/fan-out
+    trade-off. Bucket values are engine-internal (only the residual decides
+    membership), so no cross-engine bucket parity is needed."""
+    week = 7 * 86400
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("shifted", F.col("ts") + F.expr("INTERVAL -10000 DAY"))
+          .withColumn("bkt", F.floor(F.unix_timestamp("shifted") / week)))
+    ob = orders.withColumn(
+        "bkt0",
+        F.floor(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / week))
+    ox = ob.select("o_orderkey", "o_orderdate",
+                   F.explode(F.array(F.col("bkt0"), F.col("bkt0") + 1))
+                   .alias("bkt"))
+    return (ev.join(ox.hint("shuffle_hash"), "bkt")
+            .filter((F.col("shifted") >= F.col("o_orderdate").cast("timestamp"))
+                    & (F.col("shifted") < F.col("o_orderdate").cast("timestamp")
+                       + F.expr("INTERVAL 7 DAY")))
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_events_in_week")))
+
+
+@register(
     "etl_upsert_latest_wins",
     oracle="""
     WITH updates AS (
