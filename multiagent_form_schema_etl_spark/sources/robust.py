@@ -1,0 +1,44 @@
+"""Corrupt-record-tolerant ingest (production landing-zone pattern).
+
+The reference aborts on unreadable inputs (ingestion/ingestion.py raises
+through main.py); a 100 TB landing zone cannot -- one malformed record in a
+billion must not kill the job, and silently dropping it is worse. The Spark
+pattern: PERMISSIVE read with a named corrupt-record column, split the
+relation into (valid, quarantine), process the former, persist the latter
+for triage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructType
+
+_CORRUPT = "_corrupt_record"
+
+
+def read_json_with_quarantine(spark: SparkSession, path: str,
+                              schema: StructType
+                              ) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON read split into (valid, quarantined) DataFrames.
+
+    The declared schema gets the corrupt-record column appended; malformed
+    lines land there verbatim with every data column NULL. The relation is
+    cached before splitting: Spark refuses a query whose only referenced
+    columns are the internal corrupt column (it would have nothing to
+    parse), and caching also guarantees the two branches see one consistent
+    read at one cost."""
+    full = schema.add(_CORRUPT, StringType())
+    df = (spark.read.schema(full)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", _CORRUPT)
+          .json(path)
+          # file provenance must be captured BEFORE the cache boundary --
+          # input_file_name() is scan-scoped and reads as '' afterwards
+          .withColumn("_source_file", F.input_file_name())
+          .cache())
+    valid = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT, "_source_file")
+    quarantined = (df.filter(F.col(_CORRUPT).isNotNull())
+                   .select(F.col(_CORRUPT).alias("raw_record"),
+                           F.col("_source_file").alias("source_file")))
+    return valid, quarantined

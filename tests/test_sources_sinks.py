@@ -230,3 +230,32 @@ def test_compact_stage_reduces_files_preserves_rows(spark):
         assert back.count() == ev.count()
         assert (back.agg(F.sum(F.xxhash64(*ev.columns).cast("decimal(38,0)"))).first()[0]
                 == ev.agg(F.sum(F.xxhash64(*ev.columns).cast("decimal(38,0)"))).first()[0])
+
+
+def test_json_quarantine_splits_bad_records(spark):
+    """Malformed JSON lines must land in quarantine verbatim (with their
+    source file), never kill the read, and never leak into the valid side."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from multiagent_form_schema_etl_spark.sources.robust import (
+        read_json_with_quarantine,
+    )
+
+    schema = (StructType().add("doc_id", LongType()).add("text", StringType()))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "landing.json")
+        with open(p, "w") as f:
+            f.write('{"doc_id": 1, "text": "ok one"}\n')
+            f.write('{"doc_id": 2, "text": "ok two"}\n')
+            f.write('{"doc_id": 3, "text": BROKEN}\n')
+            f.write('not json at all\n')
+        valid, bad = read_json_with_quarantine(spark, p, schema)
+        assert sorted((r.doc_id, r.text) for r in valid.collect()) == \
+            [(1, "ok one"), (2, "ok two")]
+        quarantined = bad.collect()
+        assert len(quarantined) == 2
+        assert {r.raw_record for r in quarantined} == \
+            {'{"doc_id": 3, "text": BROKEN}', 'not json at all'}
+        assert all(r.source_file.endswith("landing.json") for r in quarantined)
