@@ -59,6 +59,12 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
 
     spark = _spark("cli-pipeline")
     blocks = _load_or_fixture(spark, args.blocks, D.blocks_df)
+    obs = None
+    if args.metrics:
+        from . import observability
+
+        blocks, obs = observability.attach_quality_metrics(
+            blocks, check_nulls=["text", "x0"], value_col="confidence")
     doc_forms = _load_or_fixture(spark, args.doc_forms, D.doc_forms_df)
     if args.form:
         doc_forms = doc_forms.filter(doc_forms.form_name == args.form)
@@ -82,6 +88,10 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
         print(f"stage {stage} -> {path}")
     path = sinks.write_final_json(stages["forms"], args.out, "forms_json")
     print(f"forms -> {path}")
+    if obs is not None:
+        # single-pass: the stage/forms writes above were the driving
+        # actions; the counters accumulated alongside them, no extra scan
+        print(json.dumps({"input_metrics": dict(obs.get)}))
     return 0
 
 
@@ -156,6 +166,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "scoped = its intended clause-grounded mode")
     sp.add_argument("--form", help="restrict to one form name")
     sp.add_argument("--stages", help="comma list of stage snapshots to write")
+    sp.add_argument("--metrics", action="store_true",
+                    help="print single-pass observe() quality metrics for "
+                         "the input blocks (rows, null counts, confidence "
+                         "sum) as a JSON line after the run")
     sp.set_defaults(fn=cmd_pipeline)
 
     sp = sub.add_parser("evaluate", help="score vs ground truth (§3.3)")

@@ -54,3 +54,15 @@ def test_cli_list_names_every_registered_query(spark, capsys):
     out = capsys.readouterr().out
     import __spark_entry__ as e
     assert all(name in out for name in e.queries())
+
+
+def test_cli_pipeline_metrics_flag_reports_input_quality(spark, tmp_path, capsys):
+    out = str(tmp_path / "metered")
+    rc = main(["pipeline", "--out", out, "--stages", "forms", "--metrics"])
+    assert rc == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    assert lines
+    m = json.loads(lines[-1])["input_metrics"]
+    assert m["n_rows"] > 0
+    assert "nulls_text" in m and "nulls_x0" in m and "sum_confidence" in m
