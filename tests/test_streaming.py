@@ -346,3 +346,37 @@ def test_threshold_batches_state_survives_query_restart(spark, tmp_path):
     run2 = [r for r in total if r not in set(run1)]
     assert len(run1) > 0 and len(run2) > 0  # both runs closed batches
     assert sorted(run1 + run2) == total     # restart re-emitted nothing
+
+
+def test_streaming_document_pipeline_matches_batch(spark, tmp_path):
+    """Documents landed one file at a time must stream through the full
+    extraction lifecycle (words → clauses → cascade → validate → recover)
+    and append exactly the forms the batch pipeline produces on the same
+    blocks -- multiple microbatches, exactly-once sink."""
+    from multiagent_form_schema_etl_spark.fixtures import SCHEMA_ROWS
+    from multiagent_form_schema_etl_spark.operators import document as D
+    from multiagent_form_schema_etl_spark.pipeline import DocumentPipeline
+    from multiagent_form_schema_etl_spark.streaming.doc_stream import (
+        stream_document_forms,
+    )
+
+    blocks = D.blocks_df(spark)
+    doc_forms = D.doc_forms_df(spark)
+    landing = str(tmp_path / "landing")
+    for i, doc in enumerate(r.doc_id for r in
+                            blocks.select("doc_id").distinct().collect()):
+        # one parquet FILE per document (per-file atomicity = doc boundary)
+        (blocks.filter(F.col("doc_id") == doc).coalesce(1)
+         .write.mode("append").parquet(landing))
+    n_files = len(list((tmp_path / "landing").glob("*.parquet")))
+    assert n_files >= 2  # the stream must cross microbatch boundaries
+
+    out = stream_document_forms(spark, landing, str(tmp_path / "out"),
+                                SCHEMA_ROWS, doc_forms)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple,
+                      DocumentPipeline(spark, SCHEMA_ROWS)
+                      .recover(blocks, doc_forms)
+                      .select("doc_id", "form_name", "field_name", "value")
+                      .collect()))
+    assert got == want and len(got) > 0
