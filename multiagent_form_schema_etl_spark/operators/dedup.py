@@ -426,7 +426,7 @@ def x1_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def star_contraction_components(nodes: DataFrame, pairs: DataFrame,
-                                max_rounds: int = 12) -> DataFrame:
+                                max_rounds: int = 24) -> DataFrame:
     """Connected components by alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond") -- the
     100 TB alternative to min-label propagation: label propagation needs
@@ -443,7 +443,9 @@ def star_contraction_components(nodes: DataFrame, pairs: DataFrame,
     At the fixed point the edge set is exactly the star {(v, root)} per
     component. Convergence is detected with a scalar signature (edge count
     + xxhash sum), never a data collect; localCheckpoint truncates lineage
-    per round exactly like the label-prop twin."""
+    per round exactly like the label-prop twin. The round cap is pure
+    headroom (covers n ~ 2^24 at the documented O(log n) rate) -- converged
+    graphs exit at the signature check, so an unused cap costs nothing."""
     node_col, (pa, pb) = nodes.columns[0], pairs.columns[:2]
     e = (pairs.select(F.col(pa).alias("u"), F.col(pb).alias("v"))
          .filter(F.col("u") != F.col("v")))
