@@ -120,3 +120,74 @@ def test_quality_classifier_separates_extremes(spark):
     assert acc_hi >= 0.95 and acc_lo >= 0.95
     assert (sum(hi) / len(hi)) - (sum(lo) / len(lo)) >= 0.5
     assert all(0.0 <= p <= 1.0 for p in mid)
+
+
+def test_bpe_train_encode_matches_python_reference(spark, tmp_path):
+    """Differential: the distributed BPE (type-table training loop + merge
+    application via the space-doubling replace) must match an independent
+    list-based Python BPE -- greedy left-to-right non-overlapping merges,
+    ties broken (count desc, lft, rgt) -- on seeded random corpora,
+    including repeated-character words where naive replacement over-merges."""
+    import random
+    from collections import Counter
+
+    from multiagent_form_schema_etl_spark.operators.llmprep import (
+        _BPE_ROUNDS, _learn_bpe_merges,
+    )
+
+    def py_bpe(words_with_freq, rounds):
+        types = {w: list(w) for w in words_with_freq}
+        merges = []
+        for _ in range(rounds):
+            counts = Counter()
+            for w, syms in types.items():
+                f = words_with_freq[w]
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] += f
+            if not counts:
+                break
+            (lft, rgt), cnt = min(counts.items(),
+                                  key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            merges.append((lft, rgt, cnt))
+            for w, syms in types.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms)
+                            and syms[i] == lft and syms[i + 1] == rgt):
+                        out.append(lft + rgt)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                types[w] = out
+        return merges, types
+
+    for seed in (7, 11, 13):
+        rng = random.Random(seed)
+        alphabet = "ab" if seed % 2 else "abc"
+        words = ["".join(rng.choice(alphabet)
+                         for _ in range(rng.randint(1, 6)))
+                 for _ in range(30)]
+        docs = [(i, " ".join(rng.choices(words, k=rng.randint(3, 10))))
+                for i in range(12)]
+        sf = tmp_path / f"bpe{seed}"
+        sf.mkdir()
+        spark.createDataFrame(docs, "doc_id long, text string") \
+            .write.parquet(str(sf / "documents.parquet"))
+
+        freq = Counter(w for _, t in docs for w in t.split(" ") if w)
+        want_merges, types = py_bpe(dict(freq), _BPE_ROUNDS)
+        got = _learn_bpe_merges(spark, str(sf))
+        assert [(l, r, c) for _, l, r, c in got] == want_merges, f"seed {seed}"
+
+        from multiagent_form_schema_etl_spark.plans import registry
+        registry.load_all_modules()
+        enc = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+               for r in registry.QUERIES["x5_bpe_encode"](
+                   spark, str(sf)).collect()}
+        want_enc = {}
+        for doc_id, text in docs:
+            toks = [w for w in text.split(" ") if w]
+            want_enc[doc_id] = (len(toks),
+                                sum(len(types[w]) for w in toks))
+        assert enc == want_enc, f"seed {seed}"
