@@ -212,3 +212,45 @@ def test_star_contraction_matches_union_find_on_random_graphs(spark):
         got = {(r.node_id, r.component_id)
                for r in star_contraction_components(nodes, pairs).collect()}
         assert got == want, f"seed {seed}"
+
+
+def test_sweep_line_concurrency_matches_brute_force(spark, tmp_path):
+    """Differential: the relational sweep (±1 points, per-instant net
+    pre-agg, running sum) must match a brute-force per-second simulation of
+    [start, end) interval overlap on seeded random events."""
+    import datetime
+    import random
+
+    from multiagent_form_schema_etl_spark.plans import registry
+
+    registry.load_all_modules()
+    base = datetime.datetime(2024, 1, 1)
+    for seed in (5, 9):
+        rng = random.Random(seed)
+        rows = [(i, base + datetime.timedelta(seconds=rng.randint(0, 300)),
+                 rng.randrange(4), rng.choice(["a", "b"]),
+                 rng.randint(1, 120) / 60.0,  # value minutes => whole seconds
+                 "{}")
+                for i in range(60)]
+        sf = tmp_path / f"conc{seed}"
+        sf.mkdir()
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string") \
+            .write.parquet(str(sf / "events.parquet"))
+
+        got = {r.event_type: (r.peak_concurrency, r.peak_start)
+               for r in registry.QUERIES["st_max_concurrency"](
+                   spark, str(sf)).collect()}
+
+        want = {}
+        for etype in ("a", "b"):
+            ivs = [(ts, ts + datetime.timedelta(
+                        seconds=int(v * 60)))  # matches FLOOR(value*60)
+                   for _, ts, _, et, v, _ in rows if et == etype]
+            instants = sorted({t for iv in ivs for t in iv})
+            conc = {t: sum(1 for s, e in ivs if s <= t < e) for t in instants}
+            peak = max(conc.values())
+            peak_start = min(t for t, c in conc.items() if c == peak)
+            want[etype] = (peak, peak_start)
+        assert got == want, f"seed {seed}"
