@@ -29,11 +29,15 @@ def quality_metric_columns(check_nulls: list[str],
     """The standard quality bundle: total rows, per-column null counts, and
     an optional decimal-routed value sum (exact, so batch and streaming
     totals are comparable bit-for-bit)."""
+    # SUM over zero rows is NULL -- coalesce so an empty input reports
+    # zeros, not JSON nulls a downstream gate would trip over
     cols = [F.count(F.lit(1)).alias("n_rows")]
-    cols += [F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}")
+    cols += [F.coalesce(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)),
+                        F.lit(0)).alias(f"nulls_{c}")
              for c in check_nulls]
     if value_col is not None:
-        cols.append(F.sum(F.col(value_col).cast(_DEC)).cast("double")
+        cols.append(F.coalesce(F.sum(F.col(value_col).cast(_DEC))
+                               .cast("double"), F.lit(0.0))
                     .alias(f"sum_{value_col}"))
     return cols
 

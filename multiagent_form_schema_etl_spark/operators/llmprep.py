@@ -875,8 +875,13 @@ def _bpe_encode_oracle(rounds: int) -> str:
             FROM documents)
       WHERE word <> '')"""]
     for i in range(rounds):
-        lft = f"(SELECT lft FROM m{i})"
-        rgt = f"(SELECT rgt FROM m{i})"
+        # COALESCE to a chr(1) sentinel: if training exhausted its merge
+        # pairs before round i, m{i} is empty and the scalar subqueries are
+        # NULL -- a NULL pattern would NULL-poison every syms through
+        # replace(); the sentinel never occurs in text, so the round
+        # becomes a no-op exactly like the engine's early break.
+        lft = f"coalesce((SELECT lft FROM m{i}), chr(1))"
+        rgt = f"coalesce((SELECT rgt FROM m{i}), chr(1))"
         parts.append(f""",
     wt{i + 1} AS (
       SELECT word,

@@ -380,13 +380,20 @@ def x4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != "")
+    n_toks = F.size(toks)
+    # Empty/whitespace-only/NULL text => zero features, never a division:
+    # ANSI mode (Spark 4 default) turns x/0 into a hard error, and a NULL
+    # feature would crash VectorAssembler -- and junk docs are exactly what
+    # a quality filter must score, not die on.
     feats = docs.select(
         "doc_id",
-        F.length("text").cast("double").alias("f_len"),
-        F.size(toks).cast("double").alias("f_tokens"),
-        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("f_distinct_ratio"),
-        (F.length(F.regexp_replace("text", " ", "")) / F.size(toks))
-        .alias("f_avg_token_len"))
+        F.coalesce(F.length("text").cast("double"), F.lit(0.0)).alias("f_len"),
+        F.coalesce(n_toks.cast("double"), F.lit(0.0)).alias("f_tokens"),
+        F.when(n_toks > 0, F.size(F.array_distinct(toks)) / n_toks)
+        .otherwise(F.lit(0.0)).alias("f_distinct_ratio"),
+        F.when(n_toks > 0,
+               F.length(F.regexp_replace("text", " ", "")) / n_toks)
+        .otherwise(F.lit(0.0)).alias("f_avg_token_len"))
     label = (F.when((F.col("f_len") >= 200) & (F.col("f_tokens") >= 40), 1.0)
              .when((F.col("f_len") < 120) | (F.col("f_tokens") < 24), 0.0))
     feats = feats.withColumn("label", label)

@@ -12,23 +12,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 _CORRUPT = "_corrupt_record"
 
 
 def read_json_with_quarantine(spark: SparkSession, path: str,
                               schema: StructType
-                              ) -> tuple[DataFrame, DataFrame]:
-    """PERMISSIVE JSON read split into (valid, quarantined) DataFrames.
+                              ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """PERMISSIVE JSON read split into (valid, quarantined, raw) DataFrames.
 
-    The declared schema gets the corrupt-record column appended; malformed
-    lines land there verbatim with every data column NULL. The relation is
-    cached before splitting: Spark refuses a query whose only referenced
-    columns are the internal corrupt column (it would have nothing to
-    parse), and caching also guarantees the two branches see one consistent
-    read at one cost."""
-    full = schema.add(_CORRUPT, StringType())
+    The declared schema gets the corrupt-record column appended (on a COPY
+    -- StructType.add mutates in place, and the caller's schema must stay
+    reusable); malformed lines land there verbatim with every data column
+    NULL. The relation is cached before splitting: Spark refuses a query
+    whose only referenced columns are the internal corrupt column (it would
+    have nothing to parse), and caching also guarantees the two branches
+    see one consistent read at one cost. The third return value is the
+    cached relation itself -- call ``raw.unpersist()`` once both branches
+    are consumed, or the cache pins the whole landing read for the session."""
+    full = StructType(list(schema.fields)
+                      + [StructField(_CORRUPT, StringType())])
     df = (spark.read.schema(full)
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", _CORRUPT)
@@ -41,4 +45,4 @@ def read_json_with_quarantine(spark: SparkSession, path: str,
     quarantined = (df.filter(F.col(_CORRUPT).isNotNull())
                    .select(F.col(_CORRUPT).alias("raw_record"),
                            F.col("_source_file").alias("source_file")))
-    return valid, quarantined
+    return valid, quarantined, df

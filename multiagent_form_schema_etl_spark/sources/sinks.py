@@ -86,17 +86,29 @@ def compact_stage(spark, out_dir: str, stage: str, n_files: int,
     thousands of KB-sized files per stage (per-file open cost dominates
     re-reads; file listings strain the namenode). Compaction is one
     read → repartition → write; the rewrite lands in a sibling directory
-    and atomically replaces the stage only after the write committed, so a
-    failed compaction never damages the source."""
+    and replaces the stage only after the write committed. The two-rename
+    swap has a small non-atomic window (two directories cannot be
+    exchanged atomically on a generic filesystem); a crash inside it is
+    self-healed on the next call: a stranded __precompact with no live
+    stage is renamed back, and stale scratch/backup directories from any
+    earlier crash are cleared before new work starts. Source data is never
+    destructively touched until its replacement is fully committed."""
     import shutil
 
     src = os.path.join(out_dir, stage)
     tmp = src + "__compacting"
+    old = src + "__precompact"
+    # self-heal a previous crash: mid-swap (src gone, backup present) or
+    # leftover scratch/backup dirs from an interrupted run
+    if not os.path.exists(src) and os.path.exists(old):
+        os.rename(old, src)
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     df = spark.read.parquet(src)
     out = (df.repartitionByRange(n_files, range_key).sortWithinPartitions(range_key)
            if range_key else df.repartition(n_files))
     out.write.mode("overwrite").parquet(tmp)
-    old = src + "__precompact"
     os.rename(src, old)
     os.rename(tmp, src)
     shutil.rmtree(old)

@@ -28,16 +28,28 @@ _FORM_COLS = ("doc_id", "form_name", "field_name", "value")
 
 def stream_document_forms(spark: SparkSession, blocks_dir: str, out_dir: str,
                           schema_rows: list[tuple], doc_forms: DataFrame,
-                          files_per_trigger: int = 1) -> str:
+                          files_per_trigger: int = 1,
+                          blocks_schema=None) -> str:
     """Drain the blocks landing directory through the full pipeline;
     returns the appended-forms output path. Uses availableNow so tests and
     backfills terminate; a live deployment drops that trigger and keeps
-    running."""
+    running.
+
+    Exactly-once: each microbatch lands in its own ``batch=<id>`` partition
+    directory with overwrite mode, so a batch replayed after a crash (the
+    checkpoint not yet recording it) rewrites the same directory instead of
+    appending duplicates. Readers see the partition column via discovery
+    and drop it.
+
+    ``blocks_schema``: pass the statically known blocks schema to start the
+    stream against an empty/not-yet-created landing directory; omitted, it
+    is probed from existing files (backfill convenience only)."""
     from ..pipeline import DocumentPipeline
 
     pipe = DocumentPipeline(spark, schema_rows)
-    probe = spark.read.parquet(blocks_dir)
-    stream = (spark.readStream.schema(probe.schema)
+    if blocks_schema is None:
+        blocks_schema = spark.read.parquet(blocks_dir).schema
+    stream = (spark.readStream.schema(blocks_schema)
               .option("maxFilesPerTrigger", files_per_trigger)
               .parquet(blocks_dir))
     forms_path = os.path.join(out_dir, "forms")
@@ -49,7 +61,8 @@ def stream_document_forms(spark: SparkSession, blocks_dir: str, out_dir: str,
         batch_docs = batch_blocks.select("doc_id").distinct()
         batch_forms = doc_forms.join(F.broadcast(batch_docs), "doc_id")
         out = pipe.recover(batch_blocks, batch_forms).select(*_FORM_COLS)
-        out.write.mode("append").parquet(forms_path)
+        out.write.mode("overwrite").parquet(
+            os.path.join(forms_path, f"batch={batch_id}"))
 
     q = (stream.writeStream.foreachBatch(sink)
          .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))

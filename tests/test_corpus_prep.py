@@ -191,3 +191,49 @@ def test_bpe_train_encode_matches_python_reference(spark, tmp_path):
             want_enc[doc_id] = (len(toks),
                                 sum(len(types[w]) for w in toks))
         assert enc == want_enc, f"seed {seed}"
+
+
+def test_quality_classifier_survives_junk_documents(spark, tmp_path):
+    """Empty, whitespace-only, and NULL texts -- the very inputs a quality
+    filter exists for -- must score (low), not crash on division or a NULL
+    feature vector."""
+    docs = ([(i, "word " * 60) for i in range(40)]           # clear good
+            + [(100 + i, "x") for i in range(10)]            # clear bad
+            + [(200, ""), (201, "   "), (202, None)])        # junk
+    sf = tmp_path / "junk"
+    sf.mkdir()
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .write.parquet(str(sf / "documents.parquet"))
+    rows = {r.doc_id: r for r in
+            _queries()["x4_quality_classifier"](spark, str(sf)).collect()}
+    assert len(rows) == len(docs)
+    for junk_id in (200, 201, 202):
+        assert rows[junk_id].label == 0.0
+        assert rows[junk_id].prob_good is not None
+        assert rows[junk_id].prob_good < 0.5
+
+
+def test_bpe_oracle_survives_pair_exhaustion(spark, tmp_path):
+    """A corpus of single-character words exhausts merge pairs in round 0;
+    the engine early-breaks and the oracle's sentinel rounds must be
+    no-ops (not NULL-poison), keeping both sides hash-equal."""
+    import duckdb
+
+    docs = [(i, " ".join("a b c a b"[j % 9] for j in range(i + 2, i + 7))
+             .replace("  ", " ").strip())
+            for i in range(6)]
+    docs = [(i, "a b c") for i in range(6)]  # all words length 1
+    sf = tmp_path / "exhaust"
+    sf.mkdir()
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .write.parquet(str(sf / "documents.parquet"))
+    got = {(r.doc_id, r.n_words, r.n_bpe_tokens)
+           for r in _queries()["x5_bpe_encode"](spark, str(sf)).collect()}
+    assert got == {(i, 3, 3) for i in range(6)}  # no merges possible
+
+    from multiagent_form_schema_etl_spark.plans import registry
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet/*.parquet')")
+    oracle = con.execute(registry.ORACLES["x5_bpe_encode"]).fetchall()
+    assert {(r[0], r[1], r[2]) for r in oracle} == got

@@ -251,7 +251,9 @@ def test_json_quarantine_splits_bad_records(spark):
             f.write('{"doc_id": 2, "text": "ok two"}\n')
             f.write('{"doc_id": 3, "text": BROKEN}\n')
             f.write('not json at all\n')
-        valid, bad = read_json_with_quarantine(spark, p, schema)
+        n_schema_fields = len(schema.fields)
+        valid, bad, raw = read_json_with_quarantine(spark, p, schema)
+        assert len(schema.fields) == n_schema_fields  # caller schema untouched
         assert sorted((r.doc_id, r.text) for r in valid.collect()) == \
             [(1, "ok one"), (2, "ok two")]
         quarantined = bad.collect()
@@ -259,3 +261,28 @@ def test_json_quarantine_splits_bad_records(spark):
         assert {r.raw_record for r in quarantined} == \
             {'{"doc_id": 3, "text": BROKEN}', 'not json at all'}
         assert all(r.source_file.endswith("landing.json") for r in quarantined)
+        raw.unpersist()
+        # reusing the same schema object must not accumulate corrupt columns
+        valid2, bad2, raw2 = read_json_with_quarantine(spark, p, schema)
+        assert valid2.count() == 2 and bad2.count() == 2
+        raw2.unpersist()
+
+
+def test_compact_stage_self_heals_after_simulated_crash(spark):
+    """A crash between the two swap renames strands the stage at
+    __precompact; the next compaction call must restore and complete."""
+    import glob
+    import os
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    with tempfile.TemporaryDirectory() as d:
+        ev.repartition(16).write.parquet(os.path.join(d, "st"))
+        # simulate: previous run crashed after rename(src, old)
+        os.rename(os.path.join(d, "st"), os.path.join(d, "st__precompact"))
+        os.makedirs(os.path.join(d, "st__compacting"))  # stale scratch too
+        sinks.compact_stage(spark, d, "st", n_files=2)
+        assert len(glob.glob(f"{d}/st/*.parquet")) == 2
+        assert not glob.glob(f"{d}/st__*")
+        assert sinks.read_stage(spark, d, "st").count() == ev.count()

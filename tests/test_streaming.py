@@ -373,7 +373,9 @@ def test_streaming_document_pipeline_matches_batch(spark, tmp_path):
 
     out = stream_document_forms(spark, landing, str(tmp_path / "out"),
                                 SCHEMA_ROWS, doc_forms)
-    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    got = sorted(map(tuple, spark.read.parquet(out)
+                 .select("doc_id", "form_name", "field_name", "value")
+                 .collect()))
     want = sorted(map(tuple,
                       DocumentPipeline(spark, SCHEMA_ROWS)
                       .recover(blocks, doc_forms)
