@@ -115,5 +115,24 @@ def compact_stage(spark, out_dir: str, stage: str, n_files: int,
     return src
 
 
+def overwrite_partitions(df: DataFrame, out_dir: str, stage: str,
+                         partition_by: list[str]) -> str:
+    """Backfill write: replace ONLY the partitions present in ``df``,
+    leaving every other partition of the stage untouched (dynamic
+    partition-overwrite mode, scoped to this single write).
+
+    The operational pattern behind reprocessing one bad day / one source
+    out of a date- or source-partitioned 100 TB stage: a full-stage
+    overwrite would rewrite everything (and delete partitions the batch
+    does not carry); append would duplicate. Dynamic mode diffs at commit
+    time against the partitions the job actually produced."""
+    path = os.path.join(out_dir, stage)
+    (df.write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy(*partition_by)
+       .parquet(path))
+    return path
+
+
 def read_stage(spark, out_dir: str, stage: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, stage))

@@ -286,3 +286,29 @@ def test_compact_stage_self_heals_after_simulated_crash(spark):
         assert len(glob.glob(f"{d}/st/*.parquet")) == 2
         assert not glob.glob(f"{d}/st__*")
         assert sinks.read_stage(spark, d, "st").count() == ev.count()
+
+
+def test_overwrite_partitions_replaces_only_touched_partition(spark):
+    """Dynamic partition overwrite must replace exactly the partitions the
+    backfill batch carries; full-stage overwrite (static mode) would wipe
+    the others."""
+    from multiagent_form_schema_etl_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    with tempfile.TemporaryDirectory() as d:
+        sinks.write_stage(ev, d, "by_type", partition_by=["event_type"])
+        before = {r.event_type: r.n for r in
+                  sinks.read_stage(spark, d, "by_type")
+                  .groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+
+        # backfill: reprocess ONLY clicks, deduplicated to half the rows
+        clicks = (ev.filter(F.col("event_type") == "click")
+                  .limit(before["click"] // 2))
+        sinks.overwrite_partitions(clicks, d, "by_type",
+                                   partition_by=["event_type"])
+        after = {r.event_type: r.n for r in
+                 sinks.read_stage(spark, d, "by_type")
+                 .groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+        assert after["click"] == before["click"] // 2
+        assert {k: v for k, v in after.items() if k != "click"} == \
+            {k: v for k, v in before.items() if k != "click"}
