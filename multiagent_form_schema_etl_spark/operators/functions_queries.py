@@ -367,6 +367,50 @@ def a_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_hll_sketch_partial_merge",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           ABS(CAST(approx_count_distinct(o_custkey) AS DOUBLE)
+               - COUNT(DISTINCT o_custkey))
+             <= 0.10 * COUNT(DISTINCT o_custkey)
+             AS merged_estimate_within_10pct
+    FROM orders GROUP BY 1
+    """,
+)
+def a_hll_sketch_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counts via mergeable HLL sketches -- the
+    100 TB pattern a_approx_count_distinct only hints at: per-day partial
+    sketches (hll_sketch_agg) are UNIONED into monthly estimates
+    (hll_union_agg -> hll_sketch_estimate) without ever re-touching the
+    rows. At scale the daily sketches are a few KB each and persist as a
+    rollup table; any coarser granularity (month/quarter/ad-hoc date range)
+    is a sketch merge, not a re-scan. Raw sketch bytes/estimates are
+    engine-specific, so as with a_approx_count_distinct the gate-visible
+    columns are the exact monthly distinct plus a boolean asserting each
+    engine's OWN estimator (Spark: two-level daily->monthly sketch merge;
+    DuckDB: its native approx_count_distinct) lands within 10% of exact."""
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    daily = (o.groupBy(month.alias("month"),
+                       F.col("o_orderdate").alias("day"))
+             .agg(F.hll_sketch_agg("o_custkey").alias("sk")))
+    merged = (daily.groupBy("month")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("merged_est")))
+    exact = (o.groupBy(month.alias("month"))
+             .agg(F.countDistinct("o_custkey").alias("exact_customers")))
+    return (exact.join(F.broadcast(merged), "month")
+            .select(
+                "month",
+                "exact_customers",
+                (F.abs(F.col("merged_est").cast("double")
+                       - F.col("exact_customers"))
+                 <= 0.10 * F.col("exact_customers"))
+                .alias("merged_estimate_within_10pct")))
+
+
+@register(
     "f14_base64_roundtrip",
     oracle="""
     SELECT doc_id,
