@@ -98,3 +98,53 @@ def a_salted_skew_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("_n").alias("n_rows"),
                  F.sum("_q").cast("double").alias("total_qty"),
                  F.sum("_p").cast("double").alias("total_price")))
+
+
+@register(
+    "j_salted_skew_join",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted JOIN, gate-visible (companion to a_salted_skew_sum,
+    which salts an aggregation): when one fact-side join key holds a
+    disproportionate share of rows and the dim side is too big to
+    broadcast, a plain shuffle join lands the hot key on one reducer.
+    Salting fixes it by hand: the fact side scatters each key over
+    ``_N_SALTS`` sub-keys (deterministic row-id salt -- semantics-free for
+    a join, any salt meets its replicated dim row), the dim side REPLICATES
+    each row once per salt via a small explode, and the join runs on
+    (key, salt) -- so the hot key's rows spread over 16 reducers instead
+    of one. shuffle_hash hint keeps the demonstration honest (no broadcast
+    shortcut; at real scale the dim side wouldn't fit). AQE's skew-join
+    split handles most of this automatically, but only per-shuffle-block;
+    the manual salt is the portable form and the only option when the
+    skew sits inside one key, not one partition. Decimal accumulation
+    makes the post-join rollup bit-identical to the direct-join oracle."""
+    from ..catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    fact = li.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(_N_SALTS)))
+    dim = sup.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("long")
+                            for i in range(_N_SALTS)])))
+    joined = fact.join(
+        dim.hint("shuffle_hash"),
+        (fact["l_suppkey"] == dim["s_suppkey"])
+        & (fact["_salt"] == dim["_salt"]))
+    dec = "decimal(28,6)"
+    return (joined.groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum((F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))).cast(dec))
+                 .cast("double").alias("revenue")))

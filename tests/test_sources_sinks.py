@@ -98,6 +98,73 @@ def test_layout_optimized_sink_prunes(spark):
         assert one.is_monotonic_increasing
 
 
+def test_zorder_sink_prunes_both_columns(spark):
+    """write_zorder must buy min/max prunability on BOTH interleaved
+    columns: for point probes on either key, only a minority of files'
+    footer stats contain the probe -- while a single-key range layout of
+    the same data prunes only its own key (the secondary column's stats
+    span the full domain in ~every file)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity")
+
+    def file_spans(path, col):
+        spans = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            spans.append((lo, hi))
+        return spans
+
+    def hit_fraction(path, col, probes):
+        spans = file_spans(path, col)
+        fracs = [sum(1 for lo, hi in spans if lo <= p <= hi) / len(spans)
+                 for p in probes]
+        return sum(fracs) / len(fracs)
+
+    probes = {c: [r[0] for r in (li.select(c).distinct()
+                                 .orderBy(F.xxhash64(c)).limit(8).collect())]
+              for c in ("l_orderkey", "l_partkey")}
+
+    with tempfile.TemporaryDirectory() as d:
+        zpath = sinks.write_zorder(li, d, "li_z",
+                                   ["l_orderkey", "l_partkey"], n_files=16)
+        assert len(glob.glob(f"{zpath}/*.parquet")) == 16
+        # both interleaved keys prune: most files' stats exclude the probe
+        z_ok = hit_fraction(zpath, "l_orderkey", probes["l_orderkey"])
+        z_pk = hit_fraction(zpath, "l_partkey", probes["l_partkey"])
+        assert z_ok <= 0.6, z_ok
+        assert z_pk <= 0.6, z_pk
+
+        # contrast: single-key range layout prunes only its own key
+        rpath = sinks.write_layout_optimized(li, d, "li_r",
+                                             range_key="l_orderkey",
+                                             n_files=16)
+        r_ok = hit_fraction(rpath, "l_orderkey", probes["l_orderkey"])
+        r_pk = hit_fraction(rpath, "l_partkey", probes["l_partkey"])
+        assert r_ok <= 0.2          # its own key: near-perfect pruning
+        assert r_pk >= 0.9          # secondary key: full-domain stats
+        # z-order beats range layout on the secondary key by a wide margin
+        assert z_pk < r_pk / 1.5
+
+        # re-read correctness: same rows, no transient key column
+        back = spark.read.parquet(zpath)
+        assert back.columns == ["l_orderkey", "l_partkey", "l_quantity"]
+        assert back.count() == li.count()
+        k = probes["l_partkey"][0]
+        assert (back.filter(F.col("l_partkey") == k).count()
+                == li.filter(F.col("l_partkey") == k).count())
+
+
 def test_layout_classifier_strategy(spark):
     from multiagent_form_schema_etl_spark.operators.document import words_df
     from multiagent_form_schema_etl_spark.operators.strategies import classify_words
