@@ -98,12 +98,14 @@ PRIORITY: tuple[str, ...] = (
     "st_stream_static_enrich", "st_max_concurrency",
     # window functions (lead/lag also exercised inside doc_a2, in-window)
     "w1_running_revenue_per_customer", "w_rank_top_customers_per_nation",
-    # advanced joins / ETL (theta-containment kept via doc_j2, in-window)
+    # advanced joins / ETL (theta-containment kept via doc_j2, in-window;
+    # cdc-diff stays oracle-backed just outside)
     "j_asof_backward_join", "j_range_interval_join",
-    "etl_upsert_latest_wins", "etl_cdc_snapshot_diff",
-    # aggregates (a8 stays oracle-backed just outside the window)
+    "etl_upsert_latest_wins", "j_salted_skew_join",
+    # aggregates (a8 + approx-count stay oracle-backed just outside; the
+    # HLL partial-merge rollup is approx-count's stronger successor)
     "a4_conditional_aggregation", "a7_bool_and_completeness",
-    "a_salted_skew_sum", "a_approx_count_distinct",
+    "a_salted_skew_sum", "a_hll_sketch_partial_merge",
 )
 
 
