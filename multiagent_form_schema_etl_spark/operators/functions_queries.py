@@ -411,6 +411,79 @@ def a_hll_sketch_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_theta_sketch_set_ops",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS a,
+             MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS b
+      FROM orders
+      WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY o_custkey)
+    SELECT CAST(SUM(a) AS BIGINT) AS n_1995,
+           CAST(SUM(b) AS BIGINT) AS n_1996,
+           CAST(SUM(a * b) AS BIGINT) AS n_both,
+           CAST(COUNT(*) AS BIGINT) AS n_either,
+           CAST(SUM(a * (1 - b)) AS BIGINT) AS n_only_1995,
+           true AS theta_within_10pct
+    FROM per_cust
+    """,
+)
+def a_theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches: mergeable distinct-count sketches with full SET
+    ALGEBRA -- union, INTERSECTION, and DIFFERENCE -- which HLL cannot do
+    (a_hll_sketch_partial_merge only unions). The 100 TB pattern is
+    audience overlap: per-segment sketches a few KB each answer
+    "customers active in BOTH periods / only period A" without ever
+    re-scanning or joining the raw 100 TB -- an exact answer needs a
+    distinct-key shuffle of everything.
+
+    Gate-visible columns are the exact overlap counts (one custkey-grouped
+    flag aggregation, oracle-checked) plus a boolean asserting Spark's own
+    theta estimates (union/intersection/difference of the two yearly
+    sketches) all land within 10% of exact. DuckDB has no theta surface,
+    so its boolean is literal true -- the Spark side still computes the
+    real bounds; any out-of-band estimate flips the boolean and fails the
+    hash match."""
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    o2 = o.filter(yr.isin(1995, 1996)).select(
+        "o_custkey", (yr == 1995).alias("a"), (yr == 1996).alias("b"))
+    per_cust = o2.groupBy("o_custkey").agg(
+        F.max(F.col("a").cast("int")).alias("a"),
+        F.max(F.col("b").cast("int")).alias("b"))
+    exact = per_cust.agg(
+        F.sum("a").alias("n_1995"),
+        F.sum("b").alias("n_1996"),
+        F.sum(F.col("a") * F.col("b")).alias("n_both"),
+        F.count(F.lit(1)).alias("n_either"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n_only_1995"))
+    sketches = o2.agg(
+        F.theta_sketch_agg(F.when(F.col("a"), F.col("o_custkey"))).alias("ska"),
+        F.theta_sketch_agg(F.when(F.col("b"), F.col("o_custkey"))).alias("skb"))
+    est = sketches.select(
+        F.theta_sketch_estimate("ska").alias("e_a"),
+        F.theta_sketch_estimate("skb").alias("e_b"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("ska", "skb")).alias("e_both"),
+        F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias("e_either"),
+        F.theta_sketch_estimate(
+            F.theta_difference("ska", "skb")).alias("e_only_a"))
+
+    def within(est_col: str, exact_col: str):
+        return (F.abs(F.col(est_col).cast("double") - F.col(exact_col))
+                <= 0.10 * F.col(exact_col))
+
+    return (exact.crossJoin(F.broadcast(est))
+            .select(
+                "n_1995", "n_1996", "n_both", "n_either", "n_only_1995",
+                (within("e_a", "n_1995") & within("e_b", "n_1996")
+                 & within("e_both", "n_both") & within("e_either", "n_either")
+                 & within("e_only_a", "n_only_1995"))
+                .alias("theta_within_10pct")))
+
+
+@register(
     "f14_base64_roundtrip",
     oracle="""
     SELECT doc_id,

@@ -361,6 +361,56 @@ def x4_lang_id_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "score"))
 
 
+@register(
+    "x4_heavy_hitters_cms",
+    oracle=f"""
+    WITH {_TOKENS}
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count,
+           true AS cms_in_band
+    FROM tokens GROUP BY token
+    ORDER BY exact_count DESC, token
+    LIMIT 20
+    """,
+)
+def x4_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Count-Min Sketch -- the mergeable frequency
+    sketch for hot-token / hot-key detection at 100 TB: per-partition
+    CMS partials merge associatively into one KB-sized table the driver
+    (or a serving layer) probes, instead of a full token groupBy. The
+    probe side lives off-cluster by design, so the sketch is built with
+    the distributed count_min_sketch aggregate and the top-k candidates
+    are probed driver-side through the JVM sketch reader.
+
+    Gate-visible: exact top-20 token counts (oracle-checked, deterministic
+    tie-break) plus a boolean asserting the CMS estimate honors its
+    contract on every row -- never below the true count (CMS errs high by
+    construction), and within eps * total_tokens above it. DuckDB has no
+    CMS surface, so its boolean is literal true; an out-of-contract
+    estimate flips the Spark boolean and fails the hash match."""
+    eps, conf = 0.001, 0.99
+    t = _tokens_df(spark, sf_dir)
+    [sk_row] = t.agg(F.count_min_sketch(
+        "token", F.lit(eps), F.lit(conf), F.lit(42)).alias("sk")).collect()
+    n_total = t.count()
+    top = (t.groupBy("token")
+           .agg(F.count(F.lit(1)).alias("exact_count"))
+           .orderBy(F.desc("exact_count"), F.asc("token"))
+           .limit(20))
+    jvm = spark.sparkContext._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_row["sk"]))
+    est = {r["token"]: sketch.estimateCount(r["token"])
+           for r in top.collect()}
+    est_items = [y for tok, e in est.items() for y in (F.lit(tok), F.lit(e))]
+    est_map = F.create_map(*est_items)
+    slack = float(eps) * float(n_total)
+    return top.select(
+        "token", "exact_count",
+        ((est_map[F.col("token")] >= F.col("exact_count"))
+         & (est_map[F.col("token")]
+            <= F.col("exact_count") + F.lit(slack))).alias("cms_in_band"))
+
+
 @register("x4_quality_classifier")  # trained model => rows-only
 def x4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering -- the fasttext-classifier shape real
