@@ -24,6 +24,8 @@ eliminate the second shuffle entirely.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -171,6 +173,24 @@ def fulltext_df(spark: SparkSession, blocks: DataFrame | None = None,
     return ft.join(F.broadcast(forms), "doc_id")
 
 
+_VIEW_SEQ = itertools.count()
+
+
+def _sql_over_view(df: DataFrame, tag: str, sql_template: str) -> DataFrame:
+    """Run a generated SQL statement over ``df`` (exposed as a uniquely
+    named temp view substituted for the literal ``__VIEW__`` placeholder
+    -- plain replace, not str.format, because the generated SQL is full of
+    regex quantifier braces). The view wraps df's analyzed plan, so
+    persisted relations still cache-hit; a fresh name per call keeps
+    concurrent corpus variants (fixture vs replicated) isolated. The SQL
+    MUST run on ``df.sparkSession`` -- inside foreachBatch the microbatch
+    DataFrame lives in a cloned session with its own temp-view registry,
+    and a view registered there is invisible to the outer session."""
+    name = f"__gen_{tag}_{next(_VIEW_SEQ)}"
+    df.createOrReplaceTempView(name)
+    return df.sparkSession.sql(sql_template.replace("__VIEW__", name))
+
+
 def _form_fields(form_name: str, schema_rows: list[tuple] | None = None) -> list[tuple]:
     rows = schema_rows if schema_rows is not None else SCHEMA_ROWS
     return [r for r in rows if r[0] == form_name]
@@ -225,15 +245,21 @@ def extraction_df(spark: SparkSession, blocks: DataFrame | None = None,
             items.append(f"'{fname}', {vc}, {method}")
         stack = (f"stack({len(items)}, {', '.join(items)}) "
                  "AS (field_name, value, method)")
+        def sel(cols: list[str]) -> str:
+            return "SELECT " + ", ".join(["doc_id", "form_name", *cols])
+
         parts.append(
-            ft.filter(F.col("form_name") == form)
-              .selectExpr("doc_id", "form_name", *extract_cols)
-              .selectExpr("doc_id", "form_name", *pat_col_names, *val_cols)
-              .selectExpr("doc_id", "form_name", stack))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            sel([stack]) + " FROM ("
+            + sel(pat_col_names + val_cols) + " FROM ("
+            + sel(extract_cols)
+            + f" FROM __VIEW__ WHERE form_name = '{form}'))")
+    # One generated SQL statement instead of ~14 chained DataFrame calls:
+    # classic PySpark re-parses and re-analyzes the growing plan on EVERY
+    # transformation, so chaining the giant cascade projections cost ~3s
+    # of driver time per build; a single spark.sql parses and analyzes the
+    # whole tree once. The nested subqueries produce the same Project
+    # nodes (and the same codegen-unit splitting) as the selectExpr chain.
+    return _sql_over_view(ft, "cascade_ft", " UNION ALL ".join(parts))
 
 
 _VIOL_RULES = ("required", "type", "constraint_min", "constraint_max",
@@ -878,14 +904,16 @@ def scoped_cascade_values(scoped: DataFrame,
                          for name, sql in cols]
             whens.append(f"WHEN field_name = '{fname}' THEN {val}")
         value_case = "(CASE " + " ".join(whens) + " END)"
-        parts.append(scoped.filter(F.col("form_name") == form)
-                     .selectExpr("doc_id", "form_name", "field_name", *col_defs)
-                     .selectExpr("doc_id", "form_name", "field_name",
-                                 f"{value_case} AS value"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        keys = "SELECT doc_id, form_name, field_name"
+        parts.append(
+            f"{keys}, {value_case} AS value FROM ("
+            + ", ".join([keys, *col_defs])
+            + f" FROM __VIEW__ WHERE form_name = '{form}')")
+    # One generated SQL statement for the same reason as extraction_df:
+    # chained selectExpr calls re-parse/re-analyze the giant guarded-hoist
+    # projections per call; a single spark.sql does it once. Identical
+    # Project nesting, identical codegen splitting.
+    return _sql_over_view(scoped, "scoped", " UNION ALL ".join(parts))
 
 
 _SCOPED_CTES = f"""{_CTES},
