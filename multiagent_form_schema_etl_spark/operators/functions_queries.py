@@ -147,6 +147,41 @@ def f9_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f_variant_semistructured",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(json_extract(props, '$.k')) AS BIGINT) AS n_with_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def f_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4): the
+    scale-correct twin of f9_events_json_extract. get_json_object re-parses
+    the JSON text on EVERY path access; parse_json decodes it ONCE into
+    the binary variant encoding, and each variant_get is a typed path read
+    -- at 100 TB with many accessed paths, that is the difference between
+    N string parses per row and one. Same aggregation + same DuckDB JSON
+    oracle as the string path, so the hash match proves the variant
+    lane is value-identical to text-path extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.withColumn("pv", F.parse_json("props"))
+    k = F.try_variant_get("pv", "$.k", "long")
+    return (v.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count(k).alias("n_with_k"),
+                 F.sum(k).alias("sum_k"),
+                 F.min(k).alias("min_k"),
+                 F.max(k).alias("max_k")))
+
+
+@register(
     "f_date_functions",
     oracle="""
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
