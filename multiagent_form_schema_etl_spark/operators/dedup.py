@@ -506,6 +506,66 @@ def x1_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+def pagerank(nodes: DataFrame, pairs: DataFrame, damping: float = 0.85,
+             iters: int = 10) -> DataFrame:
+    """Distributed PageRank by power iteration over an undirected pair
+    graph -- the iterative-NUMERIC companion to the components operators
+    (which iterate to a combinatorial fixed point): per round, every node
+    scatters rank/degree along its edges (one node-keyed join), gathers
+    with a sum (one groupBy), and mixes in the teleport + dangling mass.
+    All shuffles are on the node id; localCheckpoint truncates lineage per
+    round like min_label_components; the dangling mass (isolated nodes
+    keep no edges after symmetrization) is a one-scalar aggregate per
+    round, mirroring the components convergence check -- never a data
+    collect. Fixed iteration count keeps the result deterministic in
+    everything but float summation order.
+
+    Returns (node_id, rank) with sum(rank) ~= 1."""
+    node_col, (pa, pb) = nodes.columns[0], pairs.columns[:2]
+    edges = (pairs.select(F.col(pa).alias("src"), F.col(pb).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = nodes.count()
+    base = nodes.select(F.col(node_col).alias("node_id"))
+    ranks = base.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        with_deg = ranks.join(deg, ranks.node_id == deg.src, "left")
+        dangling = (with_deg.filter(F.col("deg").isNull())
+                    .agg(F.sum("rank")).first()[0] or 0.0)
+        contribs = (edges.join(ranks, edges.src == ranks.node_id)
+                    .join(deg, "src")
+                    .select(F.col("dst").alias("node_id"),
+                            (F.col("rank") / F.col("deg")).alias("c")))
+        gathered = contribs.groupBy("node_id").agg(F.sum("c").alias("in_rank"))
+        ranks = (base.join(gathered, "node_id", "left")
+                 .select("node_id",
+                         (F.lit((1.0 - damping) / n)
+                          + F.lit(damping)
+                          * (F.coalesce("in_rank", F.lit(0.0))
+                             + F.lit(dangling / n))).alias("rank"))
+                 .localCheckpoint())
+    return ranks
+
+
+@register("x1_graph_pagerank")  # order-dependent float sums => rows-only
+def x1_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the Jaccard >= 0.8 near-dup graph: within each
+    duplicate cluster, the doc most strongly connected to the rest ranks
+    highest -- a principled canonical-representative choice (vs min-id),
+    and the corpus-curation use of PageRank. Rows-only: ranks are
+    order-dependent double sums; numeric agreement with a dense numpy
+    reference on seeded random graphs (and the corpus graph's invariants)
+    is pinned in tests/test_differential.py."""
+    pairs = x1_dedup_jaccard_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pr = pagerank(docs, pairs)
+    return (pr.select(F.col("node_id").alias("doc_id"),
+                      F.round("rank", 12).alias("rank"))
+            .orderBy(F.desc("rank"), F.asc("doc_id")))
+
+
 @register("x1_dedup_minhash_mllib")  # MLlib model hashing => rows-only
 def x1_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MLlib-native near-dup path (SURVEY §2.11 X1): CountVectorizer →

@@ -310,6 +310,45 @@ def test_bpe_matches_python_model_real_corpus(spark):
 
 # --- components kernel on a known graph --------------------------------------
 
+def test_pagerank_matches_numpy_reference(spark):
+    """Distributed PageRank must numerically agree with a dense numpy
+    power iteration (same damping, same dangling-mass redistribution, same
+    fixed iteration count) on seeded random undirected graphs including
+    isolated nodes. Tolerance covers float summation-order differences
+    only."""
+    import numpy as np
+
+    from multiagent_form_schema_etl_spark.operators.dedup import pagerank
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randint(8, 20)
+        edges = sorted({(a, b) for _ in range(rng.randint(5, 30))
+                        for a, b in [sorted(rng.sample(range(n), 2))]})
+        nodes = spark.createDataFrame([(i,) for i in range(n)],
+                                      "node_id long")
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        got = {r["node_id"]: r["rank"]
+               for r in pagerank(nodes, pairs, iters=10).collect()}
+
+        # dense reference
+        adj = np.zeros((n, n))
+        for a, b in edges:
+            adj[a, b] = adj[b, a] = 1.0
+        deg = adj.sum(axis=1)
+        r = np.full(n, 1.0 / n)
+        d = 0.85
+        for _ in range(10):
+            dangling = r[deg == 0].sum()
+            contrib = np.zeros(n)
+            nz = deg > 0
+            contrib += adj[nz].T @ (r[nz] / deg[nz])
+            r = (1 - d) / n + d * (contrib + dangling / n)
+        assert abs(sum(got.values()) - r.sum()) < 1e-9
+        for i in range(n):
+            assert abs(got[i] - r[i]) < 1e-9, (trial, i, got[i], r[i])
+
+
 def test_min_label_components_chain_graph(spark):
     """A 10-node path graph (diameter 9) forces the propagation loop through
     many rounds -- corpus near-dup clusters are cliques that converge in 2,
