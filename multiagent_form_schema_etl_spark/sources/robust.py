@@ -46,3 +46,32 @@ def read_json_with_quarantine(spark: SparkSession, path: str,
                    .select(F.col(_CORRUPT).alias("raw_record"),
                            F.col("_source_file").alias("source_file")))
     return valid, quarantined, df
+
+
+def read_parquet_evolving(spark: SparkSession, path: str,
+                          target: StructType | None = None) -> DataFrame:
+    """Schema-evolution-tolerant parquet read: a long-lived stage directory
+    accumulates files written under DIFFERENT schema versions (columns
+    added over time, widened types dropped off old writers). A plain read
+    takes one random footer's schema and silently DROPS newer columns from
+    older-file rows' perspective -- or errors.
+
+    ``mergeSchema`` unions every footer's schema (missing columns
+    null-backfill per file, the parquet-native evolution contract).
+    With ``target`` the result is additionally conformed to a declared
+    contract schema: expected-but-absent columns materialize as typed
+    NULLs, unexpected columns are dropped, and each column is cast to the
+    target type -- so downstream plans compile against a stable schema no
+    matter which vintage of files the directory holds. Per-file pruning
+    and pushdown survive: the merge is metadata-level, not a rewrite."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if target is None:
+        return df
+    cols = []
+    have = {f.name: f for f in df.schema.fields}
+    for f in target.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -379,3 +379,46 @@ def test_overwrite_partitions_replaces_only_touched_partition(spark):
         assert after["click"] == before["click"] // 2
         assert {k: v for k, v in after.items() if k != "click"} == \
             {k: v for k, v in before.items() if k != "click"}
+
+
+def test_parquet_schema_evolution_read(spark):
+    """A stage directory holding files from two schema vintages must read
+    as the union schema (null backfill for old files), and conforming to a
+    declared contract schema must add missing columns as typed NULLs, drop
+    extras, and cast the rest."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from multiagent_form_schema_etl_spark.sources.robust import (
+        read_parquet_evolving,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+        v2 = spark.createDataFrame([(3, "c", 1.5), (4, "d", 2.5)],
+                                   "id long, name string, score double")
+        v1.write.parquet(f"{d}/stage/part=v1")
+        v2.write.parquet(f"{d}/stage/part=v2")
+
+        merged = read_parquet_evolving(spark, f"{d}/stage")
+        assert set(merged.columns) == {"id", "name", "score", "part"}
+        rows = {r["id"]: r for r in merged.collect()}
+        assert rows[1]["score"] is None and rows[3]["score"] == 1.5
+
+        # plain read without mergeSchema picks one footer and can miss
+        # 'score' entirely -- the failure mode the helper exists for
+        plain_cols = set(spark.read.parquet(f"{d}/stage").columns)
+        assert plain_cols in ({"id", "name", "part"},
+                              {"id", "name", "score", "part"})
+
+        contract = StructType([
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+            StructField("flagged", StringType()),   # not present anywhere
+        ])
+        conformed = read_parquet_evolving(spark, f"{d}/stage", contract)
+        assert conformed.columns == ["id", "name", "score", "flagged"]
+        assert all(r["flagged"] is None for r in conformed.collect())
+        # pushdown survives the conform projection
+        assert conformed.filter(F.col("id") == 3).count() == 1
