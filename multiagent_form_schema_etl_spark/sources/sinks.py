@@ -203,3 +203,75 @@ def overwrite_partitions(df: DataFrame, out_dir: str, stage: str,
 
 def read_stage(spark, out_dir: str, stage: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, stage))
+
+
+def publish_stage(df: DataFrame, out_dir: str, stage: str) -> int:
+    """Versioned publish with an atomic snapshot pointer -- the
+    table-format core (Delta/Iceberg-style, rebuilt from first principles
+    on plain parquet + a manifest file):
+
+    - every publish writes a NEW immutable version directory
+      (``stage/v=N``); existing data is never rewritten or touched, so a
+      failed write can never corrupt what readers see;
+    - the current-version pointer (``stage/_LATEST``) flips via
+      write-to-temp + ``os.rename`` -- atomic on POSIX, so every reader
+      sees either the old or the new version, never a mix (per-file
+      parquet commits cannot give cross-file atomicity; the pointer can);
+    - old versions remain readable (``read_stage_version``) until
+      explicitly vacuumed -- time travel for audits/repro, and instant
+      rollback is just rewriting the pointer to an older N.
+
+    Returns the published version number."""
+    root = os.path.join(out_dir, stage)
+    os.makedirs(root, exist_ok=True)
+    versions = [int(d.split("=", 1)[1]) for d in os.listdir(root)
+                if d.startswith("v=")]
+    n = max(versions, default=-1) + 1
+    df.write.mode("errorifexists").parquet(os.path.join(root, f"v={n}"))
+    tmp = os.path.join(root, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(n))
+    os.rename(tmp, os.path.join(root, "_LATEST"))
+    return n
+
+
+def published_version(out_dir: str, stage: str) -> int:
+    with open(os.path.join(out_dir, stage, "_LATEST")) as f:
+        return int(f.read().strip())
+
+
+def read_stage_version(spark, out_dir: str, stage: str,
+                       version: int | None = None) -> DataFrame:
+    """Read the published snapshot (default: current pointer), or any
+    still-present historical version for time travel."""
+    n = published_version(out_dir, stage) if version is None else version
+    return spark.read.parquet(os.path.join(out_dir, stage, f"v={n}"))
+
+
+def rollback_stage(out_dir: str, stage: str, version: int) -> None:
+    """Flip the snapshot pointer back to ``version`` (atomic rename, same
+    guarantee as publish). The bad version's data stays on disk for
+    forensics until vacuumed."""
+    root = os.path.join(out_dir, stage)
+    if not os.path.isdir(os.path.join(root, f"v={version}")):
+        raise FileNotFoundError(f"no such version {version} in {root}")
+    tmp = os.path.join(root, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.rename(tmp, os.path.join(root, "_LATEST"))
+
+
+def vacuum_stage(out_dir: str, stage: str, keep: int = 2) -> list[int]:
+    """Delete all but the newest ``keep`` versions, never the one the
+    pointer references. Returns the vacuumed version numbers."""
+    import shutil
+
+    root = os.path.join(out_dir, stage)
+    current = published_version(out_dir, stage)
+    versions = sorted(int(d.split("=", 1)[1]) for d in os.listdir(root)
+                      if d.startswith("v="))
+    doomed = [v for v in versions[:-keep] if v != current] if keep else \
+             [v for v in versions if v != current]
+    for v in doomed:
+        shutil.rmtree(os.path.join(root, f"v={v}"))
+    return doomed

@@ -422,3 +422,41 @@ def test_parquet_schema_evolution_read(spark):
         assert all(r["flagged"] is None for r in conformed.collect())
         # pushdown survives the conform projection
         assert conformed.filter(F.col("id") == 3).count() == 1
+
+
+def test_versioned_publish_time_travel_rollback(spark):
+    """publish_stage must give atomic snapshot semantics on plain parquet:
+    immutable version dirs, pointer-controlled current version, readable
+    history (time travel), pointer rollback, and vacuum that never deletes
+    the referenced version."""
+    from multiagent_form_schema_etl_spark.catalog import load_table
+
+    nation = load_table(spark, SF_SMOKE, "nation")
+    with tempfile.TemporaryDirectory() as d:
+        v0 = sinks.publish_stage(nation.filter(F.col("n_nationkey") < 10),
+                                 d, "dim")
+        v1 = sinks.publish_stage(nation, d, "dim")
+        assert (v0, v1) == (0, 1)
+        assert sinks.published_version(d, "dim") == 1
+        assert sinks.read_stage_version(spark, d, "dim").count() == 25
+        # time travel to the pre-publish snapshot
+        assert sinks.read_stage_version(spark, d, "dim", 0).count() == 10
+
+        # rollback flips the pointer; both versions stay on disk
+        sinks.rollback_stage(d, "dim", 0)
+        assert sinks.read_stage_version(spark, d, "dim").count() == 10
+        assert sinks.read_stage_version(spark, d, "dim", 1).count() == 25
+
+        # a new publish moves the pointer forward again
+        v2 = sinks.publish_stage(nation.limit(5), d, "dim")
+        assert sinks.published_version(d, "dim") == v2
+
+        # vacuum keeps the pointer-referenced version even when old
+        sinks.rollback_stage(d, "dim", 1)
+        gone = sinks.vacuum_stage(d, "dim", keep=1)
+        assert gone == [0]  # v1 survives (referenced), v2 survives (newest)
+        assert sinks.read_stage_version(spark, d, "dim").count() == 25
+        assert sinks.read_stage_version(spark, d, "dim", v2).count() == 5
+        import pytest as _pytest
+        with _pytest.raises(FileNotFoundError):
+            sinks.rollback_stage(d, "dim", 99)
