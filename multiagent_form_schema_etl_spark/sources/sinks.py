@@ -74,7 +74,8 @@ def write_layout_optimized(df: DataFrame, out_dir: str, stage: str,
     return path
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16,
+               quantile: bool = False):
     """Morton (Z-order) interleave of 2-3 numeric columns as a JVM-side
     Column expression.
 
@@ -88,11 +89,17 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     (the Delta/Iceberg OPTIMIZE ZORDER layout, rebuilt from public
     first principles with plain bitwise expressions).
 
-    Scaling uses min/max uniform buckets (one tiny agg to the driver --
-    2 scalars per column). For heavily skewed columns substitute quantile
-    cut points (approx_percentile) for the uniform grid; the interleave
-    below is unchanged. All per-row work is shift/and/or expressions
-    inside whole-stage codegen -- no UDFs, no shuffle beyond the write's
+    Scaling uses min/max uniform buckets by default (one tiny agg to the
+    driver -- 2 scalars per column). ``quantile=True`` substitutes
+    approx-quantile cut points for the uniform grid: on a skewed column a
+    uniform grid collapses the dense region into one cell, so the files
+    covering that cell carry wide min/max stats exactly where the probes
+    land; equi-depth cells keep every cell's value range narrow in
+    proportion to its data share. Cut points are one approx_percentile
+    agg (KB-sized driver array, broadcast back as a literal); the per-row
+    bucket lookup is size(filter(cuts, c -> c <= x)) -- a bounded in-
+    register scan, still fully inside codegen. All per-row work is
+    shift/and/or expressions -- no UDFs, no shuffle beyond the write's
     own repartition."""
     from pyspark.sql import functions as F
 
@@ -101,18 +108,39 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
         raise ValueError("zorder_key interleaves 2 or 3 columns")
     if bits * n > 62:
         raise ValueError("bits * len(cols) must fit in a signed long")
-    stats = df.agg(
-        *[F.min(c).cast("double").alias(f"mn{i}") for i, c in enumerate(cols)],
-        *[F.max(c).cast("double").alias(f"mx{i}") for i, c in enumerate(cols)],
-    ).first()
     top = (1 << bits) - 1
+    cells: list = []
+    if quantile:
+        if bits > 10:
+            # cut-point count (and the per-row bounded scan) is 2^bits;
+            # equi-depth cells don't need 16-bit resolution to fix skew
+            raise ValueError("quantile cells: use bits <= 10 (per-row "
+                             "lookup scans 2^bits cut points)")
+        probs = [i / (top + 1) for i in range(1, top + 1)]
+        cuts_rows = df.agg(*[
+            F.percentile_approx(F.col(c).cast("double"), F.lit(probs),
+                                F.lit(10000)).alias(f"q{i}")
+            for i, c in enumerate(cols)]).first()
+        for j, c in enumerate(cols):
+            cuts = F.lit([float(v) for v in cuts_rows[f"q{j}"]])
+            cells.append(F.size(F.filter(
+                cuts, lambda cut: cut <= F.col(c).cast("double")))
+                .cast("long"))
+    else:
+        stats = df.agg(
+            *[F.min(c).cast("double").alias(f"mn{i}")
+              for i, c in enumerate(cols)],
+            *[F.max(c).cast("double").alias(f"mx{i}")
+              for i, c in enumerate(cols)],
+        ).first()
+        for j, c in enumerate(cols):
+            mn, mx = stats[f"mn{j}"], stats[f"mx{j}"]
+            span = (mx - mn) or 1.0
+            cell = F.floor((F.col(c).cast("double") - F.lit(mn))
+                           / F.lit(span) * F.lit(float(top))).cast("long")
+            cells.append(F.least(F.greatest(cell, F.lit(0)), F.lit(top)))
     z = F.lit(0).cast("long")
-    for j, c in enumerate(cols):
-        mn, mx = stats[f"mn{j}"], stats[f"mx{j}"]
-        span = (mx - mn) or 1.0
-        cell = F.floor((F.col(c).cast("double") - F.lit(mn))
-                       / F.lit(span) * F.lit(float(top))).cast("long")
-        cell = F.least(F.greatest(cell, F.lit(0)), F.lit(top))
+    for j, cell in enumerate(cells):
         # bit i of this column's cell lands at interleaved position i*n + j
         for i in range(bits):
             z = z.bitwiseOR(
@@ -122,7 +150,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
 
 
 def write_zorder(df: DataFrame, out_dir: str, stage: str, cols: list[str],
-                 n_files: int, bits: int = 16,
+                 n_files: int, bits: int = 16, quantile: bool = False,
                  max_records_per_file: int = 0) -> str:
     """Multi-column data-skipping layout: range-partition + in-file sort on
     the Morton key of ``cols``, so parquet min/max stats prune point/range
@@ -131,7 +159,7 @@ def write_zorder(df: DataFrame, out_dir: str, stage: str, cols: list[str],
     asserted in tests/test_sources_sinks.py against a single-key range
     layout of the same data."""
     path = os.path.join(out_dir, stage)
-    keyed = df.withColumn("__zkey", zorder_key(df, cols, bits))
+    keyed = df.withColumn("__zkey", zorder_key(df, cols, bits, quantile))
     out = (keyed.repartitionByRange(n_files, "__zkey")
            .sortWithinPartitions("__zkey").drop("__zkey"))
     w = out.write.mode("overwrite")

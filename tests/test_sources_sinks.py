@@ -460,3 +460,55 @@ def test_versioned_publish_time_travel_rollback(spark):
         import pytest as _pytest
         with _pytest.raises(FileNotFoundError):
             sinks.rollback_stage(d, "dim", 99)
+
+
+def test_zorder_quantile_cells_beat_uniform_on_skew(spark):
+    """On a skewed column, a uniform Z-grid collapses the dense value
+    region into one cell, so nearly every file holds dense-region rows and
+    carries min/max stats covering it -- probes where the data actually
+    lives prune nothing. Equi-depth (quantile) cells spread the dense
+    region across most cells, keeping per-file stats narrow there. Probes
+    drawn from the dense region must see a far lower file-hit fraction
+    under quantile cells; both layouts use the same 8-bit interleave."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = 20000
+    # 95% of y-values dense in [0, 100); 5% spread out to ~1e9.
+    # x is uncorrelated (hash-shuffled ids).
+    df = spark.range(n).select(
+        F.xxhash64("id").alias("x"),
+        F.when(F.col("id") % 20 != 0, F.col("id") % 100)
+         .otherwise(F.col("id") * 50000).alias("y_skewed"))
+
+    def hit_fraction(path, probes):
+        spans = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("y_skewed")
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            spans.append((lo, hi))
+        fracs = [sum(1 for lo, hi in spans if lo <= p_ <= hi) / len(spans)
+                 for p_ in probes]
+        return sum(fracs) / len(fracs)
+
+    probes = list(range(5, 100, 10))  # dense-region values
+    with tempfile.TemporaryDirectory() as d:
+        upath = sinks.write_zorder(df, d, "uniform", ["x", "y_skewed"],
+                                   n_files=16, bits=8)
+        qpath = sinks.write_zorder(df, d, "quantile", ["x", "y_skewed"],
+                                   n_files=16, bits=8, quantile=True)
+        u = hit_fraction(upath, probes)
+        q = hit_fraction(qpath, probes)
+        assert q < u / 2, (q, u)   # quantile cells prune the dense region
+        assert u >= 0.8, u         # uniform grid ~fails to prune there
+        # correctness: same rows either way
+        back = spark.read.parquet(qpath)
+        assert back.count() == n
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            sinks.zorder_key(df, ["x", "y_skewed"], bits=16, quantile=True)
