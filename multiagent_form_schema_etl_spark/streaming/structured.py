@@ -116,6 +116,34 @@ def run_foreach_batch_snapshots(df: DataFrame, out_dir: str) -> None:
     q.awaitTermination()
 
 
+def run_foreach_batch_refresh_join(stream_df: DataFrame, dim_path: str,
+                                   key: str, out_dir: str) -> None:
+    """Refreshing-side-input enrichment: join each microbatch against the
+    CURRENT snapshot of a dim table, re-read inside foreachBatch.
+
+    A plan-time stream-static join pins the static side's file listing
+    when the query is DEFINED -- dim updates published after start() are
+    invisible (or break the listing when old files are compacted away).
+    Re-reading inside foreachBatch re-resolves the path every batch, so a
+    slowly-changing dimension (republished via overwrite or the versioned
+    publish_stage pointer) takes effect on the NEXT microbatch -- the
+    standard Structured Streaming pattern for refreshable lookup data.
+    Output lands as per-batch parquet (replay-idempotent overwrite per
+    batch directory, like run_foreach_batch_snapshots)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        dim = batch_df.sparkSession.read.parquet(dim_path)
+        (batch_df.join(F.broadcast(dim), key)
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"batch_{batch_id:05d}")))
+
+    q = (stream_df.writeStream.foreachBatch(sink)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+         .start())
+    q.awaitTermination()
+
+
 def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment -- streaming twin of
     st_stream_static_enrich: the purchase stream joins the static customer

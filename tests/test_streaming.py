@@ -382,3 +382,40 @@ def test_streaming_document_pipeline_matches_batch(spark, tmp_path):
                       .select("doc_id", "form_name", "field_name", "value")
                       .collect()))
     assert got == want and len(got) > 0
+
+
+def test_foreach_batch_dim_refresh_picked_up(spark, tmp_path):
+    """A dim republish between runs must take effect on the next
+    microbatch: run 1 joins dim v1; after overwriting the dim and landing
+    a second event file, the checkpointed second run processes ONLY the
+    new file and joins the CURRENT dim -- the refreshing-side-input
+    pattern a plan-time stream-static join cannot express (its file
+    listing pins at query definition)."""
+    import glob
+
+    ev_dir = str(tmp_path / "events")
+    dim_dir = str(tmp_path / "dim")
+    out = str(tmp_path / "out")
+    spark.createDataFrame([(1, 10.0, "e1")], "user_id long, value double, event_id string") \
+        .write.parquet(ev_dir)
+    spark.createDataFrame([(1, "bronze")], "user_id long, segment string") \
+        .write.parquet(dim_dir)
+
+    stream = (spark.readStream
+              .schema("user_id long, value double, event_id string")
+              .parquet(ev_dir))
+    st.run_foreach_batch_refresh_join(stream, dim_dir, "user_id", out)
+    first = spark.read.parquet(*(glob.glob(f"{out}/batch_*"))).collect()
+    assert {r["segment"] for r in first} == {"bronze"}
+
+    # republish the dim and land a new event; same checkpoint => only the
+    # new file is processed, against the refreshed dim
+    spark.createDataFrame([(1, "gold")], "user_id long, segment string") \
+        .write.mode("overwrite").parquet(dim_dir)
+    spark.createDataFrame([(1, 20.0, "e2")], "user_id long, value double, event_id string") \
+        .write.mode("append").parquet(ev_dir)
+    st.run_foreach_batch_refresh_join(stream, dim_dir, "user_id", out)
+
+    rows = {r["event_id"]: r["segment"] for r in
+            spark.read.parquet(*(glob.glob(f"{out}/batch_*"))).collect()}
+    assert rows == {"e1": "bronze", "e2": "gold"}
