@@ -49,3 +49,40 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     same names the DuckDB oracle uses."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def footer_stats(spark: SparkSession, path: str,
+                 cols: list[str]) -> dict[str, object]:
+    """COUNT(*) + per-column MIN/MAX answered from parquet FOOTER
+    statistics instead of scanning rows (DSv2 aggregate pushdown -- the
+    executed plan's BatchScan carries the aggregate expressions and ships
+    one pre-aggregated row per file). At 100 TB this is the difference
+    between a metadata read and a full-table scan for freshness checks,
+    partition-boundary discovery, and planner statistics.
+
+    Pushdown only exists on the V2 parquet path, so the two confs are set
+    for the duration of the (eagerly collected) query and restored after
+    -- session semantics elsewhere are untouched. Returns
+    {"count": n, "<col>_min": ..., "<col>_max": ...}; the pushdown shape
+    is pinned in tests/test_plan_guards.py."""
+    conf = spark.conf
+    old_v1 = conf.get("spark.sql.sources.useV1SourceList")
+    old_agg = conf.get("spark.sql.parquet.aggregatePushdown")
+    try:
+        conf.set("spark.sql.sources.useV1SourceList",
+                 "avro,csv,json,kafka,orc,text")
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        aggs = [F.count(F.lit(1)).alias("count")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+        df = spark.read.parquet(path).agg(*aggs)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "PushedAggregation: []" in plan or "PushedAggregation" not in plan:
+            raise RuntimeError(
+                "aggregate pushdown did not engage; plan would scan rows:\n"
+                + plan[:2000])
+        [row] = df.collect()
+        return row.asDict()
+    finally:
+        conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        conf.set("spark.sql.parquet.aggregatePushdown", old_agg)

@@ -72,3 +72,26 @@ def test_headliners_have_no_cartesian_or_python_udf(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python on hot paths
+
+
+def test_footer_stats_aggregate_pushdown(spark):
+    """footer_stats must answer COUNT/MIN/MAX from parquet footers (DSv2
+    PushedAggregation), match a full scan's answers, and leave the
+    session's source confs untouched."""
+    from pyspark.sql import functions as F
+
+    from multiagent_form_schema_etl_spark.catalog import footer_stats
+    from tests.conftest import SF_SMOKE
+
+    before = spark.conf.get("spark.sql.sources.useV1SourceList")
+    path = f"{SF_SMOKE}/orders.parquet"
+    got = footer_stats(spark, path, ["o_totalprice", "o_orderkey"])
+    full = spark.read.parquet(path)
+    [want] = full.agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min("o_totalprice").alias("o_totalprice_min"),
+        F.max("o_totalprice").alias("o_totalprice_max"),
+        F.min("o_orderkey").alias("o_orderkey_min"),
+        F.max("o_orderkey").alias("o_orderkey_max")).collect()
+    assert got == want.asDict()
+    assert spark.conf.get("spark.sql.sources.useV1SourceList") == before

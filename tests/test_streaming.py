@@ -419,3 +419,23 @@ def test_foreach_batch_dim_refresh_picked_up(spark, tmp_path):
     rows = {r["event_id"]: r["segment"] for r in
             spark.read.parquet(*(glob.glob(f"{out}/batch_*"))).collect()}
     assert rows == {"e1": "bronze", "e2": "gold"}
+
+
+def test_stateful_query_under_rocksdb_state_store(spark):
+    """The same windowed aggregation must produce identical results under
+    the RocksDB state store provider -- the large-state backend for 100 TB
+    streaming (state spills off-heap/to disk instead of living on the JVM
+    heap like the default HDFSBackedStateStore). Conf is scoped to this
+    query and restored."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "org.apache.spark.sql.execution.streaming."
+                            "state.RocksDBStateStoreProvider")
+        st.run_to_memory(st.streaming_tumbling_counts(spark, SF_SMOKE),
+                         "t_rocks")
+    finally:
+        spark.conf.set(key, old)
+    got = _rows(spark.sql("SELECT * FROM t_rocks"))
+    want = _rows(bw.st_tumbling_window(spark, SF_SMOKE))
+    assert got == want and len(got) > 0
