@@ -52,6 +52,99 @@ def x3_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x3_payload_dedup",
+    oracle="""
+    SELECT checksum,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS representative,
+           CAST(MIN(octet_length(encode(text))) AS BIGINT) AS n_bytes
+    FROM (SELECT doc_id, text, sha256(text) AS checksum
+          FROM documents)
+    GROUP BY checksum
+    """,
+)
+def x3_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of binary payloads by content hash -- the media twin of
+    x1_dedup_exact, and the FIRST pass any multimodal corpus runs (media
+    crawls are typically 20-40% byte-identical dupes; hashing costs one
+    narrow pass, storage and training both pay per copy). groupBy on the
+    32-byte digest, min-id representative -- never the payloads
+    themselves: at 100 TB the shuffle carries hashes, not bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return (docs.select("doc_id", F.sha2(payload, 256).alias("checksum"),
+                        F.length(payload).cast("long").alias("nb"))
+            .groupBy("checksum")
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.min("doc_id").alias("representative"),
+                 F.min("nb").alias("n_bytes")))
+
+
+_CHUNK = 100  # bytes per segment
+
+
+@register(
+    "x3_payload_chunked",
+    oracle=f"""
+    WITH bound AS (
+      SELECT CAST(ceil(max(length(text)) / {_CHUNK}.0) AS BIGINT) AS m
+      FROM documents),
+    idx AS (
+      SELECT unnest(generate_series(0, (SELECT m FROM bound) - 1)) AS seg_idx),
+    segs AS (
+      SELECT d.doc_id, i.seg_idx,
+             substring(d.text, i.seg_idx * {_CHUNK} + 1, {_CHUNK}) AS seg
+      FROM documents d JOIN idx i
+        ON i.seg_idx < ceil(length(d.text) / {_CHUNK}.0)),
+    media AS (SELECT doc_id, text FROM documents)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(octet_length(encode(s.seg))) AS BIGINT) AS n_bytes,
+           sha256(string_agg(s.seg, '' ORDER BY s.seg_idx))
+             = sha256(m.text) AS reassembles
+    FROM segs s JOIN media m ON s.doc_id = m.doc_id
+    GROUP BY s.doc_id, m.text
+    """,
+)
+def x3_payload_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload chunking: split each payload into fixed 100-unit segments
+    (doc_id, seg_idx, segment) -- the storage shape for payloads too large
+    for one row/parquet page (row-group bloat, shuffle spill, point-read
+    amplification all cap at segment size; readers fetch only the
+    segments they need). The gate-visible rollup PROVES the chunking is
+    lossless: per doc, segment count, summed segment BYTES, and a boolean
+    comparing sha-256 of the in-order reassembly against the original
+    payload -- both engines genuinely reassemble. Segment boundaries sit
+    at character granularity because the cross-engine oracle must chunk
+    too and DuckDB has no BLOB substring; on real media the identical
+    Spark plan runs over the binary column with byte offsets
+    (x3_frame_sample_stub does exactly that)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.col("text").alias("payload"))
+    segs = (media
+            .withColumn("seg_idx", F.explode(F.sequence(
+                F.lit(0).cast("long"),
+                F.ceil(F.length("payload") / _CHUNK).cast("long") - 1)))
+            .select("doc_id", "seg_idx",
+                    F.expr(f"substring(payload, seg_idx * {_CHUNK} + 1, "
+                           f"{_CHUNK})").alias("seg")))
+    # reassembly via order-pinned collect_list per doc (per-doc bounded,
+    # same shape as the full-text concat in the document pipeline)
+    return (segs.join(media, "doc_id")
+            .groupBy("doc_id", "payload")
+            .agg(F.count(F.lit(1)).alias("n_segments"),
+                 F.sum(F.length(F.col("seg").cast("binary")))
+                  .cast("long").alias("n_bytes"),
+                 (F.sha2(F.expr(
+                     "aggregate(sort_array(collect_list(struct(seg_idx, seg)))"
+                     ", '', (acc, x) -> concat(acc, x.seg))").cast("binary"),
+                     256)
+                  == F.sha2(F.col("payload").cast("binary"), 256))
+                 .alias("reassembles"))
+            .drop("payload"))
+
+
 def decode_image(payload: bytes) -> tuple[int, int]:
     """STUB -- real decoder needs an image library absent from this
     container. Raises by contract; ``fake_decode_dims`` is the

@@ -95,3 +95,35 @@ def test_footer_stats_aggregate_pushdown(spark):
         F.max("o_orderkey").alias("o_orderkey_max")).collect()
     assert got == want.asDict()
     assert spark.conf.get("spark.sql.sources.useV1SourceList") == before
+
+
+def test_media_metadata_query_never_reads_payload(spark, tmp_path):
+    """Metadata-only plans over a media table must NOT deserialize the
+    binary payload column: the parquet scan's ReadSchema carries only the
+    referenced metadata columns (column pruning), which is what makes
+    length/lang/checksum filters ~free at 100 TB payload scale."""
+    from pyspark.sql import functions as F
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload"),
+        F.length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+        "lang")
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+
+    q = (spark.read.parquet(path)
+         .filter(F.col("n_bytes") > 100)
+         .groupBy("lang").agg(F.count(F.lit(1)).alias("n")))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    assert "payload" not in scan[0]
+    assert "n_bytes" in scan[0] and "lang" in scan[0]
+    # and the filter is pushed to the scan
+    assert any("PushedFilters" in l and "n_bytes" in l
+               for l in plan.splitlines()), plan
+    assert q.count() > 0
