@@ -281,3 +281,54 @@ def streaming_running_totals_tws(spark: SparkSession, sf_dir: str,
         outputStructType=_RT_SCHEMA,
         outputMode="Update",
         timeMode="None")
+
+
+_THRESHOLD_RECURSIVE_SQL = """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM {v}
+    ),
+    rec AS (
+      SELECT user_id, rn, value AS acc, CAST(1 AS BIGINT) AS batch_id
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn,
+             CASE WHEN r.acc >= 100.0 THEN e.value
+                  ELSE r.acc + e.value END AS acc,
+             CASE WHEN r.acc >= 100.0 THEN r.batch_id + 1
+                  ELSE r.batch_id END AS batch_id
+      FROM rec r
+      JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, batch_id,
+           COUNT(*) AS n_events,
+           MAX(acc) AS batch_value,
+           MAX(acc) >= 100.0 AS closed
+    FROM rec
+    GROUP BY user_id, batch_id
+"""
+
+@register("st_stateful_threshold_sql",
+          oracle=_THRESHOLD_RECURSIVE_SQL.format(v="events"))
+def st_stateful_threshold_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOURTH face of the threshold-batching kernel: pure declarative SQL
+    via Spark 4 recursive CTEs -- the EXACT oracle text, run by Spark
+    itself (the {v} source is the only substitution). Each recursion level
+    advances every user's sequence by one event (linear recursion, UNION
+    ALL, acyclic by construction), so the cross-engine hash match proves
+    Spark's recursive-CTE execution step-identical to DuckDB's.
+
+    Depth = the longest per-key sequence (99 events at sf0.1 -- already at
+    Spark's default 100-level cap, raised here). That makes this face the
+    right tool for SHORT sequences (orchestration phase chains, retry
+    ladders); for unbounded streams the applyInPandas kernel face scales
+    with O(1) state per key, one level per EVENT being materialized as a
+    full distributed join here."""
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value")
+    name = "__threshold_sql_events"
+    ev.createOrReplaceTempView(name)
+    return spark.sql(_THRESHOLD_RECURSIVE_SQL.format(v=name))
