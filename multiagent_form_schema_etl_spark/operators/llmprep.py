@@ -198,6 +198,66 @@ def _contact_blob_sql(engine: str) -> str:
 
 
 @register(
+    "x5_pii_pseudonymize",
+    oracle="""
+    WITH ev AS (
+      SELECT sha256('corpus-salt-v1' || CAST(user_id AS VARCHAR)) AS pid,
+             value
+      FROM events),
+    cust AS (
+      SELECT sha256('corpus-salt-v1' || CAST(c_custkey AS VARCHAR)) AS pid,
+             c_mktsegment
+      FROM customer),
+    direct AS (
+      SELECT c.c_mktsegment, COUNT(*) AS n
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY c.c_mktsegment)
+    SELECT p.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT p.pid) AS BIGINT) AS n_pseudonyms,
+           CAST(MAX(length(p.pid)) AS BIGINT) AS digest_len,
+           COUNT(*) = MAX(d.n) AS referential_integrity_kept
+    FROM (SELECT e.pid, c.c_mktsegment FROM ev e JOIN cust c
+            ON e.pid = c.pid) p
+    JOIN direct d ON p.c_mktsegment = d.c_mktsegment
+    GROUP BY p.c_mktsegment
+    """,
+)
+def x5_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization (data-governance pass): replace raw
+    user ids with salted sha-256 pseudonyms BEFORE data leaves the trust
+    boundary. Deterministic per id, so referential integrity across tables
+    survives -- the gate-visible boolean PROVES it: joining events to
+    customers on the pseudonym yields exactly the row counts of the raw-id
+    join, per segment. Distinct-pseudonym counts confirm no collisions
+    collapsed ids. One narrow projection per table (the hash is
+    codegen-resident); the join shape is unchanged, so the plan costs the
+    same as the raw join at any scale. Salt rotation = new column, old
+    pseudonyms unlinkable (the real pattern uses a keyed HMAC / secret
+    salt from a vault; the salt literal here stands in for it)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.sha2(F.concat(F.lit("corpus-salt-v1"),
+                        F.col("user_id").cast("string")), 256).alias("pid"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.sha2(F.concat(F.lit("corpus-salt-v1"),
+                        F.col("c_custkey").cast("string")), 256).alias("pid"),
+        "c_mktsegment")
+    direct = (load_table(spark, sf_dir, "events")
+              .join(load_table(spark, sf_dir, "customer"),
+                    F.col("user_id") == F.col("c_custkey"))
+              .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")))
+    pseud = ev.join(cust, "pid")
+    return (pseud.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("pid").alias("n_pseudonyms"),
+                 F.max(F.length("pid")).cast("long").alias("digest_len"))
+            .join(F.broadcast(direct), "c_mktsegment")
+            .select("c_mktsegment", "n_events", "n_pseudonyms", "digest_len",
+                    (F.col("n_events") == F.col("n"))
+                    .alias("referential_integrity_kept")))
+
+
+@register(
     "x5_pii_redact_phones",
     oracle=f"""
     WITH blobs AS (
