@@ -540,6 +540,40 @@ def f14_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_histogram_equiwidth",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+    SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / (hi - lo) * 20), 19)
+                AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS bucket_min,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS bucket_max
+    FROM orders CROSS JOIN bounds
+    GROUP BY 1
+    """,
+)
+def a_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 buckets over the observed range) -- the
+    profiling primitive behind data-quality dashboards and CBO statistics.
+    Two passes: a 2-scalar min/max agg broadcast back as a 1-row cross
+    join, then a map-side-combinable bucket groupBy. The bucket expression
+    is one double multiply/floor per row -- identical in both engines;
+    LEAST pins the hi endpoint into the last bucket."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(F.min("o_totalprice").alias("lo"),
+                   F.max("o_totalprice").alias("hi"))
+    bucket = F.least(F.floor((F.col("o_totalprice") - F.col("lo"))
+                             / (F.col("hi") - F.col("lo")) * 20),
+                     F.lit(19)).cast("long")
+    return (o.crossJoin(F.broadcast(bounds))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("o_totalprice").cast("double").alias("bucket_min"),
+                 F.max("o_totalprice").cast("double").alias("bucket_max")))
+
+
+@register(
     "a_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n

@@ -452,3 +452,114 @@ def st_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.datediff("active_week", "cohort_week") / 7)
                  .cast("long").alias("week_offset"))
             .agg(F.countDistinct("user_id").cast("long").alias("n_active")))
+
+
+@register(
+    "st_anomaly_zscore",
+    oracle="""
+    WITH sums AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type),
+    stats AS (
+      SELECT event_type, sx / n AS mu,
+             sqrt((sxx - sx * sx / n) / n) AS sigma
+      FROM sums),
+    scored AS (
+      SELECT e.event_type, e.event_id,
+             ROUND((e.value - s.mu) / s.sigma, 6) AS zscore,
+             row_number() OVER (
+               PARTITION BY e.event_type
+               ORDER BY ABS((e.value - s.mu) / s.sigma) DESC, e.event_id)
+               AS rk
+      FROM events e JOIN stats s ON e.event_type = s.event_type)
+    SELECT event_type, event_id, zscore
+    FROM scored WHERE rk <= 5
+    """,
+)
+def st_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key anomaly scoring: top-5 most anomalous events per type by
+    |z-score| against the type's own mean/std -- the standard first-line
+    outlier detector over telemetry. Determinism discipline as in
+    a_statistics_moments: mu/sigma assemble from DECIMAL-exact power sums
+    (one map-side-combinable agg), the per-row z is one identical double
+    expression, and the top-k tie-breaks on event_id. Scale shape: tiny
+    stats side broadcast back onto the stream of events; the only fact
+    shuffle is the per-type top-k window (bounded by k per key)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec6, dec12 = "decimal(28,6)", "decimal(38,12)"
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(dec6)).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast(dec12))
+         .cast("double").alias("sxx"))
+    stats = sums.select(
+        "event_type", (F.col("sx") / F.col("n")).alias("mu"),
+        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+               / F.col("n")).alias("sigma"))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    scored = (ev.join(F.broadcast(stats), "event_type")
+              .select("event_type", "event_id",
+                      F.round(z, 6).alias("zscore"),
+                      F.row_number().over(
+                          Window.partitionBy("event_type")
+                          .orderBy(F.abs(z).desc(), F.asc("event_id")))
+                      .alias("rk")))
+    return scored.filter(F.col("rk") <= 5).drop("rk")
+
+
+@register(
+    "st_trend_slope_exact",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_x,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS rev
+      FROM events GROUP BY 1, 2),
+    sums AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(day_x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(day_x * rev AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(day_x * day_x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      FROM daily GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS slope_per_day,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept
+    FROM sums
+    """,
+)
+def st_trend_slope_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key trend estimation: least-squares slope/intercept of daily
+    revenue over time -- the freshness/drift signal a pipeline tracks per
+    source. Built-in regr_slope streams FP accumulations in partition
+    order (unstable across engines/runs); here both regression sums AND
+    the daily revenues beneath them route through DECIMAL, leaving one
+    identical double expression per output -- bit-stable. Two map-side
+    aggs, no extra shuffle: daily rollup then 5-key regression sums."""
+    ev = load_table(spark, sf_dir, "events")
+    dec6, dec12 = "decimal(28,6)", "decimal(38,12)"
+    daily = (ev.groupBy(
+                "event_type",
+                F.datediff(F.col("ts").cast("date"),
+                           F.lit("2024-01-01").cast("date")).alias("day_x"))
+             .agg(F.sum(F.col("value").cast(dec6)).cast("double")
+                  .alias("rev")))
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("day_x").cast(dec6)).cast("double").alias("sx"),
+        F.sum(F.col("rev").cast(dec6)).cast("double").alias("sy"),
+        F.sum((F.col("day_x") * F.col("rev")).cast(dec12))
+         .cast("double").alias("sxy"),
+        F.sum((F.col("day_x") * F.col("day_x")).cast(dec12))
+         .cast("double").alias("sxx"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return sums.select(
+        "event_type", F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+         .alias("intercept"))
