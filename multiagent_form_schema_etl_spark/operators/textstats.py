@@ -411,6 +411,62 @@ def x4_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_count") + F.lit(slack))).alias("cms_in_band"))
 
 
+@register(
+    "x4_rank_fusion_rrf",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                                w -> w <> ''))) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS diversity
+      FROM documents),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r_len,
+             row_number() OVER (ORDER BY diversity DESC, doc_id) AS r_div
+      FROM sig)
+    SELECT doc_id,
+           CAST(r_len AS BIGINT) AS r_len, CAST(r_div AS BIGINT) AS r_div,
+           ROUND(1.0 / (60 + r_len) + 1.0 / (60 + r_div), 9) AS rrf
+    FROM ranked
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def x4_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion -- the standard scoreless combiner for
+    heterogeneous rankers (hybrid lexical+vector retrieval, multi-signal
+    corpus curation): each signal contributes 1/(k + rank), so scales
+    never need calibrating. Here two curation signals (document length,
+    lexical diversity) fuse into one top-20; the same plan fuses any
+    ranker pair -- e.g. x2_cosine_topk with x4_tf_rarity_topk per query.
+    Deterministic: every rank tie-breaks on doc_id, fusion is one double
+    expression. Scale: global ranks need a global sort ONLY because this
+    variant ranks the whole corpus; per-query fusion partitions by query
+    id (rank windows per query, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    sig = docs.select(
+        "doc_id", F.length("text").alias("n_chars"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+        .alias("diversity"))
+    ranked = sig.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("r_len"),
+        F.row_number().over(
+            Window.orderBy(F.desc("diversity"), F.asc("doc_id")))
+        .alias("r_div"))
+    rrf = (1.0 / (60 + F.col("r_len")) + 1.0 / (60 + F.col("r_div")))
+    return (ranked.select("doc_id",
+                          F.col("r_len").cast("long").alias("r_len"),
+                          F.col("r_div").cast("long").alias("r_div"),
+                          F.round(rrf, 9).alias("rrf"))
+            .orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20))
+
+
 @register("x4_quality_classifier")  # trained model => rows-only
 def x4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering -- the fasttext-classifier shape real
