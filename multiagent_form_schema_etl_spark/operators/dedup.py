@@ -529,10 +529,15 @@ def pagerank(nodes: DataFrame, pairs: DataFrame, damping: float = 0.85,
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = nodes.count()
     base = nodes.select(F.col(node_col).alias("node_id"))
+    if n == 0:
+        return base.withColumn("rank", F.lit(0.0))
+    # the dangling (edge-less) node SET is loop-invariant -- resolve it
+    # once; per round only its ranks are re-summed (narrow semi-join)
+    dangling_nodes = (base.join(deg, base.node_id == deg.src, "left_anti")
+                      .localCheckpoint())
     ranks = base.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
-        with_deg = ranks.join(deg, ranks.node_id == deg.src, "left")
-        dangling = (with_deg.filter(F.col("deg").isNull())
+        dangling = (ranks.join(dangling_nodes, "node_id", "left_semi")
                     .agg(F.sum("rank")).first()[0] or 0.0)
         contribs = (edges.join(ranks, edges.src == ranks.node_id)
                     .join(deg, "src")

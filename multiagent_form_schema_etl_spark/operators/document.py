@@ -188,7 +188,12 @@ def _sql_over_view(df: DataFrame, tag: str, sql_template: str) -> DataFrame:
     and a view registered there is invisible to the outer session."""
     name = f"__gen_{tag}_{next(_VIEW_SEQ)}"
     df.createOrReplaceTempView(name)
-    return df.sparkSession.sql(sql_template.replace("__VIEW__", name))
+    out = df.sparkSession.sql(sql_template.replace("__VIEW__", name))
+    # spark.sql analyzed eagerly (classic mode), so the catalog entry is
+    # no longer needed -- drop it or per-microbatch/direct callers leak
+    # one pinned analyzed plan per call for the session's lifetime
+    df.sparkSession.catalog.dropTempView(name)
+    return out
 
 
 def _form_fields(form_name: str, schema_rows: list[tuple] | None = None) -> list[tuple]:

@@ -151,7 +151,8 @@ def f9_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(COUNT(json_extract(props, '$.k')) AS BIGINT) AS n_with_k,
+           CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS n_with_k,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
                 AS BIGINT) AS sum_k,
            CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
@@ -544,8 +545,9 @@ def f14_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH bounds AS (
       SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
-    SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / (hi - lo) * 20), 19)
-                AS BIGINT) AS bucket,
+    SELECT CAST(CASE WHEN hi = lo THEN 0
+                     ELSE LEAST(FLOOR((o_totalprice - lo) / (hi - lo) * 20),
+                                19) END AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(MIN(o_totalprice) AS DOUBLE) AS bucket_min,
            CAST(MAX(o_totalprice) AS DOUBLE) AS bucket_max
@@ -563,9 +565,12 @@ def a_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     bounds = o.agg(F.min("o_totalprice").alias("lo"),
                    F.max("o_totalprice").alias("hi"))
-    bucket = F.least(F.floor((F.col("o_totalprice") - F.col("lo"))
-                             / (F.col("hi") - F.col("lo")) * 20),
-                     F.lit(19)).cast("long")
+    # hi = lo (single-valued range): everything lands in bucket 0 instead
+    # of an ANSI-mode division error
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(F.floor((F.col("o_totalprice") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo")) * 20),
+                F.lit(19))).cast("long")
     return (o.crossJoin(F.broadcast(bounds))
             .groupBy(bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n"),

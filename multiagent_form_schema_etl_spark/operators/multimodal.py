@@ -88,7 +88,8 @@ _CHUNK = 100  # bytes per segment
     "x3_payload_chunked",
     oracle=f"""
     WITH bound AS (
-      SELECT CAST(ceil(max(length(text)) / {_CHUNK}.0) AS BIGINT) AS m
+      SELECT GREATEST(CAST(ceil(max(length(text)) / {_CHUNK}.0) AS BIGINT),
+                      1) AS m
       FROM documents),
     idx AS (
       SELECT unnest(generate_series(0, (SELECT m FROM bound) - 1)) AS seg_idx),
@@ -96,7 +97,7 @@ _CHUNK = 100  # bytes per segment
       SELECT d.doc_id, i.seg_idx,
              substring(d.text, i.seg_idx * {_CHUNK} + 1, {_CHUNK}) AS seg
       FROM documents d JOIN idx i
-        ON i.seg_idx < ceil(length(d.text) / {_CHUNK}.0)),
+        ON i.seg_idx < GREATEST(ceil(length(d.text) / {_CHUNK}.0), 1)),
     media AS (SELECT doc_id, text FROM documents)
     SELECT s.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_segments,
@@ -122,10 +123,14 @@ def x3_payload_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x3_frame_sample_stub does exactly that)."""
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select("doc_id", F.col("text").alias("payload"))
+    # GREATEST(..., 1): a zero-length payload still yields ONE (empty)
+    # segment on both engines -- without it, sequence(0, -1) would emit
+    # [0, -1] (negative default step) while the oracle emitted no rows
     segs = (media
             .withColumn("seg_idx", F.explode(F.sequence(
                 F.lit(0).cast("long"),
-                F.ceil(F.length("payload") / _CHUNK).cast("long") - 1)))
+                F.greatest(F.ceil(F.length("payload") / _CHUNK).cast("long"),
+                           F.lit(1)) - 1)))
             .select("doc_id", "seg_idx",
                     F.expr(f"substring(payload, seg_idx * {_CHUNK} + 1, "
                            f"{_CHUNK})").alias("seg")))

@@ -391,24 +391,24 @@ def x4_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tokens_df(spark, sf_dir)
     [sk_row] = t.agg(F.count_min_sketch(
         "token", F.lit(eps), F.lit(conf), F.lit(42)).alias("sk")).collect()
-    n_total = t.count()
-    top = (t.groupBy("token")
-           .agg(F.count(F.lit(1)).alias("exact_count"))
-           .orderBy(F.desc("exact_count"), F.asc("token"))
-           .limit(20))
+    top_rows = (t.groupBy("token")
+                .agg(F.count(F.lit(1)).alias("exact_count"))
+                .orderBy(F.desc("exact_count"), F.asc("token"))
+                .limit(20).collect())
     jvm = spark.sparkContext._jvm
     sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         bytes(sk_row["sk"]))
-    est = {r["token"]: sketch.estimateCount(r["token"])
-           for r in top.collect()}
-    est_items = [y for tok, e in est.items() for y in (F.lit(tok), F.lit(e))]
-    est_map = F.create_map(*est_items)
-    slack = float(eps) * float(n_total)
-    return top.select(
-        "token", "exact_count",
-        ((est_map[F.col("token")] >= F.col("exact_count"))
-         & (est_map[F.col("token")]
-            <= F.col("exact_count") + F.lit(slack))).alias("cms_in_band"))
+    # total token count comes from the sketch itself (totalCount) -- no
+    # extra corpus scan; the top-20 scan runs ONCE (collected) and the
+    # returned relation is built from those rows, so executing it does not
+    # re-tokenize the corpus. Two distributed passes total: sketch + top-k.
+    slack = float(eps) * float(sketch.totalCount())
+    out = [(r["token"], r["exact_count"],
+            r["exact_count"] <= sketch.estimateCount(r["token"])
+            <= r["exact_count"] + slack)
+           for r in top_rows]
+    return spark.createDataFrame(
+        out, "token string, exact_count long, cms_in_band boolean")
 
 
 @register(
@@ -417,10 +417,13 @@ def x4_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sig AS (
       SELECT doc_id,
              length(text) AS n_chars,
-             CAST(len(list_distinct(list_filter(string_split(text, ' '),
-                                                w -> w <> ''))) AS DOUBLE)
-               / len(list_filter(string_split(text, ' '), w -> w <> ''))
-               AS diversity
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       w -> w <> '')) > 0
+                  THEN CAST(len(list_distinct(list_filter(
+                         string_split(text, ' '), w -> w <> ''))) AS DOUBLE)
+                       / len(list_filter(string_split(text, ' '),
+                                         w -> w <> ''))
+                  ELSE 0.0 END AS diversity
       FROM documents),
     ranked AS (
       SELECT doc_id,
@@ -447,10 +450,12 @@ def x4_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     id (rank windows per query, no global sort)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != "")
+    # empty/whitespace-only docs: diversity 0, never a 0/0 (ANSI mode)
     sig = docs.select(
         "doc_id", F.length("text").alias("n_chars"),
-        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
-        .alias("diversity"))
+        F.when(F.size(toks) > 0,
+               F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+        .otherwise(F.lit(0.0)).alias("diversity"))
     ranked = sig.select(
         "doc_id",
         F.row_number().over(

@@ -465,7 +465,8 @@ def st_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
       SELECT event_type, sx / n AS mu,
              sqrt((sxx - sx * sx / n) / n) AS sigma
-      FROM sums),
+      FROM sums
+      WHERE (sxx - sx * sx / n) / n > 0),
     scored AS (
       SELECT e.event_type, e.event_id,
              ROUND((e.value - s.mu) / s.sigma, 6) AS zscore,
@@ -494,10 +495,12 @@ def st_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(dec6)).cast("double").alias("sx"),
         F.sum((F.col("value") * F.col("value")).cast(dec12))
          .cast("double").alias("sxx"))
-    stats = sums.select(
+    # constant-valued types (variance 0) carry no anomaly signal and would
+    # divide by zero under ANSI mode -- excluded identically in the oracle
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+    stats = sums.filter(var > 0).select(
         "event_type", (F.col("sx") / F.col("n")).alias("mu"),
-        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
-               / F.col("n")).alias("sigma"))
+        F.sqrt(var).alias("sigma"))
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     scored = (ev.join(F.broadcast(stats), "event_type")
               .select("event_type", "event_id",

@@ -326,7 +326,12 @@ def st_stateful_threshold_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     ladders); for unbounded streams the applyInPandas kernel face scales
     with O(1) state per key, one level per EVENT being materialized as a
     full distributed join here."""
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
+    # 100 levels (the default) is already too tight for this corpus (99
+    # events/user at sf0.1). 10k keeps a runaway-recursion backstop while
+    # covering realistic short-sequence depths; the conf must stay set for
+    # the returned lazy plan's execution, so it is bounded rather than
+    # save/restored.
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value")
     name = "__threshold_sql_events"
