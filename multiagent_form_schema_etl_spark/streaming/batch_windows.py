@@ -566,3 +566,46 @@ def st_trend_slope_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope_per_day"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
          .alias("intercept"))
+
+
+@register(
+    "st_event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type, next_type FROM seq WHERE next_type IS NOT NULL),
+    totals AS (
+      SELECT event_type, COUNT(*) AS n_from FROM pairs GROUP BY event_type)
+    SELECT p.event_type AS from_type, p.next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(t.n_from), 6) AS p_transition
+    FROM pairs p JOIN totals t ON p.event_type = t.event_type
+    GROUP BY p.event_type, p.next_type
+    """,
+)
+def st_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    -- the path-analysis primitive behind 'what do users do after X'
+    dashboards and sessionized behavior models. One lead() window per
+    user (single user_id shuffle, same partitioning every sequence op
+    here reuses), then a 25-cell rollup with the per-source normalizer
+    joined back; count ratio is one double division -- deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("user_id", "event_type",
+                       F.lead("event_type").over(w).alias("next_type"))
+             .filter(F.col("next_type").isNotNull()))
+    totals = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_from"))
+    return (pairs.groupBy(F.col("event_type").alias("from_type"),
+                          F.col("next_type").alias("to_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .join(F.broadcast(totals),
+                  F.col("from_type") == F.col("event_type"))
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n").cast("double") / F.col("n_from"), 6)
+                    .alias("p_transition")))
