@@ -263,6 +263,46 @@ def publish_stage(df: DataFrame, out_dir: str, stage: str) -> int:
     return n
 
 
+def publish_stage_audited(df: DataFrame, out_dir: str, stage: str,
+                          audits: "dict[str, callable]") -> tuple[int, dict]:
+    """Write-audit-publish: stage the new version's data, AUDIT the
+    actually-written files, and only then flip the snapshot pointer --
+    readers can never observe data that failed its checks.
+
+    ``audits`` maps audit name -> callable(DataFrame) -> bool, evaluated
+    against a re-read of the written version directory (auditing the real
+    files catches writer truncation/corruption, not just the logical
+    plan). All pass -> the pointer flips atomically (see publish_stage)
+    and the new version number is returned. Any fail -> the pointer is
+    untouched (readers keep the previous snapshot), the quarantined
+    version directory stays on disk for forensics under ``v=N`` with a
+    ``_QUARANTINED`` marker, and the per-audit results come back for the
+    caller's alerting. Returns (version, {audit: bool}) -- version is the
+    new N on success, the still-live previous version on failure."""
+    root = os.path.join(out_dir, stage)
+    os.makedirs(root, exist_ok=True)
+    versions = [int(d.split("=", 1)[1]) for d in os.listdir(root)
+                if d.startswith("v=")]
+    n = max(versions, default=-1) + 1
+    vdir = os.path.join(root, f"v={n}")
+    df.write.mode("errorifexists").parquet(vdir)
+    written = df.sparkSession.read.parquet(vdir)
+    results = {name: bool(check(written)) for name, check in audits.items()}
+    if all(results.values()):
+        tmp = os.path.join(root, "_LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(n))
+        os.rename(tmp, os.path.join(root, "_LATEST"))
+        return n, results
+    with open(os.path.join(vdir, "_QUARANTINED"), "w") as f:
+        f.write(",".join(sorted(a for a, ok in results.items() if not ok)))
+    try:
+        live = published_version(out_dir, stage)
+    except FileNotFoundError:  # first-ever publish failed its audits
+        live = -1
+    return live, results
+
+
 def published_version(out_dir: str, stage: str) -> int:
     with open(os.path.join(out_dir, stage, "_LATEST")) as f:
         return int(f.read().strip())

@@ -512,3 +512,36 @@ def test_zorder_quantile_cells_beat_uniform_on_skew(spark):
         import pytest as _pytest
         with _pytest.raises(ValueError):
             sinks.zorder_key(df, ["x", "y_skewed"], bits=16, quantile=True)
+
+
+def test_write_audit_publish_gates_bad_data(spark):
+    """publish_stage_audited must flip the pointer only when every audit
+    passes against the WRITTEN files; a failing audit quarantines the
+    version and readers keep the previous snapshot."""
+    import os
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+
+    nation = load_table(spark, SF_SMOKE, "nation")
+    audits = {
+        "nonempty": lambda d: d.count() > 0,
+        "all_keys_present": lambda d: d.select("n_nationkey").distinct()
+                                       .count() == d.count(),
+    }
+    with tempfile.TemporaryDirectory() as d:
+        v, res = sinks.publish_stage_audited(nation, d, "dim", audits)
+        assert v == 0 and all(res.values())
+        assert sinks.read_stage_version(spark, d, "dim").count() == 25
+
+        # a batch that fails an audit must NOT become visible
+        dupes = nation.union(nation)  # duplicate keys
+        v2, res2 = sinks.publish_stage_audited(dupes, d, "dim", audits)
+        assert v2 == 0                      # pointer still on the good one
+        assert res2["all_keys_present"] is False
+        assert sinks.read_stage_version(spark, d, "dim").count() == 25
+        assert os.path.exists(f"{d}/dim/v=1/_QUARANTINED")
+
+        # a first-ever publish that fails audits reports no live version
+        v3, res3 = sinks.publish_stage_audited(
+            nation.limit(0), d, "empty_stage", audits)
+        assert v3 == -1 and res3["nonempty"] is False
