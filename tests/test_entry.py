@@ -44,3 +44,22 @@ def test_sql_views_match_dataframe_api(spark):
                   F.col("c_nationkey") == F.col("n_nationkey"))
             .groupBy("n_name").agg(F.count(F.lit(1)).alias("n")).collect())
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_registry_memoizes_per_session_and_caches_once(spark):
+    """Repeat invocations of a registered persisting query must return the
+    SAME DataFrame (plan analyzed once) and register exactly ONE cached
+    relation -- the regression guard for the warm-session cache pileup
+    (each invocation previously persisted a duplicate 10k-doc relation;
+    CacheManager does not canonicalize them equal)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    name = "doc_u7_extraction_cascade"
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    d1 = qs[name](spark, SF_SMOKE)
+    d1.count()
+    d2 = qs[name](spark, SF_SMOKE)
+    assert d1 is d2
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 1
