@@ -989,3 +989,42 @@ def x5_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("n_toks").alias("n_bpe_tokens")))
+
+
+@register(
+    "x5_dataset_card_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> '')))
+                AS BIGINT) AS n_tokens,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_unique_texts,
+           ROUND(CAST(SUM(octet_length(encode(text))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_doc_bytes
+    FROM documents
+    """,
+)
+def x5_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary: the one-row snapshot a training-data team
+    publishes with every corpus release (doc/token/byte volume, language
+    and source breadth, exact-dup rate via distinct content hashes, mean
+    doc size). ONE narrow pass -- token counts come from size(split), not
+    an explode; the distincts are tiny-cardinality except the content
+    hash, which shuffles 32-byte digests, never text. At 100 TB this is
+    the cheap audit run on every published version (pairs with
+    publish_stage_audited as its audit source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    nbytes = F.length(F.col("text").cast("binary"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.sum(nbytes).cast("long").alias("n_bytes"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.sha2(F.col("text").cast("binary"), 256))
+         .alias("n_unique_texts"),
+        F.round(F.sum(nbytes).cast("double") / F.count(F.lit(1)), 6)
+         .alias("avg_doc_bytes"))
