@@ -579,6 +579,61 @@ def a_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS revenue
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey),
+    ranked AS (
+      SELECT c_mktsegment, revenue,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY revenue, c_custkey) AS i
+      FROM rev),
+    sums AS (
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(revenue AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(i * revenue AS DECIMAL(38,12))) AS DOUBLE) AS six
+      FROM ranked GROUP BY c_mktsegment)
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n_customers,
+           ROUND(2.0 * six / (n * sx) - (n + 1.0) / n, 6) AS gini
+    FROM sums
+    """,
+)
+def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration per market segment -- the
+    inequality metric corpus pipelines apply to SOURCE share (is one
+    domain dominating the mixture?) and billing applies to customer
+    concentration. Exact rank formula G = 2*sum(i*x_i)/(n*sum(x)) -
+    (n+1)/n over revenues ranked ascending (ties broken by key). Shape:
+    one fact rollup, one per-segment rank window, decimal-exact sums with
+    a single double expression at the end -- deterministic and identical
+    in both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    dec6, dec12 = "decimal(28,6)", "decimal(38,12)"
+    rev = (c.join(o, c["c_custkey"] == o["o_custkey"])
+           .groupBy("c_mktsegment", "c_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast(dec6)).cast("double")
+                .alias("revenue")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy(F.asc("revenue"), F.asc("c_custkey")))
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    sums = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("revenue").cast(dec6)).cast("double").alias("sx"),
+        F.sum((F.col("i") * F.col("revenue")).cast(dec12)).cast("double")
+         .alias("six"))
+    return sums.select(
+        "c_mktsegment", F.col("n").alias("n_customers"),
+        F.round(2.0 * F.col("six") / (F.col("n") * F.col("sx"))
+                - (F.col("n") + 1.0) / F.col("n"), 6).alias("gini"))
+
+
+@register(
     "a_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
