@@ -84,16 +84,20 @@ PRIORITY: tuple[str, ...] = (
     "doc_j2_section_context", "doc_a6_baseline_compare",
     "doc_u7_scoped_extraction", "doc_form_pivot_nda",
     # EXT: dedup / similarity / text / corpus prep / multimodal
-    "x1_dedup_exact", "x1_dedup_jaccard_ngram", "x1_dedup_simhash",
+    # (simhash / doc_fingerprint / chunk_overlap rotated out r3 — their
+    # families stay in-window via the other dedup/x4/x5 rows and all keep
+    # their oracles + the builder gate)
+    "x1_dedup_exact", "x1_dedup_jaccard_ngram",
     "x1_dedup_embedding_cosine", "x1_dedup_components",
     "s_pydatasource_formdocs", "x2_cosine_topk",
     "x4_token_stats",
-    "x4_quality_score", "x4_doc_fingerprint", "x4_lang_id_char_ngram",
+    "x4_quality_score", "x4_lang_id_char_ngram",
     "x5_train_test_split_hash", "x5_decontaminate_ngram",
-    "x5_corpus_filter_funnel", "x5_chunk_overlap", "x5_shard_by_budget",
+    "x5_corpus_filter_funnel", "x5_shard_by_budget",
     "x3_multimodal_schema",
-    # streaming twins + event analytics
-    "st_tumbling_window", "st_sliding_window", "st_session_window",
+    # streaming twins + event analytics (sliding rotated out r3; the
+    # tumbling/session pair keeps the window family in-window)
+    "st_tumbling_window", "st_session_window",
     "st_latest_event_per_user", "st_stateful_threshold_batches",
     "st_stream_static_enrich", "st_max_concurrency",
     # window functions (lead/lag also exercised inside doc_a2, in-window)
@@ -102,10 +106,14 @@ PRIORITY: tuple[str, ...] = (
     # cdc-diff stays oracle-backed just outside)
     "j_asof_backward_join", "j_range_interval_join",
     "etl_upsert_latest_wins", "j_salted_skew_join",
-    # aggregates (a8 + approx-count stay oracle-backed just outside; the
-    # HLL partial-merge rollup is approx-count's stronger successor)
+    # aggregates (a8 stays oracle-backed just outside)
     "a4_conditional_aggregation", "a7_bool_and_completeness",
     "a_salted_skew_sum", "a_hll_sketch_partial_merge",
+    # r1 driver-FAIL rows rotated back in (VERDICT r2 item 2) so the fixes
+    # are driver-visible: the array/map canonical-CSV rendering fix and the
+    # paired-exact approx patterns close the loop in CORRECTNESS_r03.
+    "f_array_functions", "f_map_functions",
+    "a_approx_count_distinct", "a_approx_percentile",
 )
 
 
