@@ -204,12 +204,31 @@ def _form_fields(form_name: str, schema_rows: list[tuple] | None = None) -> list
 def extraction_df(spark: SparkSession, blocks: DataFrame | None = None,
                   doc_forms: DataFrame | None = None,
                   schema_rows: list[tuple] | None = None) -> DataFrame:
-    """U7/J3/F1/F2: the per-(doc, field) extraction cascade as generated
-    expressions over full text (EAV output, FIXTURES.md A4). The schema
-    fan-out (J3) is compiled at plan time (schemas are data but KB-sized, so
-    compiling them into expressions is the late-binding step): each form
-    contributes a stack() projection -- no per-row schema interpretation at
-    runtime."""
+    """U7/J3/F1/F2: the per-(doc, field) extraction cascade over full text
+    (EAV output, FIXTURES.md A4), executed rules-as-data: the schema
+    fan-out (J3) is a broadcast join against the candidates table keyed
+    (form_name, field_name) -- each doc fans to its form's field
+    candidates -- and the cascade winner resolves in one aggregation.
+    Constant-size plan in the schema; semantics pinned equal to the
+    generated-projection strategy (extraction_df_hoisted) in pytest and by
+    the shared oracles of every downstream doc_* query."""
+    ft = fulltext_df(spark, blocks, doc_forms)
+    cand = spark.createDataFrame(
+        _cascade_rule_rows(schema_rows, first_wins=False), _RULES_SCHEMA)
+    j = ft.join(F.broadcast(cand), "form_name")
+    return _cascade_winner(j, "full_text")
+
+
+def extraction_df_hoisted(spark: SparkSession, blocks: DataFrame | None = None,
+                          doc_forms: DataFrame | None = None,
+                          schema_rows: list[tuple] | None = None) -> DataFrame:
+    """The generated-projection strategy for the full-text cascade: the
+    schema compiles into per-form guarded-hoist projections (each regex
+    runs once as a hoisted column, stack() emits the EAV rows). Higher
+    one-time driver cost (Catalyst analysis + janino compile), but no join
+    fan-out duplicating full_text per candidate row -- the right trade for
+    standing queries over very wide texts. Kept gate-visible via
+    doc_u7_cascade_hoisted (same oracle as doc_u7_extraction_cascade)."""
     rows = schema_rows if schema_rows is not None else SCHEMA_ROWS
     ft = fulltext_df(spark, blocks, doc_forms)
     forms = sorted({r[0] for r in rows})
@@ -579,8 +598,20 @@ def doc_a3_full_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_u7_extraction_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U7/J3/F1/F2: regex → keyword → (LLM slot = NULL) cascade per
-    (doc, schema field), EAV output (form_filler.py:40-135)."""
+    (doc, schema field), EAV output (form_filler.py:40-135). Rules-as-data
+    execution; the generated-projection strategy stays gate-visible as
+    doc_u7_cascade_hoisted."""
     return extraction_df(spark)
+
+
+@register(
+    "doc_u7_cascade_hoisted",
+    oracle=f"{_CTES} SELECT doc_id, form_name, field_name, value, method FROM extractions",
+)
+def doc_u7_cascade_hoisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generated-projection strategy for the full-text cascade (same
+    oracle as doc_u7_extraction_cascade; strategies pinned equal)."""
+    return extraction_df_hoisted(spark)
 
 
 @register(
@@ -921,6 +952,142 @@ def scoped_cascade_values(scoped: DataFrame,
     return _sql_over_view(scoped, "scoped", " UNION ALL ".join(parts))
 
 
+def _cascade_rule_rows(schema_rows: list[tuple] | None = None,
+                       first_wins: bool = True) -> list[tuple]:
+    """The extraction cascade as DATA: one candidate row per (field, try) --
+    schema patterns in order, then keyword capture-shapes in order
+    (extraction/form_filler.py:53-135). ``first_wins`` keys candidates by
+    field name with the first registered definition winning globally (the
+    scoped path's dispatch semantics; start_date appears in two forms);
+    otherwise candidates are per (form, field) like the full-text path.
+    Row layout: (form_name, field_name, prio, kind, rx1, rx2, ftype)."""
+    rows = schema_rows if schema_rows is not None else SCHEMA_ROWS
+    src: list[tuple]
+    if first_wins:
+        first: dict[str, tuple] = {}
+        for r in rows:
+            first.setdefault(r[1], r)
+        src = list(first.values())
+    else:
+        src = rows
+    out = []
+    for r in src:
+        form, fname, ftype, _, _, keywords, patterns, *_ = r
+        key_form = None if first_wins else form
+        for i, p in enumerate(patterns or []):
+            out.append((key_form, fname, i, "p", "(?is)" + p, None, ftype))
+        for ki, kw in enumerate(keywords or []):
+            s1, s2 = G.keyword_patterns(kw)
+            out.append((key_form, fname, 1000 + ki, "k",
+                        "(?i)" + s1, "(?i)" + s2, ftype))
+        if not (patterns or keywords):
+            # candidate-less fields still need their output row when the
+            # fan-out happens through this table (full-text path)
+            out.append((key_form, fname, 0, None, None, None, ftype))
+    return out
+
+
+def _parse_value_col(cap, ftype):
+    """parse_value_sql as ONE generic Column over (capture, ftype) -- the
+    data-driven twin of sqlgen.parse_value_sql, semantics identical (null
+    words on the raw capture, typed parse over the trimmed capture)."""
+    t = F.trim(cap)
+
+    def ne(c):
+        return F.when(c != "", c)  # NULLIF(c, '')
+
+    date = F.coalesce(
+        *[ne(F.regexp_extract(t, "(?i)" + p, 0)) for p in G.DATE_PATTERNS])
+    number = ne(F.regexp_extract(t, G.NUMBER_PATTERN, 1))
+    boolean = F.when(F.lower(t).isin("true", "yes", "1", "agree", "agreed"),
+                     F.lit("true")).otherwise(F.lit("false"))
+    typed = (F.when(ftype == "date", date)
+             .when(ftype == "number", number)
+             .when(ftype == "boolean", boolean)
+             .otherwise(t))
+    return F.when(cap.isNull() | F.lower(cap).isin("none", "null", "n/a", ""),
+                  F.lit(None).cast("string")).otherwise(typed)
+
+
+_RULES_SCHEMA = ("form_name string, field_name string, prio int, kind string, "
+                 "rx1 string, rx2 string, ftype string")
+
+
+def scoped_cascade_values_rules(scoped: DataFrame,
+                                schema_rows: list[tuple] | None = None
+                                ) -> DataFrame:
+    """Rules-as-data execution of the scoped cascade: semantically identical
+    to :func:`scoped_cascade_values` (same oracle, pinned equal in pytest)
+    but the plan is CONSTANT-SIZE in the schema -- a ~200-row broadcast
+    candidates table, three generic regex expressions with column patterns,
+    and one (doc, field) aggregation picking the cascade winner.
+
+    Why this beats the generated-projection path: the guarded-hoist variant
+    compiles the whole schema into ~9 codegen units (~6 s of driver-side
+    Catalyst analysis + janino compile before any data moves, VERDICT r2
+    item 1) and needs the scoped input persisted against per-form re-reads.
+    Here the schema is late-bound DATA: candidates broadcast-join onto the
+    scoped relation (one pass, no persist) and the winner aggregation is a
+    map-side-combinable min(struct(prio, value)) on the already-
+    doc_id-partitioned key. At 100 TB this is also the plan that scales:
+    adding a form or field changes a broadcast table, not the compiled
+    program. Column-typed regex patterns re-compile when consecutive rows
+    carry different patterns (Spark's regexp evaluator caches only the last
+    pattern); measured negligible at this rule-set size (sort-vs-nosort
+    A/B was a wash steady-state), but rule sets large enough for
+    Pattern.compile to dominate should sortWithinPartitions(field, prio)
+    before the extraction projection to restore run-length amortization.
+
+    Winner semantics preserved exactly: a pattern row decides iff its
+    group-1 capture is non-empty (parsed value final even when NULL); a
+    keyword row's capture shapes resolve within the row (shape 1 else
+    shape 2, 'n/a'/empty fall through) and keyword rows decide across rows
+    on first non-NULL PARSED value; patterns always beat keywords."""
+    spark = scoped.sparkSession
+    spark = scoped.sparkSession
+    cand = spark.createDataFrame(
+        _cascade_rule_rows(schema_rows, first_wins=True), _RULES_SCHEMA
+    ).drop("form_name")
+    j = scoped.join(F.broadcast(cand), "field_name", "left")
+    return _cascade_winner(j, "context").drop("method")
+
+
+def _cascade_winner(j: DataFrame, text_col: str) -> DataFrame:
+    """Shared winner resolution for the rules-as-data cascade: generic
+    capture expressions over ``text_col`` with column-typed patterns, then
+    one (doc, form, field) aggregation picking the first deciding candidate
+    (patterns by capture, keywords by parsed value; patterns beat
+    keywords). Emits (doc_id, form_name, field_name, value, method) --
+    method per cascade_method_sql semantics ('regex' when any schema
+    pattern matched even if parsing nulled it, else 'keyword' when the
+    keyword fallback produced the value, else NULL)."""
+    cap1 = F.expr(f"regexp_extract({text_col}, rx1, 1)")
+    cap2 = F.expr(f"regexp_extract({text_col}, rx2, 1)")
+    pcap = F.when(cap1 != "", cap1)
+    c1, c2 = F.trim(cap1), F.trim(cap2)
+
+    def ok(c):
+        return (c != "") & (F.lower(c) != "n/a")
+
+    kcap = F.when(ok(c1), c1).when(ok(c2), c2)
+    cap = F.when(F.col("kind") == "p", pcap).when(F.col("kind") == "k", kcap)
+    scored = j.select("doc_id", "form_name", "field_name", "kind", "prio",
+                      cap.alias("cap"),
+                      _parse_value_col(cap, F.col("ftype")).alias("val"))
+    agg = scored.groupBy("doc_id", "form_name", "field_name").agg(
+        F.min(F.when((F.col("kind") == "p") & F.col("cap").isNotNull(),
+                     F.struct("prio", "val"))).alias("pw"),
+        F.min(F.when((F.col("kind") == "k") & F.col("val").isNotNull(),
+                     F.struct("prio", "val"))).alias("kw"),
+        F.max(F.col("kind") == "k").alias("has_kw"))
+    value = (F.when(F.col("pw").isNotNull(), F.col("pw.val"))
+             .otherwise(F.col("kw.val")))
+    method = (F.when(F.col("pw").isNotNull(), "regex")
+              .when(F.col("has_kw") & value.isNotNull(), "keyword"))
+    return agg.select("doc_id", "form_name", "field_name",
+                      value.alias("value"), method.alias("method"))
+
+
 _SCOPED_CTES = f"""{_CTES},
     field_sections AS (
       SELECT s.form_name, s.field_name, s.section, f.doc_id
@@ -957,7 +1124,28 @@ def doc_u7_scoped_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (clause-grounded, bypassed in practice by the full_text shortcut,
     SURVEY §2.12 / form_filler.py:67): each field's cascade runs only
     against its section's resolved clause context. Both modes are first-class
-    engine options; this is the scoped one."""
+    engine options; this is the scoped one. Executes through the
+    rules-as-data engine (constant-size plan); the generated-projection
+    strategy stays gate-visible as doc_u7_scoped_hoisted."""
+    return scoped_cascade_values_rules(section_context(spark))
+
+
+@register(
+    "doc_u7_scoped_hoisted",
+    oracle=f"""{_SCOPED_CTES}
+    SELECT doc_id, form_name, field_name,
+           {_scoped_cascade_case(DUCK)} AS value
+    FROM scoped
+    """,
+)
+def doc_u7_scoped_hoisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generated-projection strategy for the scoped cascade (same oracle
+    as doc_u7_scoped_extraction -- the two strategies are pinned equal).
+    Compiles the schema into per-form guarded-hoist projections: higher
+    one-time driver cost (Catalyst analysis + janino compile of ~9 codegen
+    units), zero join fan-out at runtime -- the right trade for standing
+    queries over very wide contexts where duplicating the context string
+    per candidate row would dominate."""
     return scoped_cascade_values(section_context(spark), share_input=True)
 
 
@@ -1039,8 +1227,12 @@ def doc_pipeline_scoped_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_forms = (doc_forms_df(spark).crossJoin(copies)
                  .withColumn("doc_id", F.col("doc_id") + shift)
                  .drop("copy"))
-    vals = scoped_cascade_values(section_context(spark, blocks, doc_forms),
-                                 share_input=True)
+    # Rules-as-data cascade: one pass over the scoped relation (no persist
+    # needed -- the candidates fan-out reads it exactly once) and a
+    # constant-size plan, cutting the ~6 s standing-start analysis+compile
+    # constant the generated-projection strategy paid (VERDICT r2 item 1).
+    vals = scoped_cascade_values_rules(
+        section_context(spark, blocks, doc_forms))
     # Two-level rollup instead of countDistinct: the per-(form, doc) partial
     # agg is map-side-combinable on a high-cardinality key (no distinct
     # Expand, no 3-key skew), and it keeps the giant cascade projection out

@@ -105,7 +105,7 @@ def parse_value_sql(v: str, ftype: str, engine: str) -> str:
 
 # --- extraction cascade ------------------------------------------------------
 
-def _keyword_patterns(kw: str) -> tuple[str, str]:
+def keyword_patterns(kw: str) -> tuple[str, str]:
     """extraction/form_filler.py:122-127: 'kw: value' / 'kw= value', then
     'kw value'; capture stops at newline/./;/, -- keyword interpolated
     unescaped, exactly like the reference."""
@@ -146,7 +146,7 @@ def cascade_value_sql(text: str, ftype: str, patterns: list[str],
     kw_exprs = []
     for kw in keywords:
         kw_whens = []
-        for kp in _keyword_patterns(kw):
+        for kp in keyword_patterns(kw):
             jp = "(?i)" + kp  # IGNORECASE only (form_filler.py:130)
             val = f"trim({rext(text, jp, 1, engine)})"
             ok = f"({val} <> '' AND lower({val}) <> 'n/a')"
@@ -191,7 +191,7 @@ def cascade_cols(text: str, ftype: str, patterns: list[str],
     kw_exprs = []
     for ki, kw in enumerate(keywords):
         kw_whens = []
-        for si, kp in enumerate(_keyword_patterns(kw)):
+        for si, kp in enumerate(keyword_patterns(kw)):
             jp = "(?i)" + kp
             c = f"{prefix}_k{ki}_{si}"
             cols.append((c, f"trim({rext(text, jp, 1, engine)})"))

@@ -364,3 +364,32 @@ def test_min_label_components_chain_graph(spark):
             for r in min_label_components(nodes, chain).collect()}
     assert all(comp[i] == 0 for i in range(10))
     assert all(comp[i] == i for i in range(10, 13))
+
+
+def test_scoped_cascade_strategies_equal(spark):
+    """The rules-as-data scoped cascade and the generated-projection
+    strategy are the same operator: identical (doc, form, field, value)
+    rows on the fixture corpus. Guards the constant-size-plan rewrite
+    against semantic drift from the compiled path (both already share one
+    DuckDB oracle; this pins them to each other without the gate)."""
+    from multiagent_form_schema_etl_spark.operators.document import (
+        scoped_cascade_values, scoped_cascade_values_rules, section_context)
+
+    scoped = section_context(spark)
+    hoisted = sorted(map(tuple, scoped_cascade_values(scoped).collect()))
+    rules = sorted(map(tuple, scoped_cascade_values_rules(scoped).collect()))
+    assert hoisted == rules
+    assert len(rules) == 24  # one row per (doc, field), fixture corpus
+
+
+def test_fulltext_cascade_strategies_equal(spark):
+    """Rules-as-data and generated-projection full-text cascades emit
+    identical (doc, form, field, value, method) rows on the fixture
+    corpus."""
+    from multiagent_form_schema_etl_spark.operators.document import (
+        extraction_df, extraction_df_hoisted)
+
+    rules = sorted(map(tuple, extraction_df(spark).collect()))
+    hoisted = sorted(map(tuple, extraction_df_hoisted(spark).collect()))
+    assert rules == hoisted
+    assert len(rules) == 24
