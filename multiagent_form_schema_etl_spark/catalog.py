@@ -60,29 +60,24 @@ def footer_stats(spark: SparkSession, path: str,
     between a metadata read and a full-table scan for freshness checks,
     partition-boundary discovery, and planner statistics.
 
-    Pushdown only exists on the V2 parquet path, so the two confs are set
-    for the duration of the (eagerly collected) query and restored after
-    -- session semantics elsewhere are untouched. Returns
-    {"count": n, "<col>_min": ..., "<col>_max": ...}; the pushdown shape
-    is pinned in tests/test_plan_guards.py."""
-    conf = spark.conf
-    old_v1 = conf.get("spark.sql.sources.useV1SourceList")
-    old_agg = conf.get("spark.sql.parquet.aggregatePushdown")
-    try:
-        conf.set("spark.sql.sources.useV1SourceList",
-                 "avro,csv,json,kafka,orc,text")
-        conf.set("spark.sql.parquet.aggregatePushdown", "true")
-        aggs = [F.count(F.lit(1)).alias("count")]
-        for c in cols:
-            aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
-        df = spark.read.parquet(path).agg(*aggs)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        if "PushedAggregation: []" in plan or "PushedAggregation" not in plan:
-            raise RuntimeError(
-                "aggregate pushdown did not engage; plan would scan rows:\n"
-                + plan[:2000])
-        [row] = df.collect()
-        return row.asDict()
-    finally:
-        conf.set("spark.sql.sources.useV1SourceList", old_v1)
-        conf.set("spark.sql.parquet.aggregatePushdown", old_agg)
+    Pushdown only exists on the V2 parquet path, so the two confs are
+    flipped inside a CLONED session (spark.newSession(): shared
+    SparkContext, isolated SQLConf and temp views) -- queries planned
+    concurrently in the caller's session never see the V2/pushdown window
+    (ADVICE r2). Returns {"count": n, "<col>_min": ..., "<col>_max": ...};
+    the pushdown shape is pinned in tests/test_plan_guards.py."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList",
+                "avro,csv,json,kafka,orc,text")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    aggs = [F.count(F.lit(1)).alias("count")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    df = s2.read.parquet(path).agg(*aggs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "PushedAggregation: []" in plan or "PushedAggregation" not in plan:
+        raise RuntimeError(
+            "aggregate pushdown did not engage; plan would scan rows:\n"
+            + plan[:2000])
+    [row] = df.collect()
+    return row.asDict()

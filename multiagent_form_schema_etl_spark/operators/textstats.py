@@ -386,7 +386,14 @@ def x4_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract on every row -- never below the true count (CMS errs high by
     construction), and within eps * total_tokens above it. DuckDB has no
     CMS surface, so its boolean is literal true; an out-of-contract
-    estimate flips the Spark boolean and fails the hash match."""
+    estimate flips the Spark boolean and fails the hash match.
+
+    EAGER AT BUILD (ADVICE r2): the probe runs through the JVM sketch
+    reader, so constructing this query executes the two distributed passes
+    (sketch + top-k) and returns a local relation -- explain/plan-guard
+    callers pay them too. The registry memo bounds this to once per
+    (session, sf_dir, data snapshot); a data change under the path evicts
+    the memoized local relation and rebuilds from the new corpus."""
     eps, conf = 0.001, 0.99
     t = _tokens_df(spark, sf_dir)
     [sk_row] = t.agg(F.count_min_sketch(

@@ -122,7 +122,13 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16,
                                 F.lit(10000)).alias(f"q{i}")
             for i, c in enumerate(cols)]).first()
         for j, c in enumerate(cols):
-            cuts = F.lit([float(v) for v in cuts_rows[f"q{j}"]])
+            qcuts = cuts_rows[f"q{j}"]
+            if qcuts is None:  # entirely-NULL column: constant cell 0
+                cells.append(F.lit(0).cast("long"))
+                continue
+            cuts = F.lit([float(v) for v in qcuts])
+            # NULL values yield an all-NULL filter predicate -> empty
+            # array -> cell 0 (grouped with the low range, never NULL)
             cells.append(F.size(F.filter(
                 cuts, lambda cut: cut <= F.col(c).cast("double")))
                 .cast("long"))
@@ -135,8 +141,15 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16,
         ).first()
         for j, c in enumerate(cols):
             mn, mx = stats[f"mn{j}"], stats[f"mx{j}"]
+            if mn is None or mx is None:  # entirely-NULL column
+                cells.append(F.lit(0).cast("long"))
+                continue
             span = (mx - mn) or 1.0
-            cell = F.floor((F.col(c).cast("double") - F.lit(mn))
+            # NULL values coalesce to the min cell instead of nulling the
+            # whole interleaved key (which silently clumped those rows
+            # into one range partition, ADVICE r2)
+            v = F.coalesce(F.col(c).cast("double"), F.lit(mn))
+            cell = F.floor((v - F.lit(mn))
                            / F.lit(span) * F.lit(float(top))).cast("long")
             cells.append(F.least(F.greatest(cell, F.lit(0)), F.lit(top)))
     z = F.lit(0).cast("long")

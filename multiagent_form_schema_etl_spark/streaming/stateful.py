@@ -329,11 +329,15 @@ def st_stateful_threshold_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 levels (the default) is already too tight for this corpus (99
     # events/user at sf0.1). 10k keeps a runaway-recursion backstop while
     # covering realistic short-sequence depths; the conf must stay set for
-    # the returned lazy plan's execution, so it is bounded rather than
-    # save/restored.
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
-    ev = load_table(spark, sf_dir, "events").select(
+    # the returned lazy plan's execution, so it lives in a CLONED session
+    # (shared SparkContext, isolated SQLConf + temp views) -- the caller's
+    # session keeps the default recursion backstop (ADVICE r2).
+    from ..session import tune_for_session
+
+    s2 = tune_for_session(spark.newSession())
+    s2.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
+    ev = load_table(s2, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value")
     name = "__threshold_sql_events"
     ev.createOrReplaceTempView(name)
-    return spark.sql(_THRESHOLD_RECURSIVE_SQL.format(v=name))
+    return s2.sql(_THRESHOLD_RECURSIVE_SQL.format(v=name))

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import __spark_entry__ as e
 from tests.conftest import SF_SMOKE
 
@@ -63,3 +65,43 @@ def test_registry_memoizes_per_session_and_caches_once(spark):
     assert d1 is d2
     after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert after - before <= 1
+
+
+def test_registry_memo_invalidates_on_data_change(spark, tmp_path):
+    """The per-session memo keys on a snapshot of the sf_dir's parquet
+    files: replacing data under the SAME path mid-session must rebuild the
+    plan and surface the new data (VERDICT r2 item 6), while unchanged
+    data keeps returning the identical memoized DataFrame."""
+    import shutil
+
+    import __spark_entry__ as e
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for f in os.listdir(SF_SMOKE):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SF_SMOKE, f), sf / f)
+    qs = e.queries()
+    name = "q01_pricing_summary"
+    d1 = qs[name](spark, str(sf))
+    n1 = d1.count()
+    assert qs[name](spark, str(sf)) is d1  # same snapshot -> same plan
+
+    # replace lineitem with a halved copy (atomic file replace, new mtime)
+    import duckdb
+
+    duckdb.sql(f"""
+        COPY (SELECT * FROM read_parquet('{sf}/lineitem.parquet')
+              WHERE l_orderkey % 2 = 0)
+        TO '{sf}/lineitem2.parquet' (FORMAT PARQUET)""")
+    os.replace(sf / "lineitem2.parquet", sf / "lineitem.parquet")
+
+    d2 = qs[name](spark, str(sf))
+    assert d2 is not d1
+    rows2 = d2.collect()
+    assert rows2  # still produces the pricing summary
+    total2 = sum(r["count_order"] for r in rows2)
+    # q01 aggregates most of lineitem; halving the fact table must shrink it
+    assert 0 < total2 < sum(r["count_order"]
+                            for r in qs[name](spark, SF_SMOKE).collect())
+    assert n1 >= 0
