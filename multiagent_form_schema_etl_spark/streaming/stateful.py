@@ -283,6 +283,136 @@ def streaming_running_totals_tws(spark: SparkSession, sf_dir: str,
         timeMode="None")
 
 
+_RW_SCHEMA = ("user_id long, event_id long, ts timestamp, "
+              "sum_last3 double, max_last3 double, n_last3 long")
+
+
+@register(
+    "st_tws_recent_list_window",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                OVER (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sum_last3,
+           MAX(value) OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS max_last3,
+           CAST(COUNT(*) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_last3
+    FROM events
+    """,
+)
+def st_tws_recent_list_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the ListState transformWithState operator: per event,
+    the sum/max/count over the user's LAST 3 events in (ts, event_id)
+    order -- the bounded recent-window feature a ListState ring buffer
+    maintains per entity in streaming (VERDICT r2 item 5: the second twin
+    exercising ListState + timer semantics; the live face below carries
+    the full processor shape but is protobuf-gated in this container).
+    Decimal sum keeps batch/stream/oracle bit-identical; no division is
+    emitted (engines disagree on decimal quotient rounding)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, Window.currentRow))
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.sum(F.col("value").cast("decimal(28,6)")).over(w)
+         .cast("double").alias("sum_last3"),
+        F.max("value").over(w).alias("max_last3"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last3"))
+
+
+def streaming_recent_list_window_tws(spark: SparkSession, sf_dir: str,
+                                     source: DataFrame | None = None
+                                     ) -> DataFrame:
+    """Live ListState + timer face of st_tws_recent_list_window
+    (transformWithStateInPandas, Spark 4 StatefulProcessor).
+
+    State per user = a ListState ring buffer of the last 3 (micros, ts)
+    items (appendValue on arrival, trimmed by rewriting via put); each row
+    emits the buffer's sum/max/count -- bit-identical to the batch twin's
+    decimal window because micros are exact integers. An event-time timer
+    (registered per user at last_ts + 1h through TimerValues) clears idle
+    users' buffers, demonstrating handleExpiredTimer-driven state GC; the
+    cleanup only fires AFTER a user's last event, so emitted rows are
+    unaffected and batch parity holds.
+
+    Environment gate: same protobuf requirement as
+    streaming_running_totals_tws; ImportError up front when absent (the
+    batch twin is unaffected)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pyspark's state-server client); the oracle-checked batch "
+            "twin st_tws_recent_list_window is unaffected") from e
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .structured import stream_events
+
+    class RecentWindow(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            item = StructType([StructField("micros", LongType()),
+                               StructField("ts_micros", LongType())])
+            self._recent = handle.getListState("recent", item)
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            from decimal import ROUND_HALF_UP, Decimal
+
+            buf = [tuple(r) for r in self._recent.get()]
+            uid = int(key[0])
+            out = []
+            last_ts = None
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+                for eid, ts, v in zip(pdf["event_id"], pdf["ts"],
+                                      pdf["value"]):
+                    micros = int(Decimal(repr(float(v))).scaleb(6)
+                                 .to_integral_value(ROUND_HALF_UP))
+                    buf = (buf + [(micros, int(ts.value // 1000))])[-3:]
+                    out.append((uid, int(eid), ts,
+                                sum(m for m, _ in buf) / 1e6,
+                                max(m for m, _ in buf) / 1e6, len(buf)))
+                    last_ts = ts
+            self._recent.put([list(x) for x in buf])
+            if last_ts is not None:
+                self._handle.registerTimer(
+                    int(last_ts.value // 1_000_000 + 3600) * 1000)
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "ts",
+                              "sum_last3", "max_last3", "n_last3"])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            self._recent.clear()
+            yield pd.DataFrame(
+                [], columns=["user_id", "event_id", "ts",
+                             "sum_last3", "max_last3", "n_last3"])
+
+        def close(self) -> None:
+            pass
+
+    ev = (source if source is not None
+          else stream_events(spark, sf_dir)).select(
+        "user_id", "event_id", "ts", "value")
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RecentWindow(),
+        outputStructType=_RW_SCHEMA,
+        outputMode="Update",
+        timeMode="EventTime")
+
+
 _THRESHOLD_RECURSIVE_SQL = """
     WITH RECURSIVE ev AS (
       SELECT user_id, value,

@@ -439,3 +439,93 @@ def test_stateful_query_under_rocksdb_state_store(spark):
     got = _rows(spark.sql("SELECT * FROM t_rocks"))
     want = _rows(bw.st_tumbling_window(spark, SF_SMOKE))
     assert got == want and len(got) > 0
+
+
+def test_streaming_trio_matches_oracle_checked_twins(spark):
+    """VERDICT r2 item 7: one harness draining the tumbling / session /
+    stateful-threshold streaming faces (availableNow) and diffing each
+    sink against the exact DataFrame the DuckDB oracle gate verifies --
+    the batch twin invoked through the driver-visible registry, not a
+    re-derived batch plan. Streaming parity is thereby transitively
+    anchored to the oracle."""
+    import __spark_entry__ as e
+
+    from multiagent_form_schema_etl_spark.streaming import stateful as stf
+
+    qs = e.queries()
+    faces = {
+        "st_tumbling_window":
+            lambda: st.streaming_tumbling_counts(spark, SF_SMOKE),
+        "st_session_window":
+            lambda: st.streaming_session_counts(spark, SF_SMOKE),
+        "st_stateful_threshold_batches":
+            lambda: stf.streaming_threshold_batches(spark, SF_SMOKE),
+    }
+    for i, (name, face) in enumerate(faces.items()):
+        sink = f"trio_{i}"
+        if name == "st_stateful_threshold_batches":
+            st.run_append_to_memory(face(), sink)
+            want = _rows(qs[name](spark, SF_SMOKE).filter("closed"))
+        else:
+            st.run_to_memory(face(), sink)
+            want = _rows(qs[name](spark, SF_SMOKE))
+        got = _rows(spark.sql(f"SELECT * FROM {sink}"))
+        assert got == want and len(got) > 0, name
+
+
+def test_tws_recent_list_window_matches_batch(spark, tmp_path):
+    """ListState + event-time-timer transformWithState face: streamed as
+    TWO ts-ordered files so each user's 3-item ring buffer must cross a
+    micro-batch boundary; the per-event recent-window stream must equal
+    the oracle-backed batch twin bit-for-bit. Skips where protobuf isn't
+    installed (the state client wire format)."""
+    import os
+    import shutil
+
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state client requires protobuf")
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.streaming import stateful as stf
+
+    ev = (load_table(spark, SF_SMOKE, "events")
+          .select("user_id", "event_id", "ts", "value"))
+    split = ev.orderBy("ts", "event_id").collect()[ev.count() // 2]
+    first_half = ((F.col("ts") < split["ts"]) |
+                  ((F.col("ts") == split["ts"]) &
+                   (F.col("event_id") <= split["event_id"])))
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (name, part) in enumerate(
+            [("a.parquet", ev.filter(first_half)),
+             ("b.parquet", ev.filter(~first_half))]):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        [pf] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.copy(stage / pf, src / name)
+        os.utime(src / name, (1_700_000_000 + i, 1_700_000_000 + i))
+    raw = (spark.readStream
+           .schema("user_id long, event_id long, ts timestamp, value double")
+           .format("parquet").option("maxFilesPerTrigger", "1")
+           .load(str(src)))
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        st.run_update_to_memory(
+            stf.streaming_recent_list_window_tws(spark, SF_SMOKE, source=raw),
+            "t_tws_list")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    got = _rows(spark.sql("SELECT * FROM t_tws_list"))
+    want = _rows(stf.st_tws_recent_list_window(spark, SF_SMOKE))
+    assert got == want and len(got) > 0
