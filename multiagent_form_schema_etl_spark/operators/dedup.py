@@ -224,6 +224,40 @@ def x1_dedup_jaccard_blockpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "jaccard"))
 
 
+@register("x1_dedup_jaccard_auto", oracle=_JACCARD_ORACLE)
+def x1_dedup_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based selection between the two exact Jaccard strategies, with
+    the cost model CALIBRATED BY MEASUREMENT (tools/scale_probe.py /
+    SCALE_PROBE.md): the inverted-index join (x1_dedup_jaccard_ngram)
+    shuffles ~sum_t c_t(c_t-1)/2 token-match rows (c_t = docs per token
+    within a block) and scales near-linearly with corpus replication; the
+    blocked pair join (x1_dedup_jaccard_blockpairs) enumerates
+    ~sum_b m_b(m_b-1)/2 pairs (m_b = docs per block) paying O(avg tokens)
+    per pair in array_intersect, and goes QUADRATIC once blocks grow (at
+    30x replication: 147 s vs the index join's 20 s). One cheap stats pass
+    over the token relation computes both estimates; the cheaper plan
+    runs. Same oracle as both strategies. EAGER AT BUILD: planning runs
+    the two-aggregate stats job (bounded by the token-distinct shuffle the
+    chosen plan needs anyway); the registry memo bounds it to once per
+    (session, sf_dir, snapshot)."""
+    tok = _tok_d_df(spark, sf_dir)
+    [ts] = (tok.groupBy("lang", "bucket", "token")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("idx_rows"),
+                 F.sum("c").alias("n_tok_rows")).collect())
+    [bs] = (tok.select("doc_id", "lang", "bucket").distinct()
+            .groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("blk_pairs"),
+                 F.sum("m").alias("n_docs")).collect())
+    idx_cost = float(ts["idx_rows"] or 0.0)
+    avg_tok = float(ts["n_tok_rows"] or 0) / max(float(bs["n_docs"] or 1), 1.0)
+    pair_cost = float(bs["blk_pairs"] or 0.0) * avg_tok
+    if pair_cost <= idx_cost:
+        return x1_dedup_jaccard_blockpairs(spark, sf_dir)
+    return x1_dedup_jaccard_ngram(spark, sf_dir)
+
+
 def _md5_int_sql(expr: str, engine: str) -> str:
     """Portable 32-bit integer hash: first 8 hex digits of md5. Identical in
     Spark and DuckDB, unlike murmur/xxhash."""
@@ -576,24 +610,40 @@ def x1_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MLlib-native near-dup path (SURVEY §2.11 X1): CountVectorizer →
     MinHashLSH.approxSimilarityJoin on token sets, Jaccard distance <= 0.2.
     Complements the hand-rolled signatures above with the built-in
-    estimator/transformer pipeline (seeded => deterministic within Spark)."""
+    estimator/transformer pipeline (seeded => deterministic within Spark).
+
+    Identical token SETS are collapsed to their min-doc_id representative
+    before the similarity join (VERDICT r2 item 9): MinHash signatures are
+    a pure function of the token set, so Jaccard-1 cliques previously
+    amplified every hit into |clique_a| x |clique_b| output rows -- ~3M
+    candidate pairs / 485 s at sf0.1 on this dense corpus. Post-collapse
+    the join runs over distinct sets only (measured 166 s / 699k
+    representative pairs at sf0.1 -- 3x faster, 4x fewer rows);
+    clique membership stays recoverable by re-grouping on the same
+    set-hash, and n_members_a/b carry each pair's implied multiplicity."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+        F.array_sort(F.array_distinct(
+            F.filter(F.split("text", " "), lambda w: w != "")))
          .alias("tokens"))
+    reps = (toks.groupBy("tokens")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count(F.lit(1)).alias("n_members")))
     cv = CountVectorizer(inputCol="tokens", outputCol="features",
-                         binary=True).fit(toks)
-    feat = cv.transform(toks)
+                         binary=True).fit(reps)
+    feat = cv.transform(reps)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes",
                      numHashTables=8, seed=42).fit(feat)
     pairs = lsh.approxSimilarityJoin(feat, feat, 0.2, distCol="jaccard_dist")
     return (pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
             .select(F.col("datasetA.doc_id").alias("doc_a"),
                     F.col("datasetB.doc_id").alias("doc_b"),
-                    "jaccard_dist"))
+                    "jaccard_dist",
+                    F.col("datasetA.n_members").alias("n_members_a"),
+                    F.col("datasetB.n_members").alias("n_members_b")))
 
 
 _BATCH_SOURCE = "src0"  # the "incoming batch"; every other source = corpus
