@@ -25,11 +25,11 @@ ORACLES: dict[str, str] = {}
 # (1) repeat executions reuse the already-analyzed plan (Catalyst analysis
 # of generated lineages is a driver-side constant worth paying once) --
 # the semantics a long-lived cluster session gives a standing query;
-# (2) queries that persist() a shared sub-relation would otherwise register
-# a NEW cached relation per invocation -- CacheManager does not
-# canonicalize them equal -- so a cold+warm bench pass piled up duplicate
-# 10k-doc caches and the warm scoped pipeline measured 3x its cold time on
-# storage-memory thrash.
+# (2) queries that persist() a shared sub-relation (the hoisted-strategy
+# document pipelines) would otherwise register a NEW cached relation per
+# invocation -- CacheManager does not canonicalize them equal -- so a
+# cold+warm bench pass piled up duplicate 10k-doc caches and the warm
+# scoped pipeline measured 3x its cold time on storage-memory thrash.
 #
 # Lifetime and staleness (VERDICT r2 item 6 / ADVICE r2):
 # - Entries carry a SNAPSHOT of the sf_dir's parquet files (name, mtime,
