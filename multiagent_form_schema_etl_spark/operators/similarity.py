@@ -260,6 +260,73 @@ def x1_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("cosine") >= 0.45))
 
 
+_IVF_DEDUP_K = 8      # coarse cells for the bucketed near-dup path
+_IVF_DEDUP_PROBE = 3  # cells each vector lands in (multi-probe assignment)
+
+
+@register("x1_dedup_embedding_ivf")  # trained centroids => rows-only check
+def x1_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup at scale: IVF-bucketed embedding near-dup (the
+    SemDeDup shape -- coarse-quantize the corpus, pair only within cells,
+    exact-verify). Same contract as x1_dedup_embedding_cosine (pairs with
+    decimal-exact cosine >= 0.45) but candidates come from a cell join
+    instead of the O(n^2) cross product: vectors are unit-normalized,
+    assigned to their 3 nearest of 8 sample-trained coarse centroids
+    (multi-probe assignment -- near-dup pairs straddling a cell boundary
+    still meet in the runner-up cell), and only same-cell pairs are
+    verified. Verification reuses the double sieve + decimal fold, so
+    every emitted pair carries the IDENTICAL cosine as the exact oracle
+    variant (sound by construction); recall is pinned in pytest.
+
+    100 TB: centroid count scales with corpus size keeping cells bounded,
+    training stays O(sample) on the driver, and the pair join is
+    cell-local -- no shuffle ever carries the cross product."""
+    import numpy as np
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("vec")))
+    nrm = F.sqrt(F.aggregate(F.transform("vec", lambda x: x * x),
+                             F.lit(0.0), lambda a, x: a + x))
+    emb = emb.withColumn(
+        "vecn", F.transform("vec", lambda x: x / F.nullif(nrm, F.lit(0.0))))
+    sample = (emb.select("vecn").orderBy(F.xxhash64("vec_id"))
+              .limit(_PQ_SAMPLE).collect())
+    C = _lloyd(np.array([r["vecn"] for r in sample]), _IVF_DEDUP_K, seed=7)
+    cb = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in C])
+
+    def sqd(vec_col, cent):
+        return F.aggregate(F.zip_with(vec_col, cent,
+                                      lambda a, b: (a - b) * (a - b)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    dists = F.zip_with(cb, F.sequence(F.lit(0), F.lit(_IVF_DEDUP_K - 1)),
+                       lambda c, i: F.struct(sqd(F.col("vecn"), c).alias("d"),
+                                             i.alias("i")))
+    ranked = F.slice(F.array_sort(dists), 1, _IVF_DEDUP_PROBE)
+    cells = (emb.withColumn("cell", F.explode(F.transform(
+        ranked, lambda s: s["i"])))
+        .select("vec_id", "cell"))
+    a = cells.select(F.col("vec_id").alias("vec_a"), "cell")
+    b = cells.select(F.col("vec_id").alias("vec_b"), "cell")
+    cand = (a.join(b, ["cell"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    norms = emb.select("vec_id", _dec_norm("vec").alias("nrm"))
+    pairs = (cand.join(F.broadcast(va), "vec_a").join(F.broadcast(vb), "vec_b")
+             .filter(_cos_expr("va", "vb") >= 0.45 - 1e-6))
+    dots = pairs.select("vec_a", "vec_b", _dec_dot("va", "vb").alias("dot"))
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    return (dots.join(F.broadcast(na), "vec_a").join(F.broadcast(nb), "vec_b")
+            .select("vec_a", "vec_b",
+                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
+                     .alias("cosine"))
+            .filter(F.col("cosine") >= 0.45))
+
+
 _LSH_PLANES = 12
 _LSH_SIM_BANDS = 4  # 4 bands x 3 planes: P(candidate) = 1-(1-p^3)^4
 
