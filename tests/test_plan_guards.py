@@ -127,3 +127,42 @@ def test_media_metadata_query_never_reads_payload(spark, tmp_path):
     assert any("PushedFilters" in l and "n_bytes" in l
                for l in plan.splitlines()), plan
     assert q.count() > 0
+
+
+def test_runtime_bloom_filter_prunes_selective_join(spark):
+    """Runtime bloom-filter join pruning (the probe-side row filter a
+    selective fact-fact join relies on at 100 TB) INJECTS on this engine's
+    conf: with a selective dimension filter and a non-broadcast join, the
+    fact side's scan gains a might_contain(bloom_filter_agg(...)) filter
+    built from the filtered build side. Default thresholds only trigger at
+    multi-GB scan sizes, so the test lowers them in a cloned session --
+    the assertion is that the optimizer rule fires at all (the session
+    enables spark.sql.optimizer.runtime.bloomFilter), not the thresholds."""
+    from pyspark.sql import functions as F
+
+    from multiagent_form_schema_etl_spark.session import tune_for_session
+    from tests.conftest import SF_CHECK
+
+    s2 = tune_for_session(spark.newSession())
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "10MB")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold", "1KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = s2.read.parquet(f"{SF_CHECK}/lineitem.parquet")
+    o = (s2.read.parquet(f"{SF_CHECK}/orders.parquet")
+         .filter(F.col("o_orderpriority") == "1-URGENT"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .groupBy("o_orderpriority").count())
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan and "bloom_filter_agg" in plan
+    # and the result is still correct vs the broadcast plan in the main
+    # session
+    want = (spark.read.parquet(f"{SF_CHECK}/lineitem.parquet")
+            .join(spark.read.parquet(f"{SF_CHECK}/orders.parquet")
+                  .filter(F.col("o_orderpriority") == "1-URGENT"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority").count())
+    assert sorted(map(tuple, j.collect())) == sorted(map(tuple, want.collect()))
