@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     EqualTo,
+    SimpleDataSourceStreamReader,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
@@ -118,6 +119,43 @@ class FormDocsReader(DataSourceReader):
             names=list(cols))
 
 
+class FormDocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch streaming face of the same source (Spark 4 Python
+    streaming DataSource API): documents arrive in doc_id order, ``chunk``
+    docs per micro-batch, offsets tracked as {"pos": next_doc_id} so a
+    restarted query resumes (and replays uncommitted batches) exactly --
+    readBetweenOffsets regenerates any [start, end) deterministically.
+
+    This is the SIMPLE reader variant: rows materialize driver-side per
+    batch, the right shape for low-volume control/metadata streams (and
+    for demonstrating offset semantics). A high-volume production source
+    implements DataSourceStreamReader with executor-side partitions
+    instead -- the batch reader above shows that partition planning."""
+
+    def __init__(self, options):
+        self.cap = int(options.get("n_docs", 200))
+        self.chunk = int(options.get("chunk", 8))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, lo: int, hi: int) -> list:
+        # a LIST, not a generator: the simple-reader prefetch cache
+        # copies/pickles the returned rows for replay
+        return [(d,) + row[1:]
+                for d in range(lo, hi)
+                for row in fixtures.BLOCK_ROWS
+                if row[0] == d % _N_FIXTURE_DOCS + 1]
+
+    def read(self, start):
+        pos = start["pos"]
+        end = min(pos + self.chunk, self.cap)
+        return self._rows(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["pos"], end["pos"])
+
+
 class FormDocsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -128,6 +166,9 @@ class FormDocsDataSource(DataSource):
 
     def reader(self, schema) -> FormDocsReader:
         return FormDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> FormDocsStreamReader:
+        return FormDocsStreamReader(self.options)
 
 
 def register_formdocs(spark: SparkSession) -> None:
@@ -142,6 +183,15 @@ def formdocs(spark: SparkSession, n_docs: int = 200,
     return (spark.read.format("formdocs")
             .option("n_docs", n_docs).option("partitions", partitions)
             .load())
+
+
+def formdocs_stream(spark: SparkSession, n_docs: int = 24,
+                    chunk: int = 8) -> DataFrame:
+    """The streaming face: same rows as formdocs(n_docs), arriving
+    ``chunk`` docs per micro-batch with exact offset tracking."""
+    register_formdocs(spark)
+    return (spark.readStream.format("formdocs")
+            .option("n_docs", n_docs).option("chunk", chunk).load())
 
 
 @register(
