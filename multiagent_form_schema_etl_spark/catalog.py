@@ -10,6 +10,7 @@ change.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,6 +52,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+# One pushdown-configured session clone per base session; weak keys so a
+# stopped/collected base session releases its clone (the clone shares the
+# SparkContext but holds no reference to the base, so collection works).
+_stats_sessions: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
+    weakref.WeakKeyDictionary())
+
+
 def footer_stats(spark: SparkSession, path: str,
                  cols: list[str]) -> dict[str, object]:
     """COUNT(*) + per-column MIN/MAX answered from parquet FOOTER
@@ -65,11 +73,26 @@ def footer_stats(spark: SparkSession, path: str,
     SparkContext, isolated SQLConf and temp views) -- queries planned
     concurrently in the caller's session never see the V2/pushdown window
     (ADVICE r2). Returns {"count": n, "<col>_min": ..., "<col>_max": ...};
-    the pushdown shape is pinned in tests/test_plan_guards.py."""
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.sources.useV1SourceList",
-                "avro,csv,json,kafka,orc,text")
-    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    the pushdown shape is pinned in tests/test_plan_guards.py.
+
+    The clone is created ONCE per base session (weak-keyed cache: the
+    clone holds no reference back to its base, so entries can collect)
+    and runs through tune_for_session; the session timezone is re-synced
+    from the caller on every call so timestamp min/max render in the
+    caller's current zone even when it was set post-startup (ADVICE r3)."""
+    s2 = _stats_sessions.get(spark)
+    if s2 is None:
+        from .session import tune_for_session
+        s2 = tune_for_session(spark.newSession())
+        s2.conf.set("spark.sql.sources.useV1SourceList",
+                    "avro,csv,json,kafka,orc,text")
+        s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        _stats_sessions[spark] = s2
+    try:
+        s2.conf.set("spark.sql.session.timeZone",
+                    spark.conf.get("spark.sql.session.timeZone"))
+    except Exception:
+        pass
     aggs = [F.count(F.lit(1)).alias("count")]
     for c in cols:
         aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]

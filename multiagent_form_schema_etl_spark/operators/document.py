@@ -40,7 +40,7 @@ from ..fixtures import (
     SCHEMA_ROWS,
     values_sql,
 )
-from ..plans.registry import register
+from ..plans.registry import register, track_persist
 from . import sqlgen as G
 from .sqlgen import DUCK, SPARK
 
@@ -237,8 +237,9 @@ def extraction_df_hoisted(spark: SparkSession, blocks: DataFrame | None = None,
         # but cannot prune the per-doc full-text concat agg, so without
         # sharing, that agg re-runs once PER FORM. Persist the per-doc
         # relation (corpus-doc-count rows, not blocks) so the union branches
-        # read one materialization; lineage-preserving, LRU-evicted.
-        ft = ft.persist()
+        # read one materialization; lineage-preserving, LRU-evicted, and
+        # registered with the memo entry so eviction releases it.
+        ft = track_persist(ft)
     parts = []
     for form in forms:
         # Three small projections instead of one giant stack expression:
@@ -918,7 +919,7 @@ def scoped_cascade_values(scoped: DataFrame,
     semantics (every doc carries exactly one form, so form-branching
     partitions rows disjointly)."""
     if share_input:
-        scoped = scoped.persist()
+        scoped = track_persist(scoped)
     first_def: dict[str, tuple] = {}
     for r in SCHEMA_ROWS:
         first_def.setdefault(r[1], r)
@@ -1043,7 +1044,6 @@ def scoped_cascade_values_rules(scoped: DataFrame,
     keyword row's capture shapes resolve within the row (shape 1 else
     shape 2, 'n/a'/empty fall through) and keyword rows decide across rows
     on first non-NULL PARSED value; patterns always beat keywords."""
-    spark = scoped.sparkSession
     spark = scoped.sparkSession
     cand = spark.createDataFrame(
         _cascade_rule_rows(schema_rows, first_wins=True), _RULES_SCHEMA

@@ -388,8 +388,12 @@ def streaming_recent_list_window_tws(spark: SparkSession, sf_dir: str,
                     last_ts = ts
             self._recent.put([list(x) for x in buf])
             if last_ts is not None:
+                # registerTimer expects epoch MILLISECONDS (PySpark 4):
+                # ns // 1e6 -> ms, then + 1h in ms. (ADVICE r3: the old
+                # (ms + 3600) * 1000 form landed ~1000x past the epoch and
+                # the idle-GC timer never fired.)
                 self._handle.registerTimer(
-                    int(last_ts.value // 1_000_000 + 3600) * 1000)
+                    int(last_ts.value // 1_000_000) + 3_600_000)
             yield pd.DataFrame(
                 out, columns=["user_id", "event_id", "ts",
                               "sum_last3", "max_last3", "n_last3"])

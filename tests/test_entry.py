@@ -105,3 +105,34 @@ def test_registry_memo_invalidates_on_data_change(spark, tmp_path):
     assert 0 < total2 < sum(r["count_order"]
                             for r in qs[name](spark, SF_SMOKE).collect())
     assert n1 >= 0
+
+
+def test_registry_eviction_releases_tracked_subrelation_caches(spark, tmp_path):
+    """Builders that persist a shared sub-relation route it through
+    track_persist, so snapshot eviction / invalidate() must release the
+    sub-relation cache too -- not just the top-level DataFrame (ADVICE
+    r3: orphaned hoisted-pipeline caches accumulated across data
+    refreshes until LRU pressure)."""
+    import shutil
+
+    from multiagent_form_schema_etl_spark.plans import registry
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for f in os.listdir(SF_SMOKE):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SF_SMOKE, f), sf / f)
+
+    # a fresh session isolates the persistent-RDD count from other tests
+    s2 = spark.newSession()
+    name = "doc_u7_cascade_hoisted"  # hoisted strategy: persists sub-relation
+    qs = __import__("__spark_entry__").queries()
+    base = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    df = qs[name](s2, str(sf))
+    df.count()
+    during = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    registry.invalidate(s2)
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # invalidate must release every cache the build registered; if the
+    # build persisted nothing (single-form corpus), this still holds.
+    assert after <= base, (base, during, after)
