@@ -264,7 +264,10 @@ def x1_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_DEDUP_K = 8      # coarse cells for the bucketed near-dup path
-_IVF_DEDUP_PROBE = 3  # cells each vector lands in (multi-probe assignment)
+_IVF_DEDUP_PROBE = 4  # cells each vector lands in (multi-probe assignment;
+#                       3 measured 0.86/0.95 recall at sf0.01/0.1 -- boundary
+#                       pairs straddled >2 runner-up cells; 4 measures 1.0 at
+#                       both and the extra candidates only pay the cheap sieve)
 
 
 @register("x1_dedup_embedding_ivf")  # trained centroids => rows-only check
@@ -274,7 +277,7 @@ def x1_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-verify). Same contract as x1_dedup_embedding_cosine (pairs with
     decimal-exact cosine >= 0.45) but candidates come from a cell join
     instead of the O(n^2) cross product: vectors are unit-normalized,
-    assigned to their 3 nearest of 8 sample-trained coarse centroids
+    assigned to their 4 nearest of 8 sample-trained coarse centroids
     (multi-probe assignment -- near-dup pairs straddling a cell boundary
     still meet in the runner-up cell), and only same-cell pairs are
     verified. Verification reuses the double sieve + decimal fold, so

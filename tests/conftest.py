@@ -9,6 +9,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CHECK = "/root/testdata/sf0.01"
+SF_BENCH = "/root/testdata/sf0.1"
 
 
 @pytest.fixture(scope="session")

@@ -137,8 +137,10 @@ def test_embedding_ivf_dedup_sound_and_recall(spark):
     """IVF-bucketed semantic dedup must be SOUND (every emitted pair is a
     true >= 0.45 pair with the identical decimal-exact cosine as the
     oracle-backed exact variant) and keep a recall floor vs the exact
-    pair set (measured 0.86 at sf0.01 with 8 cells x 3-probe; seeded
-    driver-side Lloyd => deterministic)."""
+    pair set (measured 1.0 at sf0.01 AND sf0.1 with 8 cells x 4-probe,
+    up from 0.86/0.95 at 3-probe -- VERDICT r3 item 3; seeded
+    driver-side Lloyd => deterministic; floor 0.9 leaves headroom for
+    future corpus regeneration, not for regressions)."""
     qs = _queries()
     exact = {(r.vec_a, r.vec_b): r.cosine
              for r in qs["x1_dedup_embedding_cosine"](spark, SF_CHECK).collect()}
@@ -147,4 +149,20 @@ def test_embedding_ivf_dedup_sound_and_recall(spark):
     assert set(ivf) <= set(exact), "unsound pair emitted"
     for k, c in ivf.items():
         assert abs(c - exact[k]) < 1e-12
-    assert len(ivf) / len(exact) >= 0.7
+    assert len(ivf) / len(exact) >= 0.9
+
+
+def test_embedding_ivf_dedup_recall_sf01(spark):
+    """Same soundness + recall floor at sf0.1 (10x the corpus): cell
+    boundaries move with the trained centroids, so the floor must hold
+    where there are enough true pairs (144) for recall to be a real
+    measurement rather than a handful of lucky cells."""
+    from tests.conftest import SF_BENCH
+
+    qs = _queries()
+    exact = {(r.vec_a, r.vec_b)
+             for r in qs["x1_dedup_embedding_cosine"](spark, SF_BENCH).collect()}
+    ivf = {(r.vec_a, r.vec_b)
+           for r in qs["x1_dedup_embedding_ivf"](spark, SF_BENCH).collect()}
+    assert ivf <= exact, "unsound pair emitted"
+    assert len(ivf) / len(exact) >= 0.9
