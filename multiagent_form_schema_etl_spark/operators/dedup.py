@@ -605,22 +605,29 @@ def x1_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("rank"), F.asc("doc_id")))
 
 
-@register("x1_dedup_minhash_mllib")  # MLlib model hashing => rows-only
-def x1_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_mllib_rep_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MLlib-native near-dup path (SURVEY §2.11 X1): CountVectorizer →
     MinHashLSH.approxSimilarityJoin on token sets, Jaccard distance <= 0.2.
     Complements the hand-rolled signatures above with the built-in
     estimator/transformer pipeline (seeded => deterministic within Spark).
 
-    Identical token SETS are collapsed to their min-doc_id representative
-    before the similarity join (VERDICT r2 item 9): MinHash signatures are
-    a pure function of the token set, so Jaccard-1 cliques previously
-    amplified every hit into |clique_a| x |clique_b| output rows -- ~3M
-    candidate pairs / 485 s at sf0.1 on this dense corpus. Post-collapse
-    the join runs over distinct sets only (measured 166 s / 699k
-    representative pairs at sf0.1 -- 3x faster, 4x fewer rows);
-    clique membership stays recoverable by re-grouping on the same
-    set-hash, and n_members_a/b carry each pair's implied multiplicity."""
+    NOT REGISTERED (VERDICT r3 item 4): even after representative
+    collapse this ran 166 s at sf0.1 -- ~50x the custom banded LSH on
+    the same corpus -- because approxSimilarityJoin offers no bucket-size
+    cap on a dense corpus. It stays as the API-parity demo, exercised in
+    pytest at small SF; `x1_dedup_minhash_lsh` is the registered (and
+    scale-path) MinHash+LSH operator.
+
+    Contract (the name says it -- ADVICE r3): output pairs are between
+    token-set REPRESENTATIVES, not documents. Identical token SETS
+    collapse to their min-doc_id representative before the similarity
+    join (VERDICT r2 item 9): MinHash signatures are a pure function of
+    the token set, so Jaccard-1 cliques previously amplified every hit
+    into |clique_a| x |clique_b| output rows (~3M pairs / 485 s at sf0.1
+    on this dense corpus; post-collapse 699k pairs / 166 s). Within-
+    clique (distance-0) pairs are NOT emitted here --
+    `expand_minhash_rep_pairs` reconstructs the full document-level pair
+    set, pinned equal to clique-expansion semantics in pytest."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")
@@ -644,6 +651,39 @@ def x1_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "jaccard_dist",
                     F.col("datasetA.n_members").alias("n_members_a"),
                     F.col("datasetB.n_members").alias("n_members_b")))
+
+
+def expand_minhash_rep_pairs(spark: SparkSession, sf_dir: str,
+                             rep_pairs: DataFrame) -> DataFrame:
+    """Reconstruct the full DOCUMENT-level near-dup pair set from
+    `minhash_mllib_rep_pairs` output (ADVICE r3): each rep-rep hit fans
+    out to its cliques' member cross product (identical token sets share
+    the representative's Jaccard distance -- MinHash/Jaccard are pure
+    functions of the set), and within-clique pairs re-enter with
+    distance 0. Membership comes from the same deterministic token-set
+    grouping the demo uses, so no state needs to ride the rep output."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(
+            F.filter(F.split("text", " "), lambda w: w != "")))
+         .alias("tokens"))
+    from pyspark.sql import Window
+
+    mem = (toks.withColumn("rep", F.min("doc_id").over(
+               Window.partitionBy("tokens")))
+           .select("doc_id", "rep"))
+    ma = mem.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("a"))
+    mb = mem.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("b"))
+    cross = (rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
+             .select(F.least("a", "b").alias("doc_a"),
+                     F.greatest("a", "b").alias("doc_b"), "jaccard_dist"))
+    within = (mem.alias("x").join(mem.alias("y"), "rep")
+              .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+              .select(F.col("x.doc_id").alias("doc_a"),
+                      F.col("y.doc_id").alias("doc_b"),
+                      F.lit(0.0).alias("jaccard_dist")))
+    return cross.unionAll(within).dropDuplicates(["doc_a", "doc_b"])
 
 
 _BATCH_SOURCE = "src0"  # the "incoming batch"; every other source = corpus
