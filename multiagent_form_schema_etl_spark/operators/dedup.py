@@ -240,6 +240,14 @@ def x1_dedup_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-aggregate stats job (bounded by the token-distinct shuffle the
     chosen plan needs anyway); the registry memo bounds it to once per
     (session, sf_dir, snapshot)."""
+    if _jaccard_auto_choice(spark, sf_dir) == "blockpairs":
+        return x1_dedup_jaccard_blockpairs(spark, sf_dir)
+    return x1_dedup_jaccard_ngram(spark, sf_dir)
+
+
+def _jaccard_auto_choice(spark: SparkSession, sf_dir: str) -> str:
+    """The auto-selector's cost model, exposed so tests can pin WHICH
+    branch a given corpus shape selects (VERDICT r3 item 6)."""
     tok = _tok_d_df(spark, sf_dir)
     [ts] = (tok.groupBy("lang", "bucket", "token")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -253,9 +261,7 @@ def x1_dedup_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_cost = float(ts["idx_rows"] or 0.0)
     avg_tok = float(ts["n_tok_rows"] or 0) / max(float(bs["n_docs"] or 1), 1.0)
     pair_cost = float(bs["blk_pairs"] or 0.0) * avg_tok
-    if pair_cost <= idx_cost:
-        return x1_dedup_jaccard_blockpairs(spark, sf_dir)
-    return x1_dedup_jaccard_ngram(spark, sf_dir)
+    return "blockpairs" if pair_cost <= idx_cost else "ngram"
 
 
 def _md5_int_sql(expr: str, engine: str) -> str:

@@ -1,0 +1,87 @@
+"""Both branches of the Jaccard auto-selector pinned in CI (VERDICT r3
+item 6): the scale-probe corpora all chose the inverted index, so a
+constructed dense-block corpus must force the blockpairs branch and a
+sparse one the ngram branch -- and each branch's result must equal the
+other strategy's on the same data, so the selector can't silently
+degenerate into picking a wrong-but-fast plan.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _write_corpus(tmp_path, name, rows):
+    """A documents.parquet with the driver's schema plus the OTHER tables
+    the catalog may load (copied from sf0.001 so loaders don't 404)."""
+    d = tmp_path / name
+    d.mkdir()
+    for f in os.listdir(SF_SMOKE):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            shutil.copy(os.path.join(SF_SMOKE, f), d / f)
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                "n_chars"]).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def dense_dir(tmp_path_factory):
+    """Dense block: 20 IDENTICAL 80-token docs in one (lang, bucket) block
+    (inverted index pays vocab rows per pair) plus 100 singleton docs in
+    their own buckets (diluting avg tokens/doc, which only the pair-join
+    estimate scales with) => pair_cost < idx_cost => blockpairs."""
+    shared = " ".join(f"tok{i}" for i in range(80))
+    rows = [(i, shared, "en", "src0", 10) for i in range(20)]
+    rows += [(100 + i, f"solo{i}", "en", "src0", 50 * (i + 2))
+             for i in range(100)]
+    return _write_corpus(tmp_path_factory.mktemp("jac"), "dense", rows)
+
+
+@pytest.fixture(scope="module")
+def sparse_dir(tmp_path_factory):
+    """Sparse block: 30 docs sharing one (lang, bucket) block with fully
+    DISJOINT vocabularies => zero token collisions (idx_cost 0) while the
+    pair join would still enumerate C(30,2) pairs => ngram."""
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(10)), "en", "src0", 10)
+            for i in range(30)]
+    return _write_corpus(tmp_path_factory.mktemp("jac"), "sparse", rows)
+
+
+def test_cost_model_picks_blockpairs_on_dense(spark, dense_dir):
+    from multiagent_form_schema_etl_spark.operators import dedup
+
+    assert dedup._jaccard_auto_choice(spark, dense_dir) == "blockpairs"
+
+
+def test_cost_model_picks_ngram_on_sparse(spark, sparse_dir):
+    from multiagent_form_schema_etl_spark.operators import dedup
+
+    assert dedup._jaccard_auto_choice(spark, sparse_dir) == "ngram"
+
+
+@pytest.mark.parametrize("corpus", ["dense_dir", "sparse_dir"])
+def test_auto_equals_both_strategies(spark, corpus, request):
+    """On each constructed corpus the selected plan, the non-selected
+    plan, and the registered auto query must return identical pair sets
+    (shared semantics regardless of which branch the model picks)."""
+    import __spark_entry__ as e
+    from multiagent_form_schema_etl_spark.operators import dedup
+
+    sf = request.getfixturevalue(corpus)
+    key = lambda df: sorted((r.doc_a, r.doc_b, round(r.jaccard, 9))
+                            for r in df.collect())
+    ngram = key(dedup.x1_dedup_jaccard_ngram(spark, sf))
+    block = key(dedup.x1_dedup_jaccard_blockpairs(spark, sf))
+    auto = key(e.queries()["x1_dedup_jaccard_auto"](spark, sf))
+    assert ngram == block == auto
+    if corpus == "dense_dir":
+        assert len(auto) == 20 * 19 // 2  # the identical-doc clique
+        assert all(j == 1.0 for _, _, j in auto)
+    else:
+        assert auto == []  # disjoint vocabularies: no >= 0.8 pair
