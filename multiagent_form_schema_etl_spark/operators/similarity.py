@@ -263,30 +263,21 @@ def x1_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("cosine") >= 0.45))
 
 
-_IVF_DEDUP_K = 8      # coarse cells for the bucketed near-dup path
+_IVF_DEDUP_K = 8      # coarse-cell FLOOR for the bucketed near-dup path
 _IVF_DEDUP_PROBE = 4  # cells each vector lands in (multi-probe assignment;
 #                       3 measured 0.86/0.95 recall at sf0.01/0.1 -- boundary
 #                       pairs straddled >2 runner-up cells; 4 measures 1.0 at
 #                       both and the extra candidates only pay the cheap sieve)
+_IVF_DEDUP_CELL = 250  # target vectors per cell: K = max(8, n // 250), so
+#                        in-cell pair work (n*probe)^2/(2K) stays LINEAR in n
+#                        (fixed K measured quadratic in the r4 scale probe)
 
 
-@register("x1_dedup_embedding_ivf")  # trained centroids => rows-only check
-def x1_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup at scale: IVF-bucketed embedding near-dup (the
-    SemDeDup shape -- coarse-quantize the corpus, pair only within cells,
-    exact-verify). Same contract as x1_dedup_embedding_cosine (pairs with
-    decimal-exact cosine >= 0.45) but candidates come from a cell join
-    instead of the O(n^2) cross product: vectors are unit-normalized,
-    assigned to their 4 nearest of 8 sample-trained coarse centroids
-    (multi-probe assignment -- near-dup pairs straddling a cell boundary
-    still meet in the runner-up cell), and only same-cell pairs are
-    verified. Verification reuses the double sieve + decimal fold, so
-    every emitted pair carries the IDENTICAL cosine as the exact oracle
-    variant (sound by construction); recall is pinned in pytest.
-
-    100 TB: centroid count scales with corpus size keeping cells bounded,
-    training stays O(sample) on the driver, and the pair join is
-    cell-local -- no shuffle ever carries the cross product."""
+def _ivf_dedup_cells(spark: SparkSession, sf_dir: str
+                     ) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF coarse-quantization: returns (emb with vec/vecn,
+    cells(vec_id, cell)) -- the candidate generator the dedup operator
+    verifies and the scale probe measures directly."""
     import numpy as np
 
     emb = (load_table(spark, sf_dir, "embeddings")
@@ -296,23 +287,59 @@ def x1_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.lit(0.0), lambda a, x: a + x))
     emb = emb.withColumn(
         "vecn", F.transform("vec", lambda x: x / F.nullif(nrm, F.lit(0.0))))
+    # K scales with the corpus (count() is a parquet-metadata job); the
+    # training sample keeps >= ~17 points per centroid.
+    n = emb.count()
+    k = max(_IVF_DEDUP_K, int(n) // _IVF_DEDUP_CELL)
     sample = (emb.select("vecn").orderBy(F.xxhash64("vec_id"))
-              .limit(_PQ_SAMPLE).collect())
-    C = _lloyd(np.array([r["vecn"] for r in sample]), _IVF_DEDUP_K, seed=7)
-    cb = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in C])
+              .limit(max(_PQ_SAMPLE, 17 * k)).collect())
+    C = _lloyd(np.array([r["vecn"] for r in sample]), k, seed=7)
 
-    def sqd(vec_col, cent):
-        return F.aggregate(F.zip_with(vec_col, cent,
-                                      lambda a, b: (a - b) * (a - b)),
-                           F.lit(0.0), lambda acc, x: acc + x)
+    probe = min(_IVF_DEDUP_PROBE, k)
 
-    dists = F.zip_with(cb, F.sequence(F.lit(0), F.lit(_IVF_DEDUP_K - 1)),
-                       lambda c, i: F.struct(sqd(F.col("vecn"), c).alias("d"),
-                                             i.alias("i")))
-    ranked = F.slice(F.array_sort(dists), 1, _IVF_DEDUP_PROBE)
-    cells = (emb.withColumn("cell", F.explode(F.transform(
-        ranked, lambda s: s["i"])))
-        .select("vec_id", "cell"))
+    def assign(batches):
+        # top-`probe` nearest centroids per vector, ties -> lower cell id
+        # (mergesort == stable, matching the old array_sort((d, i)) order);
+        # numpy kernel instead of a K x dim literal tree so plan size stays
+        # constant as K grows with the corpus (same lesson as PQ-ADC).
+        c2 = (C * C).sum(axis=1)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xb = np.nan_to_num(np.array(pdf["vecn"].tolist(),
+                                        dtype=np.float64))
+            d2 = (Xb * Xb).sum(axis=1)[:, None] - 2.0 * (Xb @ C.T) + c2
+            order = np.argsort(d2, axis=1, kind="stable")[:, :probe]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy().repeat(probe),
+                "cell": order.reshape(-1).astype("int32")})
+
+    cells = emb.select("vec_id", "vecn").mapInPandas(
+        assign, "vec_id bigint, cell int")
+    return emb, cells
+
+
+@register("x1_dedup_embedding_ivf")  # trained centroids => rows-only check
+def x1_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup at scale: IVF-bucketed embedding near-dup (the
+    SemDeDup shape -- coarse-quantize the corpus, pair only within cells,
+    exact-verify). Same contract as x1_dedup_embedding_cosine (pairs with
+    decimal-exact cosine >= 0.45) but candidates come from a cell join
+    instead of the O(n^2) cross product: vectors are unit-normalized,
+    assigned to their 4 nearest of max(8, n/250) sample-trained coarse
+    centroids (multi-probe assignment -- near-dup pairs straddling a cell
+    boundary still meet in the runner-up cell), and only same-cell pairs
+    are verified. Verification reuses the double sieve + decimal fold, so
+    every emitted pair carries the IDENTICAL cosine as the exact oracle
+    variant (sound by construction); recall is pinned in pytest.
+
+    100 TB: centroid count scales with the corpus (r4: K = n/250 above
+    the 8-cell floor -- the fixed-K variant measured QUADRATIC in the
+    scale probe because cells grew with n), training stays O(sample) on
+    the driver, assignment is one Arrow kernel (constant plan size), and
+    the pair join is cell-local -- no shuffle ever carries the cross
+    product."""
+    emb, cells = _ivf_dedup_cells(spark, sf_dir)
     a = cells.select(F.col("vec_id").alias("vec_a"), "cell")
     b = cells.select(F.col("vec_id").alias("vec_b"), "cell")
     cand = (a.join(b, ["cell"])
@@ -337,20 +364,11 @@ _LSH_PLANES = 12
 _LSH_SIM_BANDS = 4  # 4 bands x 3 planes: P(candidate) = 1-(1-p^3)^4
 
 
-@register("x2_ann_lsh_buckets")  # Spark-hash hyperplanes => rows-only check
-def x2_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: random-hyperplane LSH with a banded OR-construction.
-    Each vector gets 12 sign bits from pseudo-random hyperplanes
-    (deterministic xxhash64 seeds per dimension), grouped into 4 bands of 3
-    bits; candidates = pairs colliding on ANY band's 3-bit bucket, verified
-    with the packed-array cosine and ranked per query. For a pair at angle
-    θ, P(bit match) = 1-θ/π; banding ORs four 3-bit AND-groups, which keeps
-    usable recall even on this corpus's clusterless random vectors (a
-    single 8-bit bucket match has ~0 recall there).
-
-    At 100 TB the (band, bucket) join replaces the O(n^2) cross product;
-    recall is tuned by planes-per-band x bands. Hash-seeded => rows-only
-    check; recall is pinned against x2_cosine_topk in pytest."""
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH candidate generation (pre-verification),
+    shared by the operator and the scale probe's candidate-volume
+    measurement: every (query, match) pair colliding on at least one
+    band's bucket, deduplicated."""
     emb = (load_table(spark, sf_dir, "embeddings")
            .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
                    .alias("vec")))
@@ -384,10 +402,27 @@ def x2_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("vec").alias("qv"), "band", "bucket")
     b = buckets.select(F.col("vec_id").alias("match_id"),
                        F.col("vec").alias("mv"), "band", "bucket")
-    cand = (a.join(b, ["band", "bucket"])
+    return (a.join(b, ["band", "bucket"])
             .filter(F.col("match_id") != F.col("query_id"))
             .select("query_id", "qv", "match_id", "mv")
             .dropDuplicates(["query_id", "match_id"]))
+
+
+@register("x2_ann_lsh_buckets")  # Spark-hash hyperplanes => rows-only check
+def x2_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH with a banded OR-construction.
+    Each vector gets 12 sign bits from pseudo-random hyperplanes
+    (deterministic xxhash64 seeds per dimension), grouped into 4 bands of 3
+    bits; candidates = pairs colliding on ANY band's 3-bit bucket, verified
+    with the packed-array cosine and ranked per query. For a pair at angle
+    θ, P(bit match) = 1-θ/π; banding ORs four 3-bit AND-groups, which keeps
+    usable recall even on this corpus's clusterless random vectors (a
+    single 8-bit bucket match has ~0 recall there).
+
+    At 100 TB the (band, bucket) join replaces the O(n^2) cross product;
+    recall is tuned by planes-per-band x bands. Hash-seeded => rows-only
+    check; recall is pinned against x2_cosine_topk in pytest."""
+    cand = _lsh_candidate_pairs(spark, sf_dir)
     cos = cand.select("query_id", "match_id", _cos_expr("qv", "mv").alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (cos.withColumn("rnk", F.row_number().over(w))
@@ -398,17 +433,9 @@ _IVF_CELLS = 8
 _IVF_PROBES = 2
 
 
-@register("x2_ann_ivf_kmeans")  # trained coarse quantizer => rows-only check
-def x2_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a KMeans coarse quantizer (seeded => deterministic
-    within Spark) partitions vectors into cells; each query probes its
-    nearest ``_IVF_PROBES`` cells and ranks candidates with the packed-array
-    cosine.
-
-    The 100 TB shape: the quantizer trains on a sample, assignment is one
-    narrow pass, and the candidate join shuffles on cell id -- candidate
-    volume is n_queries * (probes/cells) * n_vectors instead of n^2. Model
-    training is Spark-internal (no DuckDB twin) => rows-only check."""
+def _ivf_topk_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF candidate generation (pre-verification), shared by the
+    operator and the scale probe's candidate-volume measurement."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -435,10 +462,24 @@ def x2_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (qc.withColumn("pr", F.row_number().over(w))
               .filter(F.col("pr") <= _IVF_PROBES)
               .select("query_id", "qv", "cell"))
-    cand = (probes.join(assigned.select(F.col("vec_id").alias("match_id"),
+    return (probes.join(assigned.select(F.col("vec_id").alias("match_id"),
                                         F.col("vec").alias("mv"), "cell"),
                         "cell")
             .filter(F.col("match_id") != F.col("query_id")))
+
+
+@register("x2_ann_ivf_kmeans")  # trained coarse quantizer => rows-only check
+def x2_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a KMeans coarse quantizer (seeded => deterministic
+    within Spark) partitions vectors into cells; each query probes its
+    nearest ``_IVF_PROBES`` cells and ranks candidates with the packed-array
+    cosine.
+
+    The 100 TB shape: the quantizer trains on a sample, assignment is one
+    narrow pass, and the candidate join shuffles on cell id -- candidate
+    volume is n_queries * (probes/cells) * n_vectors instead of n^2. Model
+    training is Spark-internal (no DuckDB twin) => rows-only check."""
+    cand = _ivf_topk_candidates(spark, sf_dir)
     cos = cand.select("query_id", "match_id", _cos_expr("qv", "mv").alias("cosine"))
     wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (cos.withColumn("rnk", F.row_number().over(wr))

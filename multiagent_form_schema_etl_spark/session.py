@@ -26,6 +26,22 @@ def get_spark(app_name: str = "multiagent-form-schema-etl-spark",
     Any existing active session is reused (configs are then whatever it was
     built with) -- the driver may pass its own session to ``entry``.
     """
+    # When no real protobuf distribution exists, expose the repo's
+    # clean-room wire-format shim (vendor/pbshim) on PYTHONPATH *before*
+    # the JVM launches: transformWithState's driver-side schema worker and
+    # the executor Python workers inherit the JVM's environment, and
+    # addPyFile alone does not reach the driver-side worker. A genuine
+    # installation always wins -- the shim path is only added when the
+    # import fails here.
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        vendor = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "vendor", "pbshim")
+        pp = os.environ.get("PYTHONPATH", "")
+        if vendor not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (pp + os.pathsep + vendor
+                                        if pp else vendor)
     cpus = cpus or DEFAULT_CPUS
     builder = (
         SparkSession.builder.appName(app_name)

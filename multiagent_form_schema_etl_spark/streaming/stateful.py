@@ -227,18 +227,14 @@ def streaming_running_totals_tws(spark: SparkSession, sf_dir: str,
     append-shaped per input row, so no state ever rescans history.
 
     Environment gate: transformWithState's Python state-server client
-    speaks protobuf; if ``google.protobuf`` is not importable (it is not
-    baked into this container) this raises ImportError up front instead of
-    crashing the streaming runner mid-query. The batch twin above is
-    unaffected."""
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "transformWithStateInPandas requires the protobuf package "
-            "(pyspark's state-server client); install protobuf or use "
-            "streaming_threshold_batches (applyInPandasWithState) instead"
-        ) from e
+    speaks protobuf. A real installation is used when present; otherwise
+    the repo's clean-room wire-format shim (vendor/pbshim, r4) is
+    installed on the driver path and shipped to workers via addPyFile --
+    this container has no protobuf distribution, so the shim is what
+    un-gated the live faces. The batch twin above is unaffected."""
+    from .pbcompat import ensure_protobuf
+
+    ensure_protobuf(spark)
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
     from pyspark.sql.types import LongType, StructField, StructType
@@ -346,15 +342,11 @@ def streaming_recent_list_window_tws(spark: SparkSession, sf_dir: str,
     unaffected and batch parity holds.
 
     Environment gate: same protobuf requirement as
-    streaming_running_totals_tws; ImportError up front when absent (the
-    batch twin is unaffected)."""
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "transformWithStateInPandas requires the protobuf package "
-            "(pyspark's state-server client); the oracle-checked batch "
-            "twin st_tws_recent_list_window is unaffected") from e
+    streaming_running_totals_tws; satisfied by a real installation or the
+    repo's vendor/pbshim wire-format shim (see pbcompat)."""
+    from .pbcompat import ensure_protobuf
+
+    ensure_protobuf(spark)
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
     from pyspark.sql.types import LongType, StructField, StructType

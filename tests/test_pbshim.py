@@ -1,0 +1,111 @@
+"""Unit tests for the vendored protobuf wire-format shim (vendor/pbshim).
+
+The end-to-end proof is the live transformWithState suite (the JVM state
+server parses every byte the shim emits and vice versa); these tests pin
+the wire-level invariants directly with hand-computed byte vectors from
+the public encoding spec, so a shim regression fails fast with a readable
+diff instead of a streaming-query crash.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sm():
+    from multiagent_form_schema_etl_spark.streaming.pbcompat import (
+        ensure_protobuf)
+
+    ensure_protobuf()
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    return sm
+
+
+def test_scalar_varint_bytes(sm):
+    assert sm.StateRequest(version=1).SerializeToString() == b"\x08\x01"
+    assert sm.StateRequest(version=300).SerializeToString() == b"\x08\xac\x02"
+    # proto3: zero scalar stays off the wire
+    assert sm.StateRequest(version=0).SerializeToString() == b""
+
+
+def test_oneof_empty_member_hits_the_wire(sm):
+    """Exists() carries no fields, but the oneof case must serialize as a
+    zero-length submessage or the JVM cannot see which method was called."""
+    vsc = sm.ValueStateCall(stateName="s", exists=sm.Exists())
+    assert vsc.SerializeToString() == b"\x0a\x01s\x12\x00"
+
+
+def test_auto_vivified_submessage(sm):
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "st"
+    cmd.ttl.durationMs = 123
+    # reading a submessage without mutating it must NOT serialize it
+    cmd2 = sm.StateCallCommand()
+    cmd2.stateName = "st"
+    _ = cmd2.ttl.durationMs
+    assert b"\x22" in cmd.SerializeToString()      # field 4 (ttl) present
+    assert b"\x22" not in cmd2.SerializeToString()  # absent
+
+
+def test_roundtrip_repeated_and_bool(sm):
+    m = sm.StateResponseWithListGet(statusCode=7, value=[b"a", b"bb"],
+                                    requireNextFetch=True)
+    r = sm.StateResponseWithListGet()
+    r.ParseFromString(m.SerializeToString())
+    assert (r.statusCode, list(r.value), r.requireNextFetch) == \
+        (7, [b"a", b"bb"], True)
+
+
+def test_roundtrip_nested_repeated_message(sm):
+    t = sm.StateResponseWithTimer(
+        statusCode=0,
+        timer=[sm.TimerInfo(key=b"k1", timestampMs=99),
+               sm.TimerInfo(key=b"k2", timestampMs=-1)])
+    r = sm.StateResponseWithTimer()
+    r.ParseFromString(t.SerializeToString())
+    assert [(x.key, x.timestampMs) for x in r.timer] == \
+        [(b"k1", 99), (b"k2", -1)]
+
+
+def test_negative_int64_ten_byte_varint(sm):
+    m = sm.RegisterTimer(expiryTimestampMs=-5)
+    b = m.SerializeToString()
+    assert len(b) == 11  # tag + 10-byte two's-complement varint
+    r = sm.RegisterTimer()
+    r.ParseFromString(b)
+    assert r.expiryTimestampMs == -5
+
+
+def test_unknown_fields_skipped(sm):
+    # field 15 varint (unknown to StateResponse) then statusCode=3
+    r = sm.StateResponse()
+    r.ParseFromString(b"\x78\x2a\x08\x03")
+    assert r.statusCode == 3
+
+
+def test_enum_and_module_constants(sm):
+    assert sm.PRE_INIT == 0 and sm.CLOSED == 5
+    shs = sm.SetHandleState(state=sm.INITIALIZED)
+    call = sm.StatefulProcessorCall(setHandleState=shs)
+    req = sm.StateRequest(statefulProcessorCall=call)
+    r = sm.StateRequest()
+    r.ParseFromString(req.SerializeToString())
+    assert r.statefulProcessorCall.setHandleState.state == sm.INITIALIZED
+
+
+def test_real_protobuf_wins_when_present(sm):
+    """The shim must never shadow a genuine installation: ensure_protobuf
+    reports which one is active, and only inserts the vendor path when
+    the import failed."""
+    import google.protobuf as gp
+
+    from multiagent_form_schema_etl_spark.streaming.pbcompat import (
+        ensure_protobuf)
+
+    kind = ensure_protobuf()
+    if "pbshim" in (getattr(gp, "__file__", "") or ""):
+        assert kind == "shim"
+    else:
+        assert kind == "real"

@@ -180,15 +180,19 @@ def test_tws_running_totals_state_survives_microbatches(spark, tmp_path):
     stream must equal the oracle-backed batch twin bit-for-bit (integer
     micro-unit accumulation == decimal window sum). Requires the RocksDB
     state store (the transformWithState backend) and protobuf (the state
-    client wire format) -- skips where protobuf isn't installed."""
+    client wire format) -- runs on a real protobuf or the vendor/pbshim runtime."""
     import os
     import shutil
 
     import pytest
 
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithState state client requires protobuf")
+    from multiagent_form_schema_etl_spark.streaming.pbcompat import (
+        ensure_protobuf)
+
+    try:
+        ensure_protobuf(spark)  # real protobuf, or the vendor/pbshim
+    except ImportError:
+        pytest.skip("no protobuf and the shim failed to import")
 
     from multiagent_form_schema_etl_spark.catalog import load_table
     from multiagent_form_schema_etl_spark.streaming import stateful as stf
@@ -477,16 +481,20 @@ def test_tws_recent_list_window_matches_batch(spark, tmp_path):
     """ListState + event-time-timer transformWithState face: streamed as
     TWO ts-ordered files so each user's 3-item ring buffer must cross a
     micro-batch boundary; the per-event recent-window stream must equal
-    the oracle-backed batch twin bit-for-bit. Skips where protobuf isn't
-    installed (the state client wire format)."""
+    the oracle-backed batch twin bit-for-bit. Runs on a real protobuf
+    or the vendor/pbshim runtime (the state client wire format)."""
     import os
     import shutil
 
     import pytest
 
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithState state client requires protobuf")
+    from multiagent_form_schema_etl_spark.streaming.pbcompat import (
+        ensure_protobuf)
+
+    try:
+        ensure_protobuf(spark)  # real protobuf, or the vendor/pbshim
+    except ImportError:
+        pytest.skip("no protobuf and the shim failed to import")
 
     from multiagent_form_schema_etl_spark.catalog import load_table
     from multiagent_form_schema_etl_spark.streaming import stateful as stf
@@ -529,3 +537,80 @@ def test_tws_recent_list_window_matches_batch(spark, tmp_path):
     got = _rows(spark.sql("SELECT * FROM t_tws_list"))
     want = _rows(stf.st_tws_recent_list_window(spark, SF_SMOKE))
     assert got == want and len(got) > 0
+
+
+def test_tws_event_time_timer_fires_and_clears_idle_state(spark, tmp_path):
+    """The ListState face's event-time timer (registered at last_ts + 1h)
+    must actually FIRE once the watermark passes it and clear the idle
+    user's ring buffer (ADVICE r3: the pre-fix registration multiplied
+    epoch-ms by 1000, landing ~1000x past the epoch, so the GC never ran
+    and this test's final assertion would see n_last3 == 3).
+
+    Four single-file micro-batches: (1) two user-1 events at T0 register
+    a timer at T0+1m+1h; (2) a user-2 event at T0+2h advances the
+    watermark past it; (3) another user-2 event gives the runner a batch
+    in which user-1's expired timer is handled with no user-1 input; (4)
+    a fresh user-1 event must then see an EMPTY buffer -- n_last3 == 1."""
+    import os
+    import shutil
+
+    import pytest
+
+    from multiagent_form_schema_etl_spark.streaming import stateful as stf
+    from multiagent_form_schema_etl_spark.streaming.pbcompat import (
+        ensure_protobuf)
+
+    try:
+        ensure_protobuf(spark)
+    except ImportError:
+        pytest.skip("no protobuf and the shim failed to import")
+
+    t0 = 1_700_000_000  # epoch seconds
+    batches = [
+        [(1, 10, t0, 1.0), (1, 11, t0 + 60, 2.0)],
+        [(2, 20, t0 + 7200, 5.0)],
+        [(2, 21, t0 + 7260, 6.0)],
+        [(1, 12, t0 + 10800, 9.0)],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(u, e, ts, v) for u, e, ts, v in rows],
+            "user_id long, event_id long, ts_s long, value double"
+        ).select("user_id", "event_id",
+                 F.timestamp_seconds("ts_s").alias("ts"), "value")
+        stage = tmp_path / f"stage{i}"
+        df.coalesce(1).write.parquet(str(stage))
+        [pf] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.copy(stage / pf, src / f"{i}.parquet")
+        os.utime(src / f"{i}.parquet",
+                 (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (spark.readStream
+           .schema("user_id long, event_id long, ts timestamp, value double")
+           .format("parquet").option("maxFilesPerTrigger", "1")
+           .load(str(src))
+           .withWatermark("ts", "0 seconds"))
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        st.run_update_to_memory(
+            stf.streaming_recent_list_window_tws(spark, SF_SMOKE, source=raw),
+            "t_tws_timer")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    out = {r["event_id"]: r for r in
+           spark.sql("SELECT * FROM t_tws_timer").collect()}
+    assert out[11]["n_last3"] == 2          # pre-expiry buffer grew
+    assert out[12]["n_last3"] == 1, (
+        "idle-state GC timer did not fire: user 1's buffer survived "
+        f"(n_last3={out[12]['n_last3']})")
+    assert out[12]["sum_last3"] == 9.0      # only the fresh event

@@ -93,6 +93,90 @@ def build_dir(spark, mult: int, density: bool) -> str:
     return d
 
 
+def build_ann_dir(spark, mult: int, density: bool) -> str:
+    """Replicate embeddings mult-x. linear: each copy's vectors are
+    deterministically PERTURBED (hash-derived per-element noise, ~5% of
+    the unit scale) so copies land elsewhere on the sphere and the
+    near-dup structure scales linearly; density: exact copies (shifted
+    ids), the adversarial every-vector-gains-twins corpus."""
+    name = f"ann_x{mult}_{'density' if density else 'linear'}"
+    d = os.path.join(OUT, name)
+    ok = os.path.join(d, "_OK")
+    if os.path.exists(ok):
+        return d
+    os.makedirs(d, exist_ok=True)
+
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    vid = emb.agg(F.max("vec_id")).first()[0] + 1
+    copies = spark.range(mult).select(F.col("id").alias("copy"))
+    r = emb.crossJoin(copies)
+    if not density:
+        noise = lambda i: ((F.xxhash64(F.col("copy"), F.col("vec_id"), i)
+                            % 1000).cast("double") / 1000.0 - 0.5) * 0.1
+        r = r.withColumn(
+            "embedding",
+            F.zip_with("embedding",
+                       F.sequence(F.lit(0), F.size("embedding") - 1),
+                       lambda x, i: F.when(F.col("copy") == 0, x)
+                       .otherwise((x + noise(i)).cast("float"))))
+    r = (r.withColumn("vec_id", F.col("vec_id") + F.col("copy") * vid)
+         .drop("copy"))
+    (r.repartition(32).write.mode("overwrite")
+     .parquet(os.path.join(d, "embeddings.parquet")))
+    for f in os.listdir(BASE):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            dst = os.path.join(d, f)
+            if not os.path.exists(dst):
+                shutil.copy(os.path.join(BASE, f), dst)
+    open(ok, "w").close()
+    return d
+
+
+def run_ann_probe(spark, qs, sf_dir: str) -> dict:
+    """ANN paths at scale (VERDICT r3 item 5): runtime, recall vs the
+    exact GEMM ground truth, and measured CANDIDATE volume per path."""
+    from multiagent_form_schema_etl_spark.operators import similarity as S
+
+    out: dict = {}
+    t0 = time.perf_counter()
+    exact = {(r["query_id"], r["match_id"])
+             for r in qs["x2_cosine_topk_gemm"](spark, sf_dir).collect()}
+    out["gemm_exact_s"] = round(time.perf_counter() - t0, 2)
+
+    for name in ("x2_ann_lsh_buckets", "x2_ann_ivf_kmeans", "x2_ann_pq_adc"):
+        t0 = time.perf_counter()
+        got = {(r["query_id"], r["match_id"])
+               for r in qs[name](spark, sf_dir).collect()}
+        out[f"{name}_s"] = round(time.perf_counter() - t0, 2)
+        out[f"{name}_recall"] = round(
+            len(got & exact) / max(len(exact), 1), 3)
+
+    # candidate volumes (the quantity that must scale sub-quadratically)
+    t0 = time.perf_counter()
+    out["lsh_cand"] = S._lsh_candidate_pairs(spark, sf_dir).count()
+    out["lsh_cand_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    out["ivf_topk_cand"] = S._ivf_topk_candidates(spark, sf_dir).count()
+    out["ivf_topk_cand_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    _, cells = S._ivf_dedup_cells(spark, sf_dir)
+    a = cells.select(F.col("vec_id").alias("a"), "cell")
+    b = cells.select(F.col("vec_id").alias("b"), "cell")
+    out["ivf_dedup_cand"] = (a.join(b, ["cell"])
+                             .filter(F.col("a") < F.col("b"))
+                             .select("a", "b").distinct().count())
+    out["ivf_dedup_cand_s"] = round(time.perf_counter() - t0, 2)
+
+    # the dedup operator end-to-end (exact-verified pairs)
+    t0 = time.perf_counter()
+    out["ivf_dedup_pairs"] = qs["x1_dedup_embedding_ivf"](
+        spark, sf_dir).count()
+    out["ivf_dedup_s"] = round(time.perf_counter() - t0, 2)
+    for k, v in out.items():
+        print(f"  {k}: {v}", file=sys.stderr)
+    return out
+
+
 def run_probe(spark, qs, sf_dir: str, names: list[str]) -> dict[str, float]:
     times: dict[str, float] = {}
     for name in names:
@@ -142,6 +226,9 @@ def main() -> None:
     ap.add_argument("--density", action="store_true")
     ap.add_argument("--skip", default="",
                     help="comma-separated query names to skip")
+    ap.add_argument("--ann", action="store_true",
+                    help="probe the ANN/similarity paths over replicated "
+                         "embeddings instead of the document/event queries")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",") if m]
     skip = set(args.skip.split(","))
@@ -152,6 +239,17 @@ def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = e.queries()
+
+    if args.ann:
+        for mult in mults:
+            d = (BASE if mult == 1
+                 else build_ann_dir(spark, mult, args.density))
+            mode = "density" if args.density else "linear"
+            print(f"ann probe {mode} x{mult} -> {d}", file=sys.stderr)
+            res = run_ann_probe(spark, qs, d)
+            print(json.dumps({"mode": f"ann_{mode}", "mult": mult,
+                              "metrics": res}))
+        return
 
     for mult in mults:
         d = build_dir(spark, mult, args.density)
