@@ -364,11 +364,27 @@ _LSH_PLANES = 12
 _LSH_SIM_BANDS = 4  # 4 bands x 3 planes: P(candidate) = 1-(1-p^3)^4
 
 
+_LSH_BUCKET_CAP = 256  # per-(band, bucket) member cap before pairing: a
+#                        bucket with c members emits c^2 candidate pairs, so
+#                        fixed 3-bit buckets went QUADRATIC in the r4 scale
+#                        probe (the 10x corpus filled the spill disk). The
+#                        cap bounds each bucket's pair contribution at
+#                        cap^2; members beyond the cap (deterministic
+#                        xxhash64 order) lose that bucket's candidates but
+#                        can still pair in their other bands -- the same
+#                        frequent-bucket guard the custom MinHash LSH uses.
+#                        No-op at the tested SFs (max bucket << cap).
+
+
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH candidate generation (pre-verification),
     shared by the operator and the scale probe's candidate-volume
-    measurement: every (query, match) pair colliding on at least one
-    band's bucket, deduplicated."""
+    measurement: (query_id, match_id) pairs colliding on at least one
+    band's capped bucket, deduplicated. IDS ONLY -- the r4 probe showed
+    that carrying the two 64-double vectors through the candidate
+    shuffle multiplied the quadratic blow-up by ~1 KB/row; vectors join
+    back per-id afterwards (broadcast hash join, no candidate-sized
+    vector shuffle)."""
     emb = (load_table(spark, sf_dir, "embeddings")
            .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
                    .alias("vec")))
@@ -392,20 +408,29 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, bit in enumerate(chunk[1:], start=1):
             bucket = bucket + bit * (1 << i)
         band_buckets.append(bucket.alias(f"band{bnd}"))
-    sigs = emb.select("vec_id", "vec", *band_buckets)
+    sigs = emb.select("vec_id", *band_buckets)
     buckets = sigs.select(
-        "vec_id", "vec",
+        "vec_id",
         F.posexplode(F.array(*[F.col(f"band{b}")
                                for b in range(_LSH_SIM_BANDS)]))
          .alias("band", "bucket"))
-    a = buckets.select(F.col("vec_id").alias("query_id"),
-                       F.col("vec").alias("qv"), "band", "bucket")
-    b = buckets.select(F.col("vec_id").alias("match_id"),
-                       F.col("vec").alias("mv"), "band", "bucket")
-    return (a.join(b, ["band", "bucket"])
+    wcap = (Window.partitionBy("band", "bucket")
+            .orderBy(F.xxhash64("vec_id"), F.asc("vec_id")))
+    capped = (buckets.withColumn("rn", F.row_number().over(wcap))
+              .filter(F.col("rn") <= _LSH_BUCKET_CAP)
+              .select("vec_id", "band", "bucket"))
+    a = capped.select(F.col("vec_id").alias("query_id"), "band", "bucket")
+    b = capped.select(F.col("vec_id").alias("match_id"), "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
             .filter(F.col("match_id") != F.col("query_id"))
-            .select("query_id", "qv", "match_id", "mv")
+            .select("query_id", "match_id")
             .dropDuplicates(["query_id", "match_id"]))
+    qv = emb.select(F.col("vec_id").alias("query_id"),
+                    F.col("vec").alias("qv"))
+    mv = emb.select(F.col("vec_id").alias("match_id"),
+                    F.col("vec").alias("mv"))
+    return (cand.join(F.broadcast(qv), "query_id")
+            .join(F.broadcast(mv), "match_id"))
 
 
 @register("x2_ann_lsh_buckets")  # Spark-hash hyperplanes => rows-only check
