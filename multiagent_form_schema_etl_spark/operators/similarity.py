@@ -364,6 +364,11 @@ _LSH_PLANES = 12
 _LSH_SIM_BANDS = 4  # 4 bands x 3 planes: P(candidate) = 1-(1-p^3)^4
 
 
+_LSH_TARGET_BUCKET = 64  # expected members per (band, bucket): planes per
+#                          band grow with log2(n / target) so bucket count
+#                          scales with the corpus and candidate volume
+#                          stays ~linear (fixed 3-bit buckets measured
+#                          quadratic in the r4 probe)
 _LSH_BUCKET_CAP = 256  # per-(band, bucket) member cap before pairing: a
 #                        bucket with c members emits c^2 candidate pairs, so
 #                        fixed 3-bit buckets went QUADRATIC in the r4 scale
@@ -389,24 +394,44 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
                    .alias("vec")))
     # hyperplane h, dim i weight in {-1,+1} from xxhash64(h, i) parity --
-    # deterministic, cheap, and independent of the data
-    bits = []
-    for h in range(_LSH_PLANES):
-        proj = F.aggregate(
-            F.zip_with(
-                "vec",
-                F.transform(F.sequence(F.lit(0), F.lit(63)),
-                            lambda i: (F.xxhash64(F.lit(h), i) % 2) * 2 - 1),
-                lambda x, w: x * w.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
-    per_band = _LSH_PLANES // _LSH_SIM_BANDS
+    # ADAPTIVE planes per band (r4 scale probe): fixed 3-bit buckets hold
+    # n/8 vectors each, so candidate volume is quadratic in n and the cap
+    # alone zeroes recall once buckets dwarf it. Bits grow with log2(n)
+    # keeping E[bucket] ~= _LSH_TARGET_BUCKET, so bucket count scales with
+    # the corpus and candidates stay ~linear; high-sim pairs (the ones an
+    # exact top-k actually contains at scale) still collide on all bits of
+    # at least one band w.h.p. because P(bit differs) = theta/pi is small
+    # for them. n is one parquet-metadata count() at build. Unchanged at
+    # n <= 512 (the tested recall SFs).
+    n = emb.count()
+    per_band = max(_LSH_PLANES // _LSH_SIM_BANDS,
+                   (max(n, 1) // _LSH_TARGET_BUCKET).bit_length())
+    # hyperplane (band, plane), dim i weight in {-1,+1} from xxhash64
+    # parity -- deterministic, cheap, and independent of the data.
+    # Unbiased Rademacher weights via pmod (r4 probe finding: plain %
+    # keeps the dividend's sign in Spark, so `xxhash64 % 2` yielded
+    # {-1, 0, 1} with mean -1 and every "hyperplane" degenerated to
+    # roughly -(component mean): all bands collapsed to 2 buckets and the
+    # pre-fix LSH was secretly half-brute-force). The plane id must bind
+    # through a single-arg closure: F.transform hands a second lambda arg
+    # the ELEMENT INDEX, silently overwriting a `h=h` default.
+    def plane_weights(h: int):
+        return lambda i: (F.pmod(F.xxhash64(F.lit(h), i), F.lit(2))
+                          * 2 - 1)
+
     band_buckets = []
     for bnd in range(_LSH_SIM_BANDS):
-        chunk = bits[bnd * per_band:(bnd + 1) * per_band]
-        bucket = chunk[0]
-        for i, bit in enumerate(chunk[1:], start=1):
-            bucket = bucket + bit * (1 << i)
+        bucket = None
+        for p in range(per_band):
+            proj = F.aggregate(
+                F.zip_with(
+                    "vec",
+                    F.transform(F.sequence(F.lit(0), F.lit(63)),
+                                plane_weights(bnd * per_band + p)),
+                    lambda x, w: x * w.cast("double")),
+                F.lit(0.0), lambda acc, x: acc + x)
+            bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit * (1 << p)
         band_buckets.append(bucket.alias(f"band{bnd}"))
     sigs = emb.select("vec_id", *band_buckets)
     buckets = sigs.select(
@@ -436,13 +461,16 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("x2_ann_lsh_buckets")  # Spark-hash hyperplanes => rows-only check
 def x2_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: random-hyperplane LSH with a banded OR-construction.
-    Each vector gets 12 sign bits from pseudo-random hyperplanes
-    (deterministic xxhash64 seeds per dimension), grouped into 4 bands of 3
-    bits; candidates = pairs colliding on ANY band's 3-bit bucket, verified
-    with the packed-array cosine and ranked per query. For a pair at angle
-    θ, P(bit match) = 1-θ/π; banding ORs four 3-bit AND-groups, which keeps
-    usable recall even on this corpus's clusterless random vectors (a
-    single 8-bit bucket match has ~0 recall there).
+    Each vector gets sign bits from pseudo-random hyperplanes
+    (deterministic xxhash64 seeds per dimension), grouped into 4 bands of
+    max(3, log2(n/64)) bits; candidates = pairs colliding on ANY band's
+    bucket, verified with the packed-array cosine and ranked per query.
+    For a pair at angle θ, P(bit match) = 1-θ/π; banding ORs four
+    AND-groups, which keeps usable recall on this corpus's clusterless
+    random vectors at small n while bits scale up with the corpus so
+    bucket sizes -- and with them candidate volume per vector -- stay
+    bounded (r4: the fixed-3-bit variant measured quadratic and its cap
+    zeroed recall at 10x).
 
     At 100 TB the (band, bucket) join replaces the O(n^2) cross product;
     recall is tuned by planes-per-band x bands. Hash-seeded => rows-only
