@@ -111,8 +111,10 @@ def test_ann_lsh_recall_vs_exact(spark):
 
 
 def test_ann_ivf_recall_vs_exact(spark):
-    """IVF/KMeans probe search recall vs the exact top-5 (measured 0.5 at
-    sf0.01 probing 2 of 8 cells; seeded KMeans => deterministic)."""
+    """IVF/KMeans probe search recall vs the exact top-5 (r4: 3 probes +
+    cells scaling as max(8, n/250) measure 0.62/0.72/0.78 at
+    sf0.01/sf0.1/10x with ~5x fewer candidates than the fixed-8-cell
+    2-probe version; seeded KMeans => deterministic)."""
     qs = _queries()
     exact = {(r.query_id, r.match_id)
              for r in qs["x2_cosine_topk"](spark, SF_CHECK).collect()}
