@@ -409,6 +409,109 @@ def streaming_recent_list_window_tws(spark: SparkSession, sf_dir: str,
         timeMode="EventTime")
 
 
+_MC_SCHEMA = ("user_id long, event_id long, ts timestamp, "
+              "event_type string, n_type long, sum_type double")
+
+
+@register(
+    "st_tws_map_category_totals",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+           CAST(COUNT(*) OVER (PARTITION BY user_id, event_type
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                AS BIGINT) AS n_type,
+           CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                OVER (PARTITION BY user_id, event_type
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                AS DOUBLE) AS sum_type
+    FROM events
+    """,
+)
+def st_tws_map_category_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the MapState transformWithState operator (r4,
+    completing the typed-state triad Value/List/Map): per event, the
+    running count and decimal running sum WITHIN the user's event_type --
+    the per-entity-per-category accumulator a MapState keyed by category
+    maintains in streaming. Decimal accumulation keeps batch / stream /
+    oracle bit-identical."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value")
+    w = (Window.partitionBy("user_id", "event_type")
+         .orderBy("ts", "event_id"))
+    return ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_type"),
+        F.sum(F.col("value").cast("decimal(28,6)")).over(w)
+         .cast("double").alias("sum_type"))
+
+
+def streaming_category_totals_tws(spark: SparkSession, sf_dir: str,
+                                  source: DataFrame | None = None
+                                  ) -> DataFrame:
+    """Live MapState face of st_tws_map_category_totals
+    (transformWithStateInPandas, Spark 4 StatefulProcessor).
+
+    State per user = a MapState: event_type -> (micros, n). Each row
+    looks up its category, accumulates in exact integer micro-units
+    (same quantization as the ValueState face, so emitted doubles are
+    bit-identical to the batch twin's decimal window sum regardless of
+    arrival batching), writes back, and emits the updated per-category
+    snapshot. Rows within a micro-batch process in (ts, event_id) order;
+    the map carries totals across micro-batches.
+
+    Environment gate: same protobuf requirement as the other live faces;
+    satisfied by a real installation or vendor/pbshim (see pbcompat)."""
+    from .pbcompat import ensure_protobuf
+
+    ensure_protobuf(spark)
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    from .structured import stream_events
+
+    class CategoryTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getMapState(
+                "totals", "event_type string", "micros long, n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            from decimal import ROUND_HALF_UP, Decimal
+
+            uid = int(key[0])
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+                for eid, ts, et, v in zip(pdf["event_id"], pdf["ts"],
+                                          pdf["event_type"], pdf["value"]):
+                    k = (str(et),)
+                    cur = (self._totals.getValue(k)
+                           if self._totals.containsKey(k) else (0, 0))
+                    micros = cur[0] + int(
+                        Decimal(repr(float(v))).scaleb(6)
+                        .to_integral_value(ROUND_HALF_UP))
+                    n = cur[1] + 1
+                    self._totals.updateValue(k, (micros, n))
+                    out.append((uid, int(eid), ts, str(et), n,
+                                micros / 1e6))
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "ts", "event_type",
+                              "n_type", "sum_type"])
+
+        def close(self) -> None:
+            pass
+
+    ev = (source if source is not None
+          else stream_events(spark, sf_dir)).select(
+        "user_id", "event_id", "ts", "event_type", "value")
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CategoryTotals(),
+        outputStructType=_MC_SCHEMA,
+        outputMode="Update",
+        timeMode="None")
+
+
 _THRESHOLD_RECURSIVE_SQL = """
     WITH RECURSIVE ev AS (
       SELECT user_id, value,

@@ -614,3 +614,67 @@ def test_tws_event_time_timer_fires_and_clears_idle_state(spark, tmp_path):
         "idle-state GC timer did not fire: user 1's buffer survived "
         f"(n_last3={out[12]['n_last3']})")
     assert out[12]["sum_last3"] == 9.0      # only the fresh event
+
+
+def test_tws_map_category_totals_matches_batch(spark, tmp_path):
+    """MapState transformWithState face (r4, completing the typed-state
+    triad): per-user per-event_type running count + decimal sum streamed
+    as TWO ts-ordered files so every user's category map must carry
+    totals across a micro-batch boundary; the per-event stream must
+    equal the oracle-backed batch twin bit-for-bit. Runs on a real
+    protobuf or the vendor/pbshim runtime."""
+    import os
+    import shutil
+
+    import pytest
+
+    from multiagent_form_schema_etl_spark.streaming.pbcompat import (
+        ensure_protobuf)
+
+    try:
+        ensure_protobuf(spark)
+    except ImportError:
+        pytest.skip("no protobuf and the shim failed to import")
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.streaming import stateful as stf
+
+    ev = (load_table(spark, SF_SMOKE, "events")
+          .select("user_id", "event_id", "ts", "event_type", "value"))
+    split = ev.orderBy("ts", "event_id").collect()[ev.count() // 2]
+    first_half = ((F.col("ts") < split["ts"]) |
+                  ((F.col("ts") == split["ts"]) &
+                   (F.col("event_id") <= split["event_id"])))
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (name, part) in enumerate(
+            [("a.parquet", ev.filter(first_half)),
+             ("b.parquet", ev.filter(~first_half))]):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        [pf] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.copy(stage / pf, src / name)
+        os.utime(src / name, (1_700_000_000 + i, 1_700_000_000 + i))
+    raw = (spark.readStream
+           .schema("user_id long, event_id long, ts timestamp, "
+                   "event_type string, value double")
+           .format("parquet").option("maxFilesPerTrigger", "1")
+           .load(str(src)))
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        st.run_update_to_memory(
+            stf.streaming_category_totals_tws(spark, SF_SMOKE, source=raw),
+            "t_tws_map")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    got = _rows(spark.sql("SELECT * FROM t_tws_map"))
+    want = _rows(stf.st_tws_map_category_totals(spark, SF_SMOKE))
+    assert got == want and len(got) > 0
