@@ -796,3 +796,89 @@ def x1_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n_near_dup"),
         F.sum(F.when(F.col("is_near").isNull(), 1).otherwise(0)).cast("long")
          .alias("n_kept")))
+
+
+_SPAN_K = 6         # seed n-gram order for span matching
+_SPAN_MIN = 8       # emit only duplicated spans of >= this many tokens
+
+
+@register(
+    "x1_dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(l[i:i+{_SPAN_K - 1}], ' ') AS gram
+      FROM toks, unnest(range(1, len(l) - {_SPAN_K - 2})) AS t(i)
+      WHERE len(l) >= {_SPAN_K}),
+    matches AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+      FROM grams a JOIN grams b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    islands AS (
+      SELECT *, pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                        ORDER BY pa) AS grp
+      FROM matches)
+    SELECT doc_a, doc_b,
+           CAST(MIN(pa) AS BIGINT) AS start_a,
+           CAST(MIN(pb) AS BIGINT) AS start_b,
+           CAST(COUNT(*) + {_SPAN_K - 1} AS BIGINT) AS span_len
+    FROM islands GROUP BY doc_a, doc_b, diag, grp
+    HAVING COUNT(*) >= {_SPAN_MIN - _SPAN_K + 1}
+    """,
+)
+def x1_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-substring spans across documents -- the
+    "deduplicating training data" span-extraction shape (Lee et al. 2022,
+    public paper: repeated spans >= L tokens across a corpus are memorized
+    disproportionately and should be collapsed): for every doc pair, every
+    maximal run of consecutive matching {_SPAN_K}-gram seeds on one
+    alignment diagonal, emitted when the implied token span reaches
+    {_SPAN_MIN} (count + K - 1).
+
+    Plan shape: tokenized docs -> positional {_SPAN_K}-gram seeds (one
+    narrow pass, arrays stay packed until the explode) -> gram-keyed
+    equi-join (doc_a < doc_b) -> gaps-and-islands per (pair, diagonal)
+    via one window (island id = pa - row_number) -> span rollup. At
+    100 TB the gram join is the inverted-index shape used across the X1
+    family: work tracks true seed matches, not doc pairs; boilerplate
+    grams (the classic skew source) would be df-pruned upstream exactly
+    as x5_decontaminate_ngram does -- kept un-pruned here so the span
+    semantics stay exact and oracle-matched. The suffix-array variant of
+    the paper finds spans WITHIN one document too; the cross-doc pair
+    form here is the dedup-actionable output (who shares what with whom).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: w != "").alias("l"))
+        .filter(F.size("l") >= _SPAN_K))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size("l") - _SPAN_K + 1),
+            lambda i: F.concat_ws(" ", F.slice("l", i, _SPAN_K))))
+        .alias("pos0", "gram")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    a = grams.select(F.col("doc_id").alias("doc_a"),
+                     F.col("pos").alias("pa"), "gram")
+    b = grams.select(F.col("doc_id").alias("doc_b"),
+                     F.col("pos").alias("pb"), "gram")
+    m = (a.join(b, "gram")
+         .filter(F.col("doc_a") < F.col("doc_b"))
+         .select("doc_a", "doc_b", "pa", "pb",
+                 (F.col("pa") - F.col("pb")).alias("diag")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    return (isl.groupBy("doc_a", "doc_b", "diag", "grp")
+            .agg(F.min("pa").alias("start_a"),
+                 F.min("pb").alias("start_b"),
+                 (F.count(F.lit(1)) + _SPAN_K - 1).alias("span_len"))
+            .filter(F.col("span_len") >= _SPAN_MIN)
+            .select("doc_a", "doc_b", "start_a", "start_b", "span_len"))

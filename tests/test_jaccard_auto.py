@@ -85,3 +85,30 @@ def test_auto_equals_both_strategies(spark, corpus, request):
         assert all(j == 1.0 for _, _, j in auto)
     else:
         assert auto == []  # disjoint vocabularies: no >= 0.8 pair
+
+
+def test_substring_spans_constructed(spark, tmp_path):
+    """Span semantics pinned on a constructed corpus: doc 1 embeds a
+    known 10-token run of doc 0 (one span, correct start positions and
+    length), doc 2 shares only a 5-token run (below the 6-gram seed, no
+    span), doc 3 repeats the 10-token run TWICE (two diagonals, two
+    spans against doc 0)."""
+    from multiagent_form_schema_etl_spark.operators.dedup import (
+        x1_dedup_substring_spans)
+
+    run = " ".join(f"s{i}" for i in range(10))        # the shared span
+    short = " ".join(f"s{i}" for i in range(5))       # below seed order
+    rows = [
+        (0, f"{run} a0 a1 a2", "en", "src0", 10),
+        (1, f"b0 b1 {run} b2", "en", "src0", 10),
+        (2, f"c0 {short} c1 c2 c3 c4 c5", "en", "src0", 10),
+        (3, f"{run} d0 d1 {run}", "en", "src0", 10),
+    ]
+    sf = _write_corpus(tmp_path, "spans", rows)
+    got = {(r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_len)
+           for r in x1_dedup_substring_spans(spark, sf).collect()}
+    assert (0, 1, 1, 3, 10) in got          # doc0 pos 1..10 == doc1 pos 3..12
+    assert (0, 3, 1, 1, 10) in got          # first repeat
+    assert (0, 3, 1, 13, 10) in got         # second repeat (other diagonal)
+    assert not any(2 in (a, b) for a, b, *_ in got)  # 5-run never seeds
+    assert (1, 3, 3, 1, 10) in got and (1, 3, 3, 13, 10) in got
