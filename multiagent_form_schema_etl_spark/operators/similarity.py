@@ -872,3 +872,60 @@ def x1_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = min_label_components(vecs, pairs)
     return (comp.groupBy("component_id")
             .agg(F.count(F.lit(1)).alias("n_vecs")))
+
+
+_CORESET_K = 16  # diverse representatives to select
+
+
+@register("x2_coreset_kcenter")  # iterative greedy selection => rows-only
+def x2_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus -- the standard
+    diversity-sampling pass a training-data curation pipeline runs to
+    pick maximally spread exemplars (farthest-point traversal: start
+    from the min-id vector, then repeatedly take the vector whose
+    nearest already-selected center is farthest, in cosine distance).
+
+    Output: (rank, vec_id, min_dist) -- selection order and each pick's
+    distance-to-coreset at selection time (the classic coverage-radius
+    curve; min_dist is NULL for the seed).
+
+    The 100 TB shape: the selected set is tiny and broadcast each round;
+    one narrow pass per round computes every vector's distance to the
+    NEWEST center only and folds it into a running min (no k-way
+    recompute), and the argmax is an orderBy(1).limit(1) -- O(k) rounds,
+    O(1)-row collects, corpus never leaves its partitions. Iterative +
+    FP ordering => rows-only; the greedy invariant is pinned against a
+    numpy reference in pytest."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("vec")))
+    nrm = F.sqrt(F.aggregate(F.transform("vec", lambda x: x * x),
+                             F.lit(0.0), lambda a, x: a + x))
+    emb = (emb.withColumn(
+        "vecn", F.transform("vec", lambda x: x / F.nullif(nrm, F.lit(0.0))))
+        .select("vec_id", "vecn").localCheckpoint())
+
+    [seed] = emb.orderBy("vec_id").limit(1).collect()
+    picked = [(0, int(seed["vec_id"]), None)]
+    state = emb.withColumn("min_dist", F.lit(None).cast("double"))
+    for rank in range(1, _CORESET_K):
+        center = spark.createDataFrame(
+            [(picked[-1][1],)], "cid bigint").join(
+            emb.select(F.col("vec_id").alias("cid"),
+                       F.col("vecn").alias("cv")), "cid")
+        # cosine distance to the newest center folded into the running min
+        d_new = 1.0 - F.aggregate(
+            F.zip_with("vecn", "cv", lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        state = (state.crossJoin(F.broadcast(center.select("cv")))
+                 .withColumn("min_dist", F.least(
+                     F.coalesce("min_dist", F.lit(float("inf"))), d_new))
+                 .drop("cv")
+                 .localCheckpoint())  # truncate the per-round lineage
+        [far] = (state.filter(~F.col("vec_id").isin(
+                    [p[1] for p in picked]))
+                 .orderBy(F.desc("min_dist"), F.asc("vec_id"))
+                 .limit(1).collect())
+        picked.append((rank, int(far["vec_id"]), float(far["min_dist"])))
+    return spark.createDataFrame(
+        picked, "rank int, vec_id bigint, min_dist double")

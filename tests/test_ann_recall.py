@@ -207,3 +207,36 @@ def test_minhash_mllib_demo_sound_and_expansion(spark, true_jaccard_pairs):
     assert not missing, f"expansion dropped clique pairs: {sorted(missing)[:5]}"
     for p in clique_pairs:
         assert full[p] == 0.0
+
+
+def test_coreset_kcenter_greedy_invariant(spark):
+    """The k-center coreset must satisfy the farthest-point-traversal
+    invariant computed independently in numpy: pick i's recorded
+    min_dist equals the TRUE max-over-corpus of min-distance-to-prefix
+    (within FP tolerance), and the picked id is a true argmax (ties on
+    min vec_id)."""
+    import numpy as np
+
+    qs = _queries()
+    sel = sorted((r.rank, r.vec_id, r.min_dist)
+                 for r in qs["x2_coreset_kcenter"](spark, SF_CHECK).collect())
+    docs = pd.read_parquet(f"{SF_CHECK}/embeddings.parquet")
+    X = np.stack(docs.sort_values("vec_id")["embedding"].to_numpy()).astype(float)
+    ids = docs.sort_values("vec_id")["vec_id"].to_numpy()
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(ids)}
+
+    assert sel[0][1] == int(ids.min()) and sel[0][2] is None
+    mind = np.full(len(X), np.inf)
+    prev = sel[0][1]
+    for rank, vid, dist in sel[1:]:
+        mind = np.minimum(mind, 1.0 - X @ X[pos[prev]])
+        avail = np.ones(len(X), bool)
+        for _, pv, _d in sel[:rank]:
+            avail[pos[pv]] = False
+        best = mind[avail].max()
+        assert abs(dist - best) < 1e-9, (rank, dist, best)
+        # argmax with min-id tie-break (FP-tolerant tie window)
+        cand = ids[avail][mind[avail] >= best - 1e-9]
+        assert vid == int(cand.min()), (rank, vid)
+        prev = vid
