@@ -882,3 +882,70 @@ def x1_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.count(F.lit(1)) + _SPAN_K - 1).alias("span_len"))
             .filter(F.col("span_len") >= _SPAN_MIN)
             .select("doc_a", "doc_b", "start_a", "start_b", "span_len"))
+
+
+@register(
+    "x1_dedup_apply_keeplist",
+    oracle=f"""
+    WITH RECURSIVE {_TOKENS_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tok_d a JOIN tok_d b
+        ON a.token = b.token AND a.lang = b.lang AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN tok_sizes sa ON i.doc_a = sa.doc_id
+      JOIN tok_sizes sb ON i.doc_b = sb.doc_id
+      WHERE CAST(i.n_inter AS DOUBLE)
+            / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.8),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component_id
+             FROM reach GROUP BY src)
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.component_id = d.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN c.component_id <> d.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN c.component_id = d.doc_id
+                         THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    GROUP BY d.lang
+    """,
+)
+def x1_dedup_apply_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the dedup decision end-to-end: near-dup pairs -> connected
+    components -> canonical keeper (min doc_id per cluster) -> per-lang
+    retention report (docs in / kept / removed / kept chars) -- the
+    materialization step a curation pipeline actually ships, closing the
+    loop from pairwise similarity to a filtered corpus.
+
+    Plan shape: reuses the pair graph and min-label components (all
+    shuffles on doc_id), then ONE broadcast-joined rollup against the
+    doc-attribute dim; a keeper is exactly a doc whose component id is
+    its own id, so no extra distinct or anti-join pass is needed. The
+    keep-list itself (doc_id, component_id, is_keeper) is the obvious
+    intermediate to persist at 100 TB; the registered face rolls it up
+    so the gate verifies the whole lineage with five numbers per lang."""
+    pairs = x1_dedup_jaccard_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents")
+    comp = min_label_components(docs.select("doc_id"), pairs).select(
+        F.col("node_id").alias("doc_id"), "component_id")
+    flagged = (docs.select("doc_id", "lang", "n_chars")
+               .join(comp, "doc_id"))
+    keeper = F.col("component_id") == F.col("doc_id")
+    return (flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(keeper, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(~keeper, 1).otherwise(0)).cast("long")
+         .alias("n_removed"),
+        F.sum(F.when(keeper, F.col("n_chars")).otherwise(0)).cast("long")
+         .alias("kept_chars")))
