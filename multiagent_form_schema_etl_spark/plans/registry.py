@@ -137,6 +137,16 @@ def _memoized(name: str, fn: QueryFn) -> QueryFn:
         _HANDLE_STACK.append(handles)
         try:
             df = fn(spark, sf_dir)
+        except BaseException:
+            # A builder that dies mid-build has already persisted some
+            # sub-relations; release them before re-raising or they leak
+            # executor cache until LRU pressure (ADVICE r4).
+            for h in handles:
+                try:
+                    h.unpersist()
+                except Exception:
+                    pass
+            raise
         finally:
             _HANDLE_STACK.pop()
         per[key] = (snap, df, tuple(handles))

@@ -56,7 +56,12 @@ def ensure_protobuf(spark=None) -> str:
     except ImportError:
         if _VENDOR not in sys.path:
             sys.path.insert(0, _VENDOR)
-        for m in [m for m in sys.modules if m.startswith("google")]:
+        # Purge only the namespace package root and the protobuf subtree:
+        # a bare startswith("google") would also evict unrelated modules
+        # (googleapis_common_protos, other google.* packages), leaving
+        # stale duplicates on re-import (ADVICE r4).
+        for m in [m for m in sys.modules
+                  if m == "google" or m.startswith("google.protobuf")]:
             del sys.modules[m]
         import google.protobuf  # noqa: F401  (raises if shim broken)
         kind = "shim"

@@ -253,8 +253,14 @@ def streaming_running_totals_tws(spark: SparkSession, sf_dir: str,
             micros, n = self._acc.get() if self._acc.exists() else (0, 0)
             uid = int(key[0])
             out = []
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            # One sort over the whole per-key micro-batch: a key whose
+            # batch spans multiple Arrow chunks (maxRecordsPerBatch) must
+            # still process in global (ts, event_id) order, not merely
+            # within each chunk (ADVICE r4).
+            chunks = [c for c in rows if len(c)]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                    ["ts", "event_id"], kind="mergesort")
                 for eid, ts, v in zip(pdf["event_id"], pdf["ts"],
                                       pdf["value"]):
                     micros += int(Decimal(repr(float(v))).scaleb(6)
@@ -367,8 +373,12 @@ def streaming_recent_list_window_tws(spark: SparkSession, sf_dir: str,
             uid = int(key[0])
             out = []
             last_ts = None
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            # Whole-batch sort, not per-Arrow-chunk (ADVICE r4): keeps
+            # parity with the batch twin regardless of arrival batching.
+            chunks = [c for c in rows if len(c)]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                    ["ts", "event_id"], kind="mergesort")
                 for eid, ts, v in zip(pdf["event_id"], pdf["ts"],
                                       pdf["value"]):
                     micros = int(Decimal(repr(float(v))).scaleb(6)
@@ -481,8 +491,11 @@ def streaming_category_totals_tws(spark: SparkSession, sf_dir: str,
 
             uid = int(key[0])
             out = []
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            # Whole-batch sort, not per-Arrow-chunk (ADVICE r4).
+            chunks = [c for c in rows if len(c)]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                    ["ts", "event_id"], kind="mergesort")
                 for eid, ts, et, v in zip(pdf["event_id"], pdf["ts"],
                                           pdf["event_type"], pdf["value"]):
                     k = (str(et),)

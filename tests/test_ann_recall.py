@@ -97,30 +97,31 @@ def test_gemm_topk_matches_exact(spark):
 
 
 def test_ann_lsh_recall_vs_exact(spark):
-    """Banded random-hyperplane LSH top-5 must overlap the exact top-5
-    meaningfully even on clusterless random vectors (measured 0.42 at
-    sf0.01 with 4 bands x 3 planes; floor leaves headroom, and the
-    construction is deterministic)."""
+    """Multi-probe banded hyperplane-LSH top-5 must overlap the exact
+    top-5 even on clusterless random vectors (r5: Hamming<=2 query-side
+    probing measures recall 1.0 at sf0.01, 10x, AND 30x -- up from the
+    single-probe 0.28/0.58/0.54 -- with per-query candidates at 9-14% of
+    the corpus and falling as n grows; deterministic construction)."""
     qs = _queries()
     exact = {(r.query_id, r.match_id)
              for r in qs["x2_cosine_topk"](spark, SF_CHECK).collect()}
     ann = {(r.query_id, r.match_id)
-           for r in qs["x2_ann_lsh_buckets"](spark, SF_CHECK).collect()
-           if r.query_id < 10}
-    assert len(exact & ann) / len(exact) >= 0.3
+           for r in qs["x2_ann_lsh_buckets"](spark, SF_CHECK).collect()}
+    assert len(exact & ann) / len(exact) >= 0.8
 
 
 def test_ann_ivf_recall_vs_exact(spark):
-    """IVF/KMeans probe search recall vs the exact top-5 (r4: 3 probes +
-    cells scaling as max(8, n/250) measure 0.62/0.72/0.78 at
-    sf0.01/sf0.1/10x with ~5x fewer candidates than the fixed-8-cell
-    2-probe version; seeded KMeans => deterministic)."""
+    """IVF/KMeans probe search recall vs the exact top-5 (r5: index-side
+    soft assignment to 2 nearest cells -- the same trick that took IVF
+    dedup to recall 1.0 -- lifts recall 0.62 -> 0.90 at sf0.01 and
+    0.84 at the 10x probe corpus with 3 query probes; seeded KMeans =>
+    deterministic)."""
     qs = _queries()
     exact = {(r.query_id, r.match_id)
              for r in qs["x2_cosine_topk"](spark, SF_CHECK).collect()}
     ivf = {(r.query_id, r.match_id)
            for r in qs["x2_ann_ivf_kmeans"](spark, SF_CHECK).collect()}
-    assert len(exact & ivf) / len(exact) >= 0.4
+    assert len(exact & ivf) / len(exact) >= 0.8
 
 
 def test_ann_pq_recall_vs_exact(spark):

@@ -37,6 +37,23 @@ def test_oneof_empty_member_hits_the_wire(sm):
     assert vsc.SerializeToString() == b"\x0a\x01s\x12\x00"
 
 
+def test_oneof_set_clears_siblings(sm):
+    """protobuf semantics: setting a second member of the same oneof must
+    clear the first, or both serialize and the peer's last-field-wins
+    parse can select the wrong case (ADVICE r4)."""
+    vsc = sm.ValueStateCall(stateName="s")
+    vsc.exists = sm.Exists()
+    vsc.clear = sm.Clear()
+    data = vsc.SerializeToString()
+    # field 2 (exists) tag 0x12 must be gone; clear (field 5, tag 0x2a) on
+    assert b"\x12\x00" not in data
+    assert b"\x2a\x00" in data
+    # and round-trip parses to the clear case only
+    r = sm.ValueStateCall()
+    r.ParseFromString(data)
+    assert "clear" in str(r._values.keys()) or "clear" in r._values
+
+
 def test_auto_vivified_submessage(sm):
     cmd = sm.StateCallCommand()
     cmd.stateName = "st"
