@@ -203,9 +203,20 @@ PRIORITY: tuple[str, ...] = (
     # x4_lang_id_char_ngram, x5_shard_by_budget (families stay in-window
     # via x4_token_stats and the three other x5 rows; all rotated-out
     # queries keep their oracles + the builder gate tools/check.py).
-    "x1_dedup_exact", "x1_dedup_jaccard_ngram", "x1_dedup_jaccard_auto",
+    # r6 rotation (VERDICT r5 item 1): the three oracle-backed operators
+    # that had never seen a driver-green row enter the window --
+    # x1_dedup_substring_spans, x1_dedup_apply_keeplist, and the MapState
+    # transformWithState twin st_tws_map_category_totals. Out (families
+    # stay in-window; all keep oracles + the builder gate tools/check.py):
+    # x1_dedup_jaccard_auto (shares _JACCARD_ORACLE with
+    # x1_dedup_jaccard_ngram), st_latest_event_per_user (stateful family
+    # stays via st_stateful_threshold_batches + the tws rows),
+    # a_approx_percentile (paired-exact pattern stays via
+    # a_approx_count_distinct + a_hll_sketch_partial_merge).
+    "x1_dedup_exact", "x1_dedup_jaccard_ngram",
     "x1_dedup_simhash",
     "x1_dedup_embedding_cosine", "x1_dedup_components",
+    "x1_dedup_substring_spans", "x1_dedup_apply_keeplist",
     "s_pydatasource_formdocs", "x2_cosine_topk",
     "x4_token_stats",
     "x5_train_test_split_hash", "x5_decontaminate_ngram",
@@ -214,8 +225,8 @@ PRIORITY: tuple[str, ...] = (
     # streaming twins + event analytics (sliding rotated out r3; the
     # tumbling/session pair keeps the window family in-window)
     "st_tumbling_window", "st_session_window",
-    "st_tws_recent_list_window",
-    "st_latest_event_per_user", "st_stateful_threshold_batches",
+    "st_tws_recent_list_window", "st_tws_map_category_totals",
+    "st_stateful_threshold_batches",
     "st_stream_static_enrich", "st_max_concurrency",
     # window functions (lead/lag also exercised inside doc_a2, in-window)
     "w1_running_revenue_per_customer", "w_rank_top_customers_per_nation",
@@ -230,7 +241,7 @@ PRIORITY: tuple[str, ...] = (
     # are driver-visible: the array/map canonical-CSV rendering fix and the
     # paired-exact approx patterns close the loop in CORRECTNESS_r03.
     "f_array_functions", "f_map_functions",
-    "a_approx_count_distinct", "a_approx_percentile",
+    "a_approx_count_distinct",
 )
 
 
