@@ -13,6 +13,8 @@ Three tiers:
 
 from __future__ import annotations
 
+import itertools
+
 import pandas as pd  # module-level: pandas_udf type-hint resolution needs
 #                      the alias visible in the defining module's globals
 
@@ -467,11 +469,14 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("vec_id", "band", "bucket"))
     # query side: own bucket + every Hamming<=_LSH_PROBE_HAMMING neighbor
     # (bit-flip XOR masks are a driver-side constant list of size
-    # 1 + r + C(r,2) -- O(log^2 n) literals, not a data-dependent plan)
-    masks = [0] + [1 << i for i in range(per_band)] + [
-        (1 << i) | (1 << j)
-        for i in range(per_band) for j in range(i + 1, per_band)
-        if _LSH_PROBE_HAMMING >= 2]
+    # sum_{d<=radius} C(r,d) -- O(r^radius) literals, not a
+    # data-dependent plan). Built radius-by-radius so _LSH_PROBE_HAMMING
+    # actually parameterizes the probe set for any radius 0..r
+    # (ADVICE r5: the previous comprehension gated only the d=2 pairs).
+    masks = [
+        sum(1 << i for i in combo)
+        for d in range(_LSH_PROBE_HAMMING + 1)
+        for combo in itertools.combinations(range(per_band), d)]
     qb = (sigs.filter(F.col("vec_id") < _N_QUERIES)
           .select(F.col("vec_id").alias("query_id"),
                   F.posexplode(F.array(*[F.col(f"band{b}")
