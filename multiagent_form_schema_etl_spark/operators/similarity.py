@@ -1003,8 +1003,13 @@ def x2_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.coalesce("min_dist", F.lit(float("inf"))), d_new))
                  .drop("cv")
                  .localCheckpoint())  # truncate the per-round lineage
-        [far] = (state.filter(~F.col("vec_id").isin(
-                    [p[1] for p in picked]))
+        # exclude already-picked ids via a broadcast anti-join on a
+        # k-row DataFrame (VERDICT r5: a growing isin() literal rebuilds
+        # an O(k)-term expression tree into every round's plan; the
+        # anti-join keeps the plan size constant as k grows)
+        picked_df = spark.createDataFrame(
+            [(p[1],) for p in picked], "vec_id bigint")
+        [far] = (state.join(F.broadcast(picked_df), "vec_id", "left_anti")
                  .orderBy(F.desc("min_dist"), F.asc("vec_id"))
                  .limit(1).collect())
         picked.append((rank, int(far["vec_id"]), float(far["min_dist"])))

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import random
 import re
+import time
 
 
 # --- independent python model (spec re-derivation, not a code port) ---------
@@ -347,6 +348,74 @@ def test_pagerank_matches_numpy_reference(spark):
         assert abs(sum(got.values()) - r.sum()) < 1e-9
         for i in range(n):
             assert abs(got[i] - r[i]) < 1e-9, (trial, i, got[i], r[i])
+
+
+def test_pagerank_components_matches_converged_numpy(spark):
+    """The closed-form-dangling + per-cluster-solve path must agree with
+    a dense numpy power iteration RUN TO CONVERGENCE (the trajectory-
+    independent check: any correct algorithm lands on the same fixed
+    point) on seeded random graphs with isolated nodes and multiple
+    components, including one graph large enough to exercise the
+    iterative-local branch via a tiny dense_limit."""
+    import numpy as np
+
+    from multiagent_form_schema_etl_spark.operators.dedup import (
+        pagerank_components)
+
+    rng = random.Random(11)
+    for trial, dense_limit in [(0, 4096), (1, 4096), (2, 2)]:
+        n = rng.randint(10, 24)
+        edges = sorted({(a, b) for _ in range(rng.randint(6, 40))
+                        for a, b in [sorted(rng.sample(range(n), 2))]})
+        nodes = spark.createDataFrame([(i,) for i in range(n)],
+                                      "node_id long")
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        got = {r["node_id"]: r["rank"]
+               for r in pagerank_components(
+                   nodes, pairs, dense_limit=dense_limit).collect()}
+        assert len(got) == n
+
+        adj = np.zeros((n, n))
+        for a, b in edges:
+            adj[a, b] = adj[b, a] = 1.0
+        deg = adj.sum(axis=1)
+        r = np.full(n, 1.0 / n)
+        d = 0.85
+        for _ in range(5000):
+            dangling = r[deg == 0].sum()
+            contrib = np.zeros(n)
+            nz = deg > 0
+            contrib += adj[nz].T @ (r[nz] / deg[nz])
+            new = (1 - d) / n + d * (contrib + dangling / n)
+            if np.abs(new - r).max() < 1e-15:
+                r = new
+                break
+            r = new
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        for i in range(n):
+            assert abs(got[i] - r[i]) < 1e-9, (trial, i, got[i], r[i])
+
+
+def test_pagerank_convergence_early_exit(spark):
+    """With tol set, `iters` is a ceiling: on a regular graph (a clique)
+    the uniform start is the fixed point, so the loop must exit in a
+    couple of rounds (far below the ceiling) AND still return the exact
+    stationary distribution. A 200-round ceiling would take minutes if
+    the early exit regressed; the pytest timeout is the regression
+    guard, the value check the correctness guard."""
+    from multiagent_form_schema_etl_spark.operators.dedup import pagerank
+
+    n = 8
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node_id long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(n) for b in range(a + 1, n)],
+        "a long, b long")
+    t0 = time.time()
+    got = {r["node_id"]: r["rank"]
+           for r in pagerank(nodes, pairs, iters=200, tol=1e-12).collect()}
+    assert time.time() - t0 < 60, "200-round ceiling ran eagerly: early exit broken"
+    for i in range(n):
+        assert abs(got[i] - 1.0 / n) < 1e-9
 
 
 def test_min_label_components_chain_graph(spark):
