@@ -132,20 +132,33 @@ def keyed_words_df(spark: SparkSession, blocks: DataFrame | None = None) -> Data
 def clauses_from_words(w: DataFrame) -> DataFrame:
     """A2 core over a keyed word relation (see clauses_df for semantics)."""
     k = key_words(w) if "cur_key" not in w.columns else w
-    keys = (k.filter(F.col("new_key").isNotNull())
-             .groupBy("doc_id", F.col("new_key").alias("section_key"))
-             .agg(F.min("pos").alias("first_pos")))
-    content = k.filter(
-        (~F.col("trig"))
-        & F.lower("label").isin("paragraph", "list_item")
-        & F.col("cur_key").isNotNull())
-    agg = (content.groupBy("doc_id", F.col("cur_key").alias("section_key"))
-           .agg(F.concat_ws(" ", F.transform(
-               F.array_sort(F.collect_list(F.struct("pos", "word"))),
-               lambda x: x["word"])).alias("txt")))
-    return (keys.join(agg, ["doc_id", "section_key"], "left")
-            .select("doc_id", "section_key", "first_pos",
-                    F.coalesce("txt", F.lit("")).alias("clause_text")))
+    # r6 (VERDICT r5 item 5): ONE (doc_id, section_key) aggregation
+    # instead of keys-groupBy + content-groupBy + left join -- trigger
+    # rows (carrying new_key) and content rows (carrying cur_key) are
+    # disjoint, so they union into a single keyed relation and resolve
+    # with conditional aggregates: min(pos) over trigger rows = the
+    # key's first appearance; collect_list over content rows = the
+    # clause body (collect_list drops the NULL the trigger rows
+    # contribute). The first_pos IS NOT NULL filter reproduces the left
+    # join's keys-side retention exactly: content under a cur_key always
+    # descends from some trigger row, but a clause build fed a word
+    # slice could see orphaned content -- dropped then, dropped now.
+    rel = (k.filter((F.col("trig") & F.col("new_key").isNotNull())
+                    | ((~F.col("trig"))
+                       & F.lower("label").isin("paragraph", "list_item")
+                       & F.col("cur_key").isNotNull()))
+           .select("doc_id",
+                   F.when(F.col("trig"), F.col("new_key"))
+                    .otherwise(F.col("cur_key")).alias("section_key"),
+                   "trig", "pos", "word"))
+    return (rel.groupBy("doc_id", "section_key")
+            .agg(F.min(F.when(F.col("trig"), F.col("pos")))
+                 .alias("first_pos"),
+                 F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.when(~F.col("trig"), F.struct("pos", "word")))),
+                     lambda x: x["word"])).alias("clause_text"))
+            .filter(F.col("first_pos").isNotNull()))
 
 
 def clauses_df(spark: SparkSession, blocks: DataFrame | None = None) -> DataFrame:
