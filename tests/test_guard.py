@@ -1,0 +1,56 @@
+"""The leak/copy guard (tools/guard.py) must pass on the repo as-is AND
+actually catch each violation class on synthetic offender files."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tools import guard
+
+
+def test_repo_is_clean():
+    errors = []
+    for p in guard.first_party_files():
+        errors.extend(guard.check_file(p))
+    assert errors == []
+
+
+def _errs(tmp_path, src: str):
+    f = tmp_path / "offender.py"
+    f.write_text(src)
+    return guard.check_file(str(f))
+
+
+def test_catches_nonallowlisted_import(tmp_path):
+    errs = _errs(tmp_path, "import requests\n")
+    assert any("non-allowlisted import 'requests'" in e for e in errs)
+
+
+def test_catches_reference_token_in_code_not_docstring(tmp_path):
+    clean = _errs(tmp_path,
+                  '"""Parity with ContractOrchestrator (main.py:12)."""\n'
+                  "x = 1\n")
+    assert clean == []
+    dirty = _errs(tmp_path, "class ContractOrchestrator:\n    pass\n")
+    assert any("reference-distinctive token" in e for e in dirty)
+
+
+def test_comment_citation_allowed(tmp_path):
+    assert _errs(tmp_path, "x = 1  # mirrors FormFiller.fill\n") == []
+
+
+def test_catches_bucket_url_and_env(tmp_path):
+    errs = _errs(tmp_path,
+                 "p = 's3://some-bucket/data'\n"
+                 "import os\n"
+                 "k = os.environ.get('SECRET_API_KEY')\n")
+    assert any("suspicious string" in e for e in errs)
+    assert any("non-allowlisted env var 'SECRET_API_KEY'" in e
+               for e in errs)
+
+
+def test_example_domains_allowed(tmp_path):
+    assert _errs(tmp_path, "m = 'a@example-corp.com'\n") == []

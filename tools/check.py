@@ -62,6 +62,13 @@ def rowset(cols, rows):
 
 
 def main() -> int:
+    # Leak/copy guard gates every check run (VERDICT r5 item 7): a
+    # non-allowlisted import or reference-distinctive token in code
+    # fails the sweep before any query runs.
+    from tools import guard
+    if guard.main() != 0:
+        return 1
+
     import __spark_entry__ as e
     from multiagent_form_schema_etl_spark.session import get_spark
 

@@ -229,6 +229,10 @@ def main() -> None:
     ap.add_argument("--ann", action="store_true",
                     help="probe the ANN/similarity paths over replicated "
                          "embeddings instead of the document/event queries")
+    ap.add_argument("--pipe-copies", type=int, default=0,
+                    help="run ONLY the scoped document pipeline at N "
+                         "fixture copies (4 docs each; 250000 -> 1M docs) "
+                         "-- the VERDICT r5 item 6 probe")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",") if m]
     skip = set(args.skip.split(","))
@@ -239,6 +243,12 @@ def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = e.queries()
+
+    if args.pipe_copies:
+        t = scoped_pipeline_copies(spark, args.pipe_copies)
+        print(json.dumps({"mode": "scoped_pipeline",
+                          "n_docs": args.pipe_copies * 4, "seconds": t}))
+        return
 
     if args.ann:
         for mult in mults:
