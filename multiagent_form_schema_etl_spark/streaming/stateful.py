@@ -256,7 +256,11 @@ def streaming_running_totals_tws(spark: SparkSession, sf_dir: str,
             # One sort over the whole per-key micro-batch: a key whose
             # batch spans multiple Arrow chunks (maxRecordsPerBatch) must
             # still process in global (ts, event_id) order, not merely
-            # within each chunk (ADVICE r4).
+            # within each chunk (ADVICE r4). Memory profile: this
+            # materializes one KEY's micro-batch at once (not the whole
+            # partition) — bounded by per-key arrival rate x trigger
+            # interval. If a hot key ever outgrows executor memory, swap
+            # for heapq.merge over per-chunk pre-sorted frames (ADVICE r5).
             chunks = [c for c in rows if len(c)]
             if chunks:
                 pdf = pd.concat(chunks, ignore_index=True).sort_values(

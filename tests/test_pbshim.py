@@ -54,6 +54,35 @@ def test_oneof_set_clears_siblings(sm):
     assert "clear" in str(r._values.keys()) or "clear" in r._values
 
 
+def test_oneof_parse_keeps_last_member_only(sm):
+    """Wire data carrying two members of the same oneof must leave only
+    the last-parsed one set (ADVICE r5): HasField on the first is False
+    and re-serialization emits only the second."""
+    # exists (field 2, tag 0x12) then clear (field 5, tag 0x2a), both empty
+    r = sm.ValueStateCall()
+    r.ParseFromString(b"\x0a\x01s\x12\x00\x2a\x00")
+    assert not r.HasField("exists")
+    assert r.HasField("clear")
+    data = r.SerializeToString()
+    assert b"\x12\x00" not in data and b"\x2a\x00" in data
+
+
+def test_oneof_vivified_sibling_never_double_emits(sm):
+    """Mutating an auto-vivified oneof member in place makes it
+    serializable without an assignment sweep; the emit-time resolver must
+    still put at most one member per oneof on the wire, preferring the
+    explicitly set one (ADVICE r5)."""
+    vsc = sm.ValueStateCall(stateName="s")
+    vsc.clear = sm.Clear()              # explicit member (field 5)
+    vsc.valueStateUpdate.value = b"x"   # vivified sibling gains content
+    data = vsc.SerializeToString()
+    assert data.count(b"\x2a\x00") == 1  # clear emitted once
+    assert b"\x22" not in data           # valueStateUpdate (4) suppressed
+    r = sm.ValueStateCall()
+    r.ParseFromString(data)
+    assert r.HasField("clear") and not r.HasField("valueStateUpdate")
+
+
 def test_auto_vivified_submessage(sm):
     cmd = sm.StateCallCommand()
     cmd.stateName = "st"
