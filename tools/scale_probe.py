@@ -177,6 +177,182 @@ def run_ann_probe(spark, qs, sf_dir: str) -> dict:
     return out
 
 
+def _stream_source(spark, sf_dir: str, files_per_trigger: int):
+    """readStream over the (possibly replicated) events parquet directory
+    with a bounded files-per-trigger, so the drain crosses micro-batch
+    boundaries the way a landing-zone deployment would (mirrors
+    streaming/structured.stream_events' ts-type probe)."""
+    src = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(src)
+    if os.path.isfile(src):  # file source needs a directory
+        import tempfile
+        d = tempfile.mkdtemp(prefix="events_stream_probe_")
+        os.symlink(src, os.path.join(d, "events.parquet"))
+        src = d
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = dict(batch.dtypes)["ts"]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in batch.schema.fields)
+    if ts_type in ("bigint", "long"):
+        schema = schema.replace("ts bigint", "ts long")
+    raw = (spark.readStream.schema(schema).format("parquet")
+           .option("maxFilesPerTrigger", files_per_trigger).load(src))
+    if ts_type in ("bigint", "long"):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw, batch.count()
+
+
+def run_streaming_probe(spark, sf_dir: str) -> dict:
+    """Live streaming faces drained end-to-end (availableNow -> noop sink):
+    measures the per-face events/sec so the Python-state faces' overhead
+    vs the JVM-native windows is a NUMBER, not an argument. Faces:
+    tumbling-window agg (JVM stateless-window floor), watermarked dedup
+    (JVM keyed state), applyInPandasWithState threshold batching (Arrow +
+    per-key Python state), transformWithState running totals (RocksDB +
+    state-server protocol via real protobuf or the vendored shim)."""
+    from multiagent_form_schema_etl_spark.streaming import stateful as stf
+    from multiagent_form_schema_etl_spark.streaming import structured as st
+    from multiagent_form_schema_etl_spark.streaming.pbcompat import (
+        ensure_protobuf)
+
+    out: dict = {}
+
+    def drain(df, mode: str) -> float:
+        t0 = time.perf_counter()
+        q = (df.writeStream.format("noop").outputMode(mode)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return round(time.perf_counter() - t0, 2)
+
+    src, n = _stream_source(spark, sf_dir, files_per_trigger=8)
+    out["n_events"] = n
+
+    ev = src.withWatermark("ts", "30 minutes")
+    tumbling = (ev.groupBy(F.window("ts", "1 hour"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("value").alias("total")))
+    out["tumbling_agg_s"] = drain(tumbling, "update")
+    out["dedup_s"] = drain(
+        ev.dropDuplicatesWithinWatermark(["event_id"]), "append")
+    out["apwstate_threshold_s"] = drain(
+        stf.streaming_threshold_batches(
+            spark, sf_dir,
+            source=src.select("user_id", "event_id", "ts", "value")),
+        "append")
+
+    ensure_protobuf(spark)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key,
+                   "org.apache.spark.sql.execution.streaming.state."
+                   "RocksDBStateStoreProvider")
+    try:
+        out["tws_running_totals_s"] = drain(
+            stf.streaming_running_totals_tws(
+                spark, sf_dir,
+                source=src.select("user_id", "event_id", "ts", "value")),
+            "update")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+    for k in list(out):
+        if k.endswith("_s") and out[k] > 0:
+            out[k.replace("_s", "_evps")] = int(n / out[k])
+    for k, v in out.items():
+        print(f"  {k}: {v}", file=sys.stderr)
+    return out
+
+
+def build_skew_dir(spark, mult: int) -> str:
+    """Replicate lineitem mult-x and point HALF of all rows' l_suppkey at
+    one hot supplier -- the canonical join-skew corpus (one key owns 50%
+    of the fact table)."""
+    d = os.path.join(OUT, f"skew_x{mult}")
+    ok = os.path.join(d, "_OK")
+    if os.path.exists(ok):
+        return d
+    os.makedirs(d, exist_ok=True)
+    li = spark.read.parquet(os.path.join(BASE, "lineitem.parquet"))
+    copies = spark.range(mult).select(F.col("id").alias("copy"))
+    r = (li.crossJoin(copies).drop("copy")
+         .withColumn("l_suppkey",
+                     F.when(F.xxhash64("l_orderkey", "l_linenumber") % 2 == 0,
+                            F.lit(1)).otherwise(F.col("l_suppkey"))))
+    r.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(d, "lineitem.parquet"))
+    shutil.copy(os.path.join(BASE, "supplier.parquet"),
+                os.path.join(d, "supplier.parquet"))
+    open(ok, "w").close()
+    return d
+
+
+def run_skew_probe(spark, sf_dir: str) -> dict:
+    """Join-skew mitigation, measured: the same fact-dim join + rollup run
+    (a) naive shuffle-hash with AQE off -- the hot key lands on ONE
+    reducer; (b) AQE on with skew-join splitting -- Spark's automatic
+    per-shuffle-block fix; (c) the manual 16-salt join (AQE off) -- the
+    portable fix that also covers skew INSIDE one key. Times include the
+    small post-join rollup (one row per nation)."""
+    from multiagent_form_schema_etl_spark.operators.partitioning import (
+        _N_SALTS)
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    sup = (spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+           .select("s_suppkey", "s_nationkey"))
+    dec = "decimal(28,6)"
+
+    def rollup(joined):
+        return (joined.groupBy("s_nationkey")
+                .agg(F.count(F.lit(1)).alias("n_items"),
+                     F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))).cast(dec))
+                     .cast("double").alias("revenue")))
+
+    def timed(df) -> tuple[float, int]:
+        t0 = time.perf_counter()
+        rows = df.collect()
+        return round(time.perf_counter() - t0, 2), len(rows)
+
+    out: dict = {"n_fact_rows": li.count()}
+    aqe_key = "spark.sql.adaptive.enabled"
+    old_aqe = spark.conf.get(aqe_key)
+
+    spark.conf.set(aqe_key, "false")
+    try:
+        naive = li.join(sup.hint("shuffle_hash"),
+                       li["l_suppkey"] == sup["s_suppkey"])
+        out["naive_join_s"], n = timed(rollup(naive))
+
+        fact = li.withColumn(
+            "_salt", F.pmod(F.monotonically_increasing_id(),
+                            F.lit(_N_SALTS)))
+        dim = sup.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i).cast("long")
+                                         for i in range(_N_SALTS)])))
+        salted = fact.join(
+            dim.hint("shuffle_hash"),
+            (fact["l_suppkey"] == dim["s_suppkey"])
+            & (fact["_salt"] == dim["_salt"]))
+        out["salted_join_s"], n2 = timed(rollup(salted))
+        assert n == n2
+    finally:
+        spark.conf.set(aqe_key, old_aqe)
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    aqe = li.join(sup.hint("shuffle_hash"),
+                  li["l_suppkey"] == sup["s_suppkey"])
+    out["aqe_skewjoin_s"], n3 = timed(rollup(aqe))
+    assert n == n3
+    for k, v in out.items():
+        print(f"  {k}: {v}", file=sys.stderr)
+    return out
+
+
 def run_probe(spark, qs, sf_dir: str, names: list[str]) -> dict[str, float]:
     times: dict[str, float] = {}
     for name in names:
@@ -229,6 +405,15 @@ def main() -> None:
     ap.add_argument("--ann", action="store_true",
                     help="probe the ANN/similarity paths over replicated "
                          "embeddings instead of the document/event queries")
+    ap.add_argument("--skew", action="store_true",
+                    help="probe join-skew mitigation on a 50%%-one-key "
+                         "lineitem corpus: naive vs AQE skew-split vs "
+                         "manual 16-salt join")
+    ap.add_argument("--streaming", action="store_true",
+                    help="probe the LIVE streaming faces (tumbling agg, "
+                         "watermarked dedup, applyInPandasWithState, "
+                         "transformWithState) over replicated events: "
+                         "drain time + events/sec per face")
     ap.add_argument("--pipe-copies", type=int, default=0,
                     help="run ONLY the scoped document pipeline at N "
                          "fixture copies (4 docs each; 250000 -> 1M docs) "
@@ -248,6 +433,25 @@ def main() -> None:
         t = scoped_pipeline_copies(spark, args.pipe_copies)
         print(json.dumps({"mode": "scoped_pipeline",
                           "n_docs": args.pipe_copies * 4, "seconds": t}))
+        return
+
+    if args.skew:
+        for mult in mults:
+            d = build_skew_dir(spark, mult)
+            print(f"skew probe x{mult} -> {d}", file=sys.stderr)
+            res = run_skew_probe(spark, d)
+            print(json.dumps({"mode": "skew", "mult": mult,
+                              "metrics": res}))
+        return
+
+    if args.streaming:
+        for mult in mults:
+            d = (BASE if mult == 1
+                 else build_dir(spark, mult, args.density))
+            print(f"streaming probe x{mult} -> {d}", file=sys.stderr)
+            res = run_streaming_probe(spark, d)
+            print(json.dumps({"mode": "streaming", "mult": mult,
+                              "metrics": res}))
         return
 
     if args.ann:
