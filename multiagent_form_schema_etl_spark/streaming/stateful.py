@@ -580,10 +580,25 @@ def st_stateful_threshold_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session keeps the default recursion backstop (ADVICE r2).
     from ..session import tune_for_session
 
+    from ..plans.registry import track_persist
+
     s2 = tune_for_session(spark.newSession())
     s2.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
-    ev = load_table(s2, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value")
+    # The recursion runs one distributed join PER LEVEL (depth = longest
+    # per-key sequence), so per-level stage overhead multiplies by depth.
+    # Two level-cost cuts, both semantics-free: (1) persist the
+    # loop-invariant input so every level reads the cached relation
+    # instead of re-scanning parquet and re-sorting the row_number window
+    # (measured 2x at sf0.01); (2) size the cloned session's shuffle
+    # partitions to the PER-LEVEL volume (one row per key per level), not
+    # the session default -- 86 levels x 32 near-empty tasks was pure
+    # scheduler overhead (another ~1.6x). The count that sizes it also
+    # materializes the cache.
+    ev = track_persist(load_table(s2, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"))
+    n_rows = ev.count()
+    s2.conf.set("spark.sql.shuffle.partitions",
+                str(max(1, min(32, n_rows // 100_000))))
     name = "__threshold_sql_events"
     ev.createOrReplaceTempView(name)
     return s2.sql(_THRESHOLD_RECURSIVE_SQL.format(v=name))
