@@ -531,10 +531,10 @@ def x2_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_CELLS = 8     # FLOOR; cells scale as max(8, n/250) like the dedup path
 _IVF_PROBES = 3    # with r5's index-side 2-cell soft assignment, 3 query
-#                    probes measure recall 0.90 at sf0.01 / 0.84 at the
-#                    10x probe corpus (was 0.62 single-assignment); the
-#                    corpus fraction scanned per query falls as cells
-#                    scale up with n
+#                    probes measure recall 0.92/0.92/1.00 at the 1x/10x/
+#                    30x probe corpora (r6 re-run, SCALE_PROBE.md; was
+#                    0.62 single-assignment); the corpus fraction scanned
+#                    per query falls as cells scale up with n
 
 
 _IVF_INDEX_ASSIGN = 2  # index-side soft assignment: each vector lands in
@@ -612,8 +612,9 @@ def _ivf_topk_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x2_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: a KMeans coarse quantizer (seeded => deterministic
     within Spark) partitions vectors into cells, soft-assigning each
-    vector to its 2 nearest cells (r5 -- recall 0.62 -> 0.90/0.84 at
-    1x/10x); each query probes its nearest ``_IVF_PROBES`` cells and
+    vector to its 2 nearest cells (r5 -- recall 0.62 -> 0.92/0.92/1.00
+    at 1x/10x/30x, r6 probe); each query probes its nearest
+    ``_IVF_PROBES`` cells and
     ranks candidates with the packed-array cosine.
 
     The 100 TB shape: the quantizer trains on a sample, assignment is one
