@@ -353,6 +353,79 @@ def run_skew_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def run_storage_probe(spark, sf_dir: str) -> dict:
+    """Write-side layouts at scale: land the replicated events corpus three
+    ways (hash-partitioned baseline, range+sorted on user_id, 2-key
+    Z-order on (user_id, event_id)), then measure (a) write wall-clock,
+    (b) FOOTER-LEVEL prunability -- how many files a point/range predicate
+    admits by parquet min/max -- and (c) the re-read wall-clock of the
+    corresponding filter+count. The footer count is the quantity that
+    matters at 100 TB: it is the fraction of the corpus a selective read
+    must open."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from multiagent_form_schema_etl_spark.sources.sinks import (
+        write_layout_optimized, write_zorder)
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    n = ev.count()
+    mid_user = ev.selectExpr("percentile_approx(user_id, 0.5)").first()[0]
+    ts_lo, ts_hi = ev.selectExpr(
+        "percentile_approx(event_id, 0.48)",
+        "percentile_approx(event_id, 0.52)").first()
+    out: dict = {"n_events": n}
+    base = os.path.join(OUT, "storage")
+    os.makedirs(base, exist_ok=True)
+
+    def write(layout: str):
+        t0 = time.perf_counter()
+        if layout == "naive":
+            p = os.path.join(base, "naive")
+            ev.repartition(32).write.mode("overwrite").parquet(p)
+        elif layout == "range":
+            p = write_layout_optimized(ev, base, "range", "user_id", 32,
+                                       sort_keys=["user_id", "event_id"])
+        else:
+            p = write_zorder(ev, base, "zorder",
+                             ["user_id", "event_id"], 32)
+        out[f"{layout}_write_s"] = round(time.perf_counter() - t0, 2)
+        return p
+
+    def admits(path: str, col: str, lo, hi) -> tuple[int, int]:
+        files = glob.glob(os.path.join(path, "part*.parquet"))
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = {md.row_group(0).column(i).path_in_schema: i
+                   for i in range(md.row_group(0).num_columns)}[col]
+            fmin = min(md.row_group(g).column(idx).statistics.min
+                       for g in range(md.num_row_groups))
+            fmax = max(md.row_group(g).column(idx).statistics.max
+                       for g in range(md.num_row_groups))
+            if fmin <= hi and lo <= fmax:
+                hit += 1
+        return hit, len(files)
+
+    for layout in ("naive", "range", "zorder"):
+        p = write(layout)
+        h, t = admits(p, "user_id", mid_user, mid_user)
+        out[f"{layout}_user_files"] = f"{h}/{t}"
+        h, t = admits(p, "event_id", ts_lo, ts_hi)
+        out[f"{layout}_eid_files"] = f"{h}/{t}"
+        t0 = time.perf_counter()
+        spark.read.parquet(p).filter(F.col("user_id") == mid_user).count()
+        out[f"{layout}_user_read_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        (spark.read.parquet(p)
+         .filter(F.col("event_id").between(ts_lo, ts_hi)).count())
+        out[f"{layout}_eid_read_s"] = round(time.perf_counter() - t0, 2)
+    for k, v in out.items():
+        print(f"  {k}: {v}", file=sys.stderr)
+    return out
+
+
 def run_probe(spark, qs, sf_dir: str, names: list[str]) -> dict[str, float]:
     times: dict[str, float] = {}
     for name in names:
@@ -405,6 +478,10 @@ def main() -> None:
     ap.add_argument("--ann", action="store_true",
                     help="probe the ANN/similarity paths over replicated "
                          "embeddings instead of the document/event queries")
+    ap.add_argument("--storage", action="store_true",
+                    help="probe write-side layouts over replicated events: "
+                         "write time + footer prunability + re-read time "
+                         "for naive vs range-sorted vs zorder")
     ap.add_argument("--skew", action="store_true",
                     help="probe join-skew mitigation on a 50%%-one-key "
                          "lineitem corpus: naive vs AQE skew-split vs "
@@ -433,6 +510,16 @@ def main() -> None:
         t = scoped_pipeline_copies(spark, args.pipe_copies)
         print(json.dumps({"mode": "scoped_pipeline",
                           "n_docs": args.pipe_copies * 4, "seconds": t}))
+        return
+
+    if args.storage:
+        for mult in mults:
+            d = (BASE if mult == 1
+                 else build_dir(spark, mult, args.density))
+            print(f"storage probe x{mult} -> {d}", file=sys.stderr)
+            res = run_storage_probe(spark, d)
+            print(json.dumps({"mode": "storage", "mult": mult,
+                              "metrics": res}))
         return
 
     if args.skew:
