@@ -667,6 +667,15 @@ def pagerank_components(nodes: DataFrame, pairs: DataFrame,
                           F.greatest(pa, pb).alias("dst"))
              .filter(F.col("src") != F.col("dst"))
              .dropDuplicates(["src", "dst"]))
+    # drop edges touching ids absent from `nodes` (e.g. pairs computed
+    # before a document filter): the iterative twin drops them via its
+    # base left join; without this semi-join a foreign endpoint inflates
+    # linked.count() past n (negative n_d corrupts every rank) and leaks
+    # non-member ids into the output.
+    member = nodes.select(F.col(node_col).alias("src"))
+    edges = (edges.join(member, "src", "left_semi")
+             .join(member.withColumnRenamed("src", "dst"),
+                   "dst", "left_semi"))
     n = nodes.count()
     base = nodes.select(F.col(node_col).alias("node_id"))
     if n == 0:

@@ -311,14 +311,35 @@ def test_bpe_matches_python_model_real_corpus(spark):
 
 # --- components kernel on a known graph --------------------------------------
 
+def _dense_pagerank(edges, n, iters=None, tol=None, damping=0.85):
+    """Shared dense numpy reference: power iteration with dangling-mass
+    redistribution. iters=k runs exactly k rounds (matching the truncated
+    distributed twin); tol runs to convergence (the trajectory-independent
+    fixed point)."""
+    import numpy as np
+
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[a, b] = adj[b, a] = 1.0
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    nz = deg > 0
+    for _ in range(iters if iters is not None else 5000):
+        dangling = r[deg == 0].sum()
+        contrib = adj[nz].T @ (r[nz] / deg[nz])
+        new = (1 - damping) / n + damping * (contrib + dangling / n)
+        if tol is not None and abs(new - r).max() < tol:
+            return new
+        r = new
+    return r
+
+
 def test_pagerank_matches_numpy_reference(spark):
     """Distributed PageRank must numerically agree with a dense numpy
     power iteration (same damping, same dangling-mass redistribution, same
     fixed iteration count) on seeded random undirected graphs including
     isolated nodes. Tolerance covers float summation-order differences
     only."""
-    import numpy as np
-
     from multiagent_form_schema_etl_spark.operators.dedup import pagerank
 
     rng = random.Random(7)
@@ -332,19 +353,7 @@ def test_pagerank_matches_numpy_reference(spark):
         got = {r["node_id"]: r["rank"]
                for r in pagerank(nodes, pairs, iters=10).collect()}
 
-        # dense reference
-        adj = np.zeros((n, n))
-        for a, b in edges:
-            adj[a, b] = adj[b, a] = 1.0
-        deg = adj.sum(axis=1)
-        r = np.full(n, 1.0 / n)
-        d = 0.85
-        for _ in range(10):
-            dangling = r[deg == 0].sum()
-            contrib = np.zeros(n)
-            nz = deg > 0
-            contrib += adj[nz].T @ (r[nz] / deg[nz])
-            r = (1 - d) / n + d * (contrib + dangling / n)
+        r = _dense_pagerank(edges, n, iters=10)
         assert abs(sum(got.values()) - r.sum()) < 1e-9
         for i in range(n):
             assert abs(got[i] - r[i]) < 1e-9, (trial, i, got[i], r[i])
@@ -357,8 +366,6 @@ def test_pagerank_components_matches_converged_numpy(spark):
     point) on seeded random graphs with isolated nodes and multiple
     components, including one graph large enough to exercise the
     iterative-local branch via a tiny dense_limit."""
-    import numpy as np
-
     from multiagent_form_schema_etl_spark.operators.dedup import (
         pagerank_components)
 
@@ -375,22 +382,7 @@ def test_pagerank_components_matches_converged_numpy(spark):
                    nodes, pairs, dense_limit=dense_limit).collect()}
         assert len(got) == n
 
-        adj = np.zeros((n, n))
-        for a, b in edges:
-            adj[a, b] = adj[b, a] = 1.0
-        deg = adj.sum(axis=1)
-        r = np.full(n, 1.0 / n)
-        d = 0.85
-        for _ in range(5000):
-            dangling = r[deg == 0].sum()
-            contrib = np.zeros(n)
-            nz = deg > 0
-            contrib += adj[nz].T @ (r[nz] / deg[nz])
-            new = (1 - d) / n + d * (contrib + dangling / n)
-            if np.abs(new - r).max() < 1e-15:
-                r = new
-                break
-            r = new
+        r = _dense_pagerank(edges, n, tol=1e-15)
         assert abs(sum(got.values()) - 1.0) < 1e-9
         for i in range(n):
             assert abs(got[i] - r[i]) < 1e-9, (trial, i, got[i], r[i])
@@ -462,3 +454,30 @@ def test_fulltext_cascade_strategies_equal(spark):
     hoisted = sorted(map(tuple, extraction_df_hoisted(spark).collect()))
     assert rules == hoisted
     assert len(rules) == 24
+
+
+def test_pagerank_components_drops_foreign_edge_endpoints(spark):
+    """Edges touching ids absent from `nodes` (pairs computed before a
+    document filter) must be dropped, matching the iterative twin's
+    base-join semantics: no foreign ids in the output, no negative
+    dangling count corrupting the closed form."""
+    from multiagent_form_schema_etl_spark.operators.dedup import (
+        pagerank_components)
+
+    nodes = spark.createDataFrame([(1,), (2,)], "node_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 4), (3, 4)], "a long, b long")
+    got = {r["node_id"]: r["rank"]
+           for r in pagerank_components(nodes, pairs).collect()}
+    assert set(got) == {1, 2}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # with every foreign edge dropped, both members are dangling and the
+    # closed form gives r_d = (1-d)/(n - d*n_d) = 0.15/0.3 = 0.5 each
+    for i in (1, 2):
+        assert abs(got[i] - 0.5) < 1e-12
+    # and a consistent input (pairs pre-filtered to members) agrees
+    clean = {r["node_id"]: r["rank"]
+             for r in pagerank_components(
+                 nodes, spark.createDataFrame([], "a long, b long")
+             ).collect()}
+    assert got == clean

@@ -54,3 +54,26 @@ def test_catches_bucket_url_and_env(tmp_path):
 
 def test_example_domains_allowed(tmp_path):
     assert _errs(tmp_path, "m = 'a@example-corp.com'\n") == []
+
+
+def test_catches_env_subscript_and_getenv(tmp_path):
+    errs = _errs(tmp_path,
+                 "import os\n"
+                 "a = os.environ['INTERNAL_API_KEY']\n"
+                 "b = os.getenv('GEMINI_KEY')\n")
+    assert any("'INTERNAL_API_KEY'" in e for e in errs)
+    assert any("'GEMINI_KEY'" in e for e in errs)
+
+
+def test_catches_google_submodule_beyond_protobuf(tmp_path):
+    ok = _errs(tmp_path, "from google.protobuf import message\n")
+    assert ok == []
+    errs = _errs(tmp_path, "import google.generativeai\n")
+    assert any("google submodule" in e for e in errs)
+
+
+def test_reference_token_in_string_after_hash_still_caught(tmp_path):
+    # a '#' INSIDE a string must not truncate the scanned code line
+    errs = _errs(tmp_path,
+                 "p = 'based on # ContractOrchestrator.run'\n")
+    assert any("reference-distinctive token" in e for e in errs)

@@ -19,9 +19,11 @@ invokes it before the oracle sweep.
 from __future__ import annotations
 
 import ast
+import io
 import os
 import re
 import sys
+import tokenize
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -120,13 +122,31 @@ def check_file(path: str) -> list[str]:
             if top not in ALLOWED_TOP:
                 errors.append(f"{rel}:{node.lineno}: non-allowlisted "
                               f"import '{m}'")
+            elif top == "google" and not (
+                    m == "google"
+                    or m.startswith("google.protobuf")):
+                # the allowlist entry exists ONLY for the vendored
+                # google.protobuf shim; any other google.* submodule
+                # (e.g. google.generativeai) is a leak
+                errors.append(f"{rel}:{node.lineno}: non-allowlisted "
+                              f"google submodule '{m}'")
 
     doc_lines = _docstring_spans(tree)
+    # Strip comments by TOKENIZING, not by splitting on '#': a '#' inside
+    # a string literal is code, and splitting there would hide
+    # reference-distinctive tokens carried in executable strings.
+    comment_col: dict[int, int] = {}
+    try:
+        for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+            if tok.type == tokenize.COMMENT:
+                comment_col[tok.start[0]] = tok.start[1]
+    except (tokenize.TokenError, IndentationError):
+        pass  # syntax already validated by ast.parse above
     code_lines = {}
     for i, line in enumerate(src.splitlines(), 1):
         if i in doc_lines:
             continue
-        code_lines[i] = line.split("#", 1)[0]  # strip comments
+        code_lines[i] = line[:comment_col[i]] if i in comment_col else line
     for tok in REFERENCE_TOKENS:
         pat = re.compile(rf"\b{tok}\b")
         for i, line in code_lines.items():
@@ -142,8 +162,11 @@ def check_file(path: str) -> list[str]:
                     and not EXAMPLE_RE.search(node.value)):
                 errors.append(f"{rel}:{node.lineno}: suspicious string "
                               f"{node.value[:60]!r}")
-    for m in re.finditer(r"os\.environ(?:\.get)?\(\s*['\"]([A-Z0-9_]+)",
-                         src):
+    # every env read form: os.environ.get("X"), os.environ["X"],
+    # os.getenv("X")
+    for m in re.finditer(
+            r"os\.(?:environ(?:\.get)?\s*[\(\[]|getenv\s*\()"
+            r"\s*['\"]([A-Z0-9_]+)", src):
         name = m.group(1)
         if not ALLOWED_ENV.match(name):
             ln = src[:m.start()].count("\n") + 1

@@ -189,8 +189,12 @@ def _stream_source(spark, sf_dir: str, files_per_trigger: int):
         d = tempfile.mkdtemp(prefix="events_stream_probe_")
         os.symlink(src, os.path.join(d, "events.parquet"))
         src = d
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ts_type = dict(batch.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        # only nanos-as-long corpora need the legacy flag; setting it
+        # unconditionally would silently retype timestamp columns in
+        # every later read this session makes
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in batch.schema.fields)
     if ts_type in ("bigint", "long"):
@@ -343,11 +347,18 @@ def run_skew_probe(spark, sf_dir: str) -> dict:
     finally:
         spark.conf.set(aqe_key, old_aqe)
 
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    aqe = li.join(sup.hint("shuffle_hash"),
-                  li["l_suppkey"] == sup["s_suppkey"])
-    out["aqe_skewjoin_s"], n3 = timed(rollup(aqe))
-    assert n == n3
+    skew_key = "spark.sql.adaptive.skewJoin.enabled"
+    old_skew = spark.conf.get(skew_key)
+    spark.conf.set(aqe_key, "true")  # the branch must MEASURE AQE even if
+    spark.conf.set(skew_key, "true")  # the session default disabled it
+    try:
+        aqe = li.join(sup.hint("shuffle_hash"),
+                      li["l_suppkey"] == sup["s_suppkey"])
+        out["aqe_skewjoin_s"], n3 = timed(rollup(aqe))
+        assert n == n3
+    finally:
+        spark.conf.set(aqe_key, old_aqe)
+        spark.conf.set(skew_key, old_skew)
     for k, v in out.items():
         print(f"  {k}: {v}", file=sys.stderr)
     return out
