@@ -575,6 +575,14 @@ def pagerank(nodes: DataFrame, pairs: DataFrame, damping: float = 0.85,
     node_col, (pa, pb) = nodes.columns[0], pairs.columns[:2]
     edges = (pairs.select(F.col(pa).alias("src"), F.col(pb).alias("dst"))
              .filter(F.col("src") != F.col("dst")))
+    # restrict to member endpoints (same semantics as pagerank_components:
+    # an edge to an id outside `nodes` would silently LEAK rank mass each
+    # scatter round -- the gather drops it via the base join but the
+    # sender still divided by a degree that counts the foreign edge)
+    member = nodes.select(F.col(node_col).alias("src"))
+    edges = (edges.join(member, "src", "left_semi")
+             .join(member.withColumnRenamed("src", "dst"), "dst",
+                   "left_semi"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
