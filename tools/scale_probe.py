@@ -43,7 +43,12 @@ DOC_QUERIES = [
     "x1_dedup_jaccard_blockpairs",
     "x1_dedup_minhash_lsh",
     "x1_dedup_components",
+    "x1_dedup_substring_spans",
+    "x1_dedup_apply_keeplist",
+    "x1_graph_pagerank",
     "x5_shard_by_budget",
+    "x5_bpe_vocab_train",
+    "x5_bpe_encode",
     "x4_token_stats",
 ]
 EVENT_QUERIES = [
