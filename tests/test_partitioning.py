@@ -50,3 +50,21 @@ def test_salted_sum_matches_direct_aggregation(spark):
     salted = {r["l_returnflag"]: r["total"] for r in
               P.salted_sum(li, "l_returnflag", "l_quantity", "total").collect()}
     assert salted == direct  # decimal accumulation => bit-identical
+
+
+def test_salted_join_matches_direct_join(spark):
+    """The shared salted_join helper (fact scatter + dim replicate on
+    (key, salt)) must reproduce the plain equi join's multiset of rows
+    exactly — salting is semantics-free because every fact row's salt
+    meets its replicated dim row once."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey")
+    sup = load_table(spark, SF_SMOKE, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    direct = sorted(
+        (r["l_orderkey"], r["l_linenumber"], r["s_nationkey"])
+        for r in li.join(sup, li.l_suppkey == sup.s_suppkey).collect())
+    salted = sorted(
+        (r["l_orderkey"], r["l_linenumber"], r["s_nationkey"])
+        for r in P.salted_join(li, sup, "l_suppkey", "s_suppkey").collect())
+    assert salted == direct
