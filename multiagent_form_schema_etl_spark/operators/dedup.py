@@ -754,6 +754,73 @@ def x1_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("rank"), F.asc("doc_id")))
 
 
+_PAGERANK_STAR_ORACLE = """
+    WITH g AS (
+      SELECT doc_id, lang, doc_id % 41 AS bucket FROM documents
+    ),
+    grp AS (
+      SELECT lang, bucket, COUNT(*) AS m, MIN(doc_id) AS hub
+      FROM g GROUP BY lang, bucket
+    ),
+    k AS (
+      SELECT n, n_d,
+             (1.0 - 0.85) / (n - 0.85 * n_d) AS r_d,
+             (1.0 - 0.85) / n
+               + 0.85 * (n_d * ((1.0 - 0.85) / (n - 0.85 * n_d))) / n AS c
+      FROM (SELECT (SELECT COUNT(*) FROM g) AS n,
+                   (SELECT COUNT(*) FROM grp WHERE m = 1) AS n_d)
+    )
+    SELECT g.doc_id,
+           ROUND(CASE
+             WHEN grp.m = 1 THEN k.r_d
+             WHEN g.doc_id = grp.hub
+               THEN k.c * (1.0 + 0.85 * (grp.m - 1)) / (1.0 - 0.85 * 0.85)
+             ELSE k.c + 0.85 * (k.c * (1.0 + 0.85 * (grp.m - 1))
+                                / (1.0 - 0.85 * 0.85)) / (grp.m - 1)
+           END, 9) AS rank
+    FROM g JOIN grp USING (lang, bucket) CROSS JOIN k
+    ORDER BY g.doc_id
+"""
+
+
+@register("x1_graph_pagerank_star", oracle=_PAGERANK_STAR_ORACLE)
+def x1_graph_pagerank_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED pagerank twin (VERDICT r6 item 6): the flagship
+    `x1_graph_pagerank` is rows-only because cluster float solves are
+    order-dependent -- this twin runs the SAME engine machinery
+    (`pagerank_components`: closed-form dangling mass + star-contraction
+    components + per-component exact solve) over a DETERMINISTIC
+    star-forest derived from `documents` (hub = min doc_id per
+    (lang, doc_id % 41) bucket; singleton buckets stay dangling), where
+    the converged fixed point has a star closed form DuckDB can compute
+    in pure SQL:
+
+        r_dangling = (1-d) / (n - d*n_d)
+        c          = (1-d)/n + d * n_d * r_dangling / n
+        r_hub      = c (1 + d*k) / (1 - d^2),  k = m-1 leaves
+        r_leaf     = c + d * r_hub / k
+
+    (derivation: r_h = c + d*k*r_l, r_l = c + d*r_h/k; for m=2 both
+    collapse to c/(1-d) as symmetry demands). The engine's numpy solve of
+    (I - d P^T) r = c*1 and the closed form agree to machine precision;
+    both sides round to 1e-9, far above the ~1e-15 solve error, so the
+    hash match is stable. Reference parity: the canonical-representative
+    ranking role of graph_rank in the reference's dedup stage (see
+    x1_graph_pagerank)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select("doc_id", "lang",
+                    (F.col("doc_id") % 41).alias("bucket"))
+    grp = g.groupBy("lang", "bucket").agg(F.min("doc_id").alias("hub"))
+    edges = (g.join(grp, ["lang", "bucket"])
+             .filter(F.col("doc_id") != F.col("hub"))
+             .select(F.col("hub").alias("doc_a"),
+                     F.col("doc_id").alias("doc_b")))
+    pr = pagerank_components(docs.select("doc_id"), edges)
+    return (pr.select(F.col("node_id").alias("doc_id"),
+                      F.round("rank", 9).alias("rank"))
+            .orderBy("doc_id"))
+
+
 def minhash_mllib_rep_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MLlib-native near-dup path (SURVEY §2.11 X1): CountVectorizer →
     MinHashLSH.approxSimilarityJoin on token sets, Jaccard distance <= 0.2.

@@ -957,40 +957,35 @@ def x1_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CORESET_K = 16  # diverse representatives to select
+_CORESET_BATCH = 4  # centers accepted per distributed pass (batched face)
 
 
-@register("x2_coreset_kcenter")  # iterative greedy selection => rows-only
-def x2_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy k-center coreset over the embedding corpus -- the standard
-    diversity-sampling pass a training-data curation pipeline runs to
-    pick maximally spread exemplars (farthest-point traversal: start
-    from the min-id vector, then repeatedly take the vector whose
-    nearest already-selected center is farthest, in cosine distance).
-
-    Output: (rank, vec_id, min_dist) -- selection order and each pick's
-    distance-to-coreset at selection time (the classic coverage-radius
-    curve; min_dist is NULL for the seed).
-
-    The 100 TB shape: the selected set is tiny and broadcast each round;
-    one narrow pass per round computes every vector's distance to the
-    NEWEST center only and folds it into a running min (no k-way
-    recompute), and the argmax is an orderBy(1).limit(1) -- O(k) rounds,
-    O(1)-row collects, corpus never leaves its partitions. Iterative +
-    FP ordering => rows-only; the greedy invariant is pinned against a
-    numpy reference in pytest."""
+def _normalized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (load_table(spark, sf_dir, "embeddings")
            .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
                    .alias("vec")))
     nrm = F.sqrt(F.aggregate(F.transform("vec", lambda x: x * x),
                              F.lit(0.0), lambda a, x: a + x))
-    emb = (emb.withColumn(
+    return (emb.withColumn(
         "vecn", F.transform("vec", lambda x: x / F.nullif(nrm, F.lit(0.0))))
         .select("vec_id", "vecn").localCheckpoint())
+
+
+def coreset_kcenter_greedy(spark: SparkSession, sf_dir: str,
+                           k: int = _CORESET_K) -> DataFrame:
+    """Greedy k-center coreset (farthest-point traversal: start from the
+    min-id vector, then repeatedly take the vector whose nearest
+    already-selected center is farthest, in cosine distance) -- the
+    2-approximation reference the batched registered face differentials
+    against. k sequential driver rounds by construction; each round is
+    one narrow fold-the-newest-center pass + an orderBy(1).limit(1).
+    Output: (rank, vec_id, min_dist); min_dist is NULL for the seed."""
+    emb = _normalized_embeddings(spark, sf_dir)
 
     [seed] = emb.orderBy("vec_id").limit(1).collect()
     picked = [(0, int(seed["vec_id"]), None)]
     state = emb.withColumn("min_dist", F.lit(None).cast("double"))
-    for rank in range(1, _CORESET_K):
+    for rank in range(1, k):
         center = spark.createDataFrame(
             [(picked[-1][1],)], "cid bigint").join(
             emb.select(F.col("vec_id").alias("cid"),
@@ -1014,5 +1009,83 @@ def x2_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy(F.desc("min_dist"), F.asc("vec_id"))
                  .limit(1).collect())
         picked.append((rank, int(far["vec_id"]), float(far["min_dist"])))
+    return spark.createDataFrame(
+        picked, "rank int, vec_id bigint, min_dist double")
+
+
+@register("x2_coreset_kcenter")  # iterative FP selection => rows-only
+def x2_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED k-center coreset over the embedding corpus (VERDICT r6
+    item 5) -- the diversity-sampling pass a training-data curation
+    pipeline runs to pick maximally spread exemplars, restructured so the
+    inherently sequential farthest-point traversal takes k/b driver
+    rounds instead of k:
+
+    per pass: (1) ONE distributed pass folds all b centers accepted last
+    pass into every vector's running min-distance (b literal-vector
+    expressions under one F.least -- no crossJoin row multiplication);
+    (2) collect the top 4b candidates by min_dist (a bounded O(b)-row
+    collect, vectors included); (3) driver-side, accept candidates in
+    descending order subject to the separation rule dist(candidate,
+    every center accepted THIS pass) >= R/2, where R = the pass's max
+    min_dist -- the standard batched farthest-point filter that keeps
+    the constant-factor coverage guarantee (accepted centers stay
+    pairwise-separated by half the current radius; greedy is 2-approx of
+    OPT, the R/2-filtered batch variant stays a constant-factor
+    approximation, and the empirical radius bound vs the greedy
+    reference is pinned <= 2x in tests/test_ann_recall.py).
+
+    Output: (rank, vec_id, min_dist) -- selection order and each pick's
+    distance to the coreset AS OF ITS PASS START (intra-batch accepts
+    don't lower each other's recorded distance; NULL for the seed).
+    Deterministic: ties break on min vec_id at every step, so the numpy
+    mirror in pytest reproduces the selection exactly.
+
+    The 100 TB shape: the corpus never leaves its partitions; per pass
+    there is exactly one narrow fold + one top-(4b) selection, and only
+    O(b) rows (with their vectors) ever reach the driver. Driver rounds
+    are ceil((k-1)/b) -- with k=16, b=4 that is 4 passes vs 15 for the
+    greedy face (kept above as the differential reference)."""
+    b, k = _CORESET_BATCH, _CORESET_K
+    emb = _normalized_embeddings(spark, sf_dir)
+
+    [seed] = emb.orderBy("vec_id").limit(1).collect()
+    picked = [(0, int(seed["vec_id"]), None)]
+    new_centers = [list(seed["vecn"])]
+    state = emb.withColumn("min_dist", F.lit(None).cast("double"))
+    while len(picked) < k:
+        # fold every center accepted last pass into the running min in
+        # ONE distributed pass (b literal-vector dot products)
+        dists = [
+            1.0 - F.aggregate(
+                F.zip_with("vecn",
+                           F.array(*[F.lit(float(x)) for x in cv]),
+                           lambda a, c: a * c),
+                F.lit(0.0), lambda acc, x: acc + x)
+            for cv in new_centers]
+        state = (state.withColumn(
+            "min_dist",
+            F.least(F.coalesce("min_dist", F.lit(float("inf"))), *dists))
+            .localCheckpoint())  # truncate the per-pass lineage
+        picked_df = spark.createDataFrame(
+            [(p[1],) for p in picked], "vec_id bigint")
+        cands = (state.join(F.broadcast(picked_df), "vec_id", "left_anti")
+                 .orderBy(F.desc("min_dist"), F.asc("vec_id"))
+                 .limit(4 * b).collect())
+        if not cands:
+            break
+        radius = float(cands[0]["min_dist"])
+        batch: list = []
+        for c in cands:
+            cv = list(c["vecn"])
+            if all(1.0 - sum(a * x for a, x in zip(av, cv)) >= radius / 2
+                   for av in (list(m["vecn"]) for m in batch)):
+                batch.append(c)
+                if len(batch) == b or len(picked) + len(batch) == k:
+                    break
+        for c in batch:
+            picked.append((len(picked), int(c["vec_id"]),
+                           float(c["min_dist"])))
+        new_centers = [list(c["vecn"]) for c in batch]
     return spark.createDataFrame(
         picked, "rank int, vec_id bigint, min_dist double")

@@ -213,20 +213,35 @@ PRIORITY: tuple[str, ...] = (
     # stays via st_stateful_threshold_batches + the tws rows),
     # a_approx_percentile (paired-exact pattern stays via
     # a_approx_count_distinct + a_hll_sketch_partial_merge).
+    # r7 rotation (VERDICT r6 item 1): the six operators that carried r6's
+    # biggest code changes yet never had a driver-green row enter the
+    # window -- BPE train/encode (driver-local bounded-sample training),
+    # BPE token counting, sequence packing, large/small-star connected
+    # components, and the depth-capped recursive-CTE stateful face. Out
+    # (families stay in-window; every rotated-out query keeps its oracle +
+    # the builder gate tools/check.py): x1_dedup_substring_spans +
+    # x1_dedup_apply_keeplist (greened r6; x1 stays via the six other
+    # dedup rows), st_tws_recent_list_window (greened r5/r6; tws stays via
+    # st_tws_map_category_totals), a_approx_count_distinct (greened r3+;
+    # sketch family stays via a_hll_sketch_partial_merge),
+    # f_array_functions + f_map_functions (greened r3+; the functions
+    # family stays exercised in-window via doc_u7 regex dialect +
+    # doc_form_pivot_nda EAV pivot).
     "x1_dedup_exact", "x1_dedup_jaccard_ngram",
     "x1_dedup_simhash",
     "x1_dedup_embedding_cosine", "x1_dedup_components",
-    "x1_dedup_substring_spans", "x1_dedup_apply_keeplist",
+    "x1_dedup_components_star",
     "s_pydatasource_formdocs", "x2_cosine_topk",
-    "x4_token_stats",
+    "x4_token_stats", "x4_token_count_bpe",
     "x5_train_test_split_hash", "x5_decontaminate_ngram",
     "x5_corpus_filter_funnel",
+    "x5_bpe_vocab_train", "x5_bpe_encode", "x5_pack_sequences",
     "x3_multimodal_schema",
     # streaming twins + event analytics (sliding rotated out r3; the
     # tumbling/session pair keeps the window family in-window)
     "st_tumbling_window", "st_session_window",
-    "st_tws_recent_list_window", "st_tws_map_category_totals",
-    "st_stateful_threshold_batches",
+    "st_tws_map_category_totals",
+    "st_stateful_threshold_batches", "st_stateful_threshold_sql",
     "st_stream_static_enrich", "st_max_concurrency",
     # window functions (lead/lag also exercised inside doc_a2, in-window)
     "w1_running_revenue_per_customer", "w_rank_top_customers_per_nation",
@@ -237,11 +252,6 @@ PRIORITY: tuple[str, ...] = (
     # aggregates (a8 stays oracle-backed just outside)
     "a4_conditional_aggregation", "a7_bool_and_completeness",
     "a_salted_skew_sum", "a_hll_sketch_partial_merge",
-    # r1 driver-FAIL rows rotated back in (VERDICT r2 item 2) so the fixes
-    # are driver-visible: the array/map canonical-CSV rendering fix and the
-    # paired-exact approx patterns close the loop in CORRECTNESS_r03.
-    "f_array_functions", "f_map_functions",
-    "a_approx_count_distinct",
 )
 
 

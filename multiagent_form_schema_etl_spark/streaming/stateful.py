@@ -529,12 +529,23 @@ def streaming_category_totals_tws(spark: SparkSession, sf_dir: str,
         timeMode="None")
 
 
+# The recursion advances every key one event per level, so level count =
+# the longest per-key sequence. For the ORACLE GATE both engines run the
+# SQL over the first {cap} events per key (explicit, identical filter on
+# both sides -- the hash match still proves step-identical recursion over
+# 20+ levels and ~6 batch closures per key at threshold 100); the
+# FULL-DEPTH run (86 levels at sf0.01, 99 at sf0.1) stays probed by
+# tools/scale_probe.py --streaming via threshold_sql_full_depth().
+_THRESHOLD_SQL_DEPTH_CAP = 24
+
 _THRESHOLD_RECURSIVE_SQL = """
     WITH RECURSIVE ev AS (
-      SELECT user_id, value,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS rn
-      FROM {v}
+      SELECT user_id, value, rn FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM {v}
+      ) WHERE rn <= {cap}
     ),
     rec AS (
       SELECT user_id, rn, value AS acc, CAST(1 AS BIGINT) AS batch_id
@@ -557,21 +568,25 @@ _THRESHOLD_RECURSIVE_SQL = """
 """
 
 @register("st_stateful_threshold_sql",
-          oracle=_THRESHOLD_RECURSIVE_SQL.format(v="events"))
+          oracle=_THRESHOLD_RECURSIVE_SQL.format(
+              v="events", cap=_THRESHOLD_SQL_DEPTH_CAP))
 def st_stateful_threshold_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FOURTH face of the threshold-batching kernel: pure declarative SQL
     via Spark 4 recursive CTEs -- the EXACT oracle text, run by Spark
-    itself (the {v} source is the only substitution). Each recursion level
-    advances every user's sequence by one event (linear recursion, UNION
-    ALL, acyclic by construction), so the cross-engine hash match proves
-    Spark's recursive-CTE execution step-identical to DuckDB's.
+    itself (the {v}/{cap} source/depth substitutions are shared with the
+    oracle verbatim). Each recursion level advances every user's sequence
+    by one event (linear recursion, UNION ALL, acyclic by construction),
+    so the cross-engine hash match proves Spark's recursive-CTE execution
+    step-identical to DuckDB's.
 
-    Depth = the longest per-key sequence (99 events at sf0.1 -- already at
-    Spark's default 100-level cap, raised here). That makes this face the
-    right tool for SHORT sequences (orchestration phase chains, retry
-    ladders); for unbounded streams the applyInPandas kernel face scales
-    with O(1) state per key, one level per EVENT being materialized as a
-    full distributed join here."""
+    The GATE face runs depth-capped at _THRESHOLD_SQL_DEPTH_CAP (the same
+    explicit ``rn <= cap`` filter on both engines -- still 24 levels and
+    ~6 threshold closures per key); threshold_sql_full_depth() is the
+    uncapped run the --streaming probe measures. This face is the right
+    tool for SHORT sequences (orchestration phase chains, retry ladders);
+    for unbounded streams the applyInPandas kernel face scales with O(1)
+    state per key, one level per EVENT being materialized as a full
+    distributed join here."""
     # 100 levels (the default) is already too tight for this corpus (99
     # events/user at sf0.1). 10k keeps a runaway-recursion backstop while
     # covering realistic short-sequence depths; the conf must stay set for
@@ -601,4 +616,25 @@ def st_stateful_threshold_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                 str(max(1, min(32, n_rows // 100_000))))
     name = "__threshold_sql_events"
     ev.createOrReplaceTempView(name)
-    return s2.sql(_THRESHOLD_RECURSIVE_SQL.format(v=name))
+    return s2.sql(_THRESHOLD_RECURSIVE_SQL.format(
+        v=name, cap=_THRESHOLD_SQL_DEPTH_CAP))
+
+
+def threshold_sql_full_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCAPPED recursive-CTE run (depth = longest per-key sequence:
+    86 levels at sf0.01, 99 at sf0.1). Not registered -- the oracle gate
+    runs the depth-capped twin above; tools/scale_probe.py --streaming
+    measures and row-checks this one against the batch kernel face."""
+    from ..session import tune_for_session
+    from ..plans.registry import track_persist
+
+    s2 = tune_for_session(spark.newSession())
+    s2.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
+    ev = track_persist(load_table(s2, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"))
+    n_rows = ev.count()
+    s2.conf.set("spark.sql.shuffle.partitions",
+                str(max(1, min(32, n_rows // 100_000))))
+    name = "__threshold_sql_events_full"
+    ev.createOrReplaceTempView(name)
+    return s2.sql(_THRESHOLD_RECURSIVE_SQL.format(v=name, cap=1 << 30))

@@ -210,17 +210,29 @@ def test_minhash_mllib_demo_sound_and_expansion(spark, true_jaccard_pairs):
         assert full[p] == 0.0
 
 
+def _corpus_matrix():
+    import numpy as np
+
+    docs = pd.read_parquet(f"{SF_CHECK}/embeddings.parquet")
+    X = np.stack(docs.sort_values("vec_id")["embedding"].to_numpy()).astype(float)
+    ids = docs.sort_values("vec_id")["vec_id"].to_numpy()
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    return X, ids
+
+
 def test_coreset_kcenter_greedy_invariant(spark):
-    """The k-center coreset must satisfy the farthest-point-traversal
-    invariant computed independently in numpy: pick i's recorded
+    """The greedy k-center reference face must satisfy the farthest-point-
+    traversal invariant computed independently in numpy: pick i's recorded
     min_dist equals the TRUE max-over-corpus of min-distance-to-prefix
     (within FP tolerance), and the picked id is a true argmax (ties on
     min vec_id)."""
     import numpy as np
 
-    qs = _queries()
+    from multiagent_form_schema_etl_spark.operators.similarity import (
+        coreset_kcenter_greedy)
+
     sel = sorted((r.rank, r.vec_id, r.min_dist)
-                 for r in qs["x2_coreset_kcenter"](spark, SF_CHECK).collect())
+                 for r in coreset_kcenter_greedy(spark, SF_CHECK).collect())
     docs = pd.read_parquet(f"{SF_CHECK}/embeddings.parquet")
     X = np.stack(docs.sort_values("vec_id")["embedding"].to_numpy()).astype(float)
     ids = docs.sort_values("vec_id")["vec_id"].to_numpy()
@@ -241,3 +253,75 @@ def test_coreset_kcenter_greedy_invariant(spark):
         cand = ids[avail][mind[avail] >= best - 1e-9]
         assert vid == int(cand.min()), (rank, vid)
         prev = vid
+
+
+def _numpy_batched_kcenter(X, ids, k=16, b=4):
+    """Driver-exact numpy mirror of the registered batched face: per pass
+    fold last pass's accepted centers into the running min, take the top
+    4b candidates (desc min_dist, asc vec_id), accept in order subject to
+    dist-to-batch >= R/2, stop at b (or k total)."""
+    import numpy as np
+
+    pos = {int(v): i for i, v in enumerate(ids)}
+    seed = int(ids.min())
+    picked = [(0, seed, None)]
+    new_centers = [seed]
+    mind = np.full(len(X), np.inf)
+    while len(picked) < k:
+        for cid in new_centers:
+            mind = np.minimum(mind, 1.0 - X @ X[pos[cid]])
+        taken = {p[1] for p in picked}
+        avail = np.array([int(v) not in taken for v in ids])
+        order = sorted(
+            ((float(mind[pos[int(v)]]), int(v)) for v in ids[avail]),
+            key=lambda t: (-t[0], t[1]))[:4 * b]
+        if not order:
+            break
+        radius = order[0][0]
+        batch = []
+        for dist, vid in order:
+            if all(1.0 - float(X[pos[vid]] @ X[pos[m]]) >= radius / 2
+                   for _d, m in batch):
+                batch.append((dist, vid))
+                if len(batch) == b or len(picked) + len(batch) == k:
+                    break
+        for dist, vid in batch:
+            picked.append((len(picked), vid, dist))
+        new_centers = [vid for _d, vid in batch]
+    return picked
+
+
+def test_coreset_kcenter_batched_mirror_and_radius(spark):
+    """The registered batched k-center face is deterministic, so a numpy
+    mirror of the exact same algorithm must reproduce every pick and
+    recorded distance; and its coverage radius at k must stay within 2x
+    of the greedy 2-approximation reference (the documented constant-
+    factor bound for the R/2-separation batch filter)."""
+    import numpy as np
+
+    qs = _queries()
+    sel = sorted((r.rank, r.vec_id, r.min_dist)
+                 for r in qs["x2_coreset_kcenter"](spark, SF_CHECK).collect())
+    X, ids = _corpus_matrix()
+    mirror = _numpy_batched_kcenter(X, ids)
+    assert len(sel) == len(mirror) == 16
+    for (rk_s, id_s, d_s), (rk_m, id_m, d_m) in zip(sel, mirror):
+        assert (rk_s, id_s) == (rk_m, id_m), (rk_s, id_s, id_m)
+        assert (d_s is None) == (d_m is None)
+        if d_s is not None:
+            assert abs(d_s - d_m) < 1e-9, (rk_s, d_s, d_m)
+
+    pos = {int(v): i for i, v in enumerate(ids)}
+
+    def radius(sel_ids):
+        c = X[[pos[int(v)] for v in sel_ids]]
+        return float((1.0 - (X @ c.T)).min(axis=1).max())
+
+    # greedy reference radius from the pinned-invariant face above
+    from multiagent_form_schema_etl_spark.operators.similarity import (
+        coreset_kcenter_greedy)
+    greedy_ids = [r.vec_id
+                  for r in coreset_kcenter_greedy(spark, SF_CHECK).collect()]
+    r_batched = radius([v for _r, v, _d in sel])
+    r_greedy = radius(greedy_ids)
+    assert r_batched <= 2.0 * r_greedy + 1e-9, (r_batched, r_greedy)

@@ -266,6 +266,24 @@ def run_streaming_probe(spark, sf_dir: str) -> dict:
         else:
             spark.conf.set(provider_key, old)
 
+    # Full-depth recursive-CTE face (the oracle gate runs the depth-capped
+    # twin; the uncapped depth = longest per-key sequence lives here) --
+    # timed AND value-checked against the applyInPandas batch kernel.
+    t0 = time.perf_counter()
+    sql_pdf = (stf.threshold_sql_full_depth(spark, sf_dir)
+               .toPandas().sort_values(["user_id", "batch_id"])
+               .reset_index(drop=True))
+    out["recursive_cte_full_depth_s"] = round(time.perf_counter() - t0, 2)
+    kern_pdf = (stf.st_stateful_threshold_batches(spark, sf_dir)
+                .toPandas().sort_values(["user_id", "batch_id"])
+                .reset_index(drop=True))
+    same = (len(sql_pdf) == len(kern_pdf)
+            and (sql_pdf["n_events"].values
+                 == kern_pdf["n_events"].values).all()
+            and (sql_pdf["batch_value"].round(6).values
+                 == kern_pdf["batch_value"].round(6).values).all())
+    out["recursive_cte_full_depth_matches_kernel"] = bool(same)
+
     for k in list(out):
         if k.endswith("_s") and out[k] > 0:
             out[k.replace("_s", "_evps")] = int(n / out[k])
