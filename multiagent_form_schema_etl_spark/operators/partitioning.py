@@ -109,16 +109,28 @@ def salted_join(fact: DataFrame, dim: DataFrame, fact_key: str,
     (key, salt) so a hot fact key spreads over ``n_salts`` reducers.
     Shared by the gate-visible j_salted_skew_join and the skew scale
     probe (tools/scale_probe.py --skew, which measured it 3.1x faster
-    than the naive join on a 50%%-one-key corpus)."""
+    than the naive join on a 50%%-one-key corpus).
+
+    Output contract (ADVICE r6): the salt is an internal mechanism, so
+    the returned relation carries the ORIGINAL columns of both inputs
+    (fact columns first, then the dim columns minus its join key) and no
+    salt residue -- a caller's select('*') or column-name assumptions see
+    exactly what an unsalted fact.join(dim, on=key) would give them. The
+    salt column uses a collision-proof internal name so a pre-existing
+    user column named '_salt' passes through untouched."""
+    salt = "__sj_salt__"
     f = fact.withColumn(
-        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+        salt, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
     d = dim.withColumn(
-        "_salt",
+        salt,
         F.explode(F.array(*[F.lit(i).cast("long")
                             for i in range(n_salts)])))
-    return f.join(
+    joined = f.join(
         d.hint("shuffle_hash"),
-        (f[fact_key] == d[dim_key]) & (f["_salt"] == d["_salt"]))
+        (f[fact_key] == d[dim_key]) & (f[salt] == d[salt]))
+    return joined.select(
+        *[f[c] for c in fact.columns],
+        *[d[c] for c in dim.columns if c != dim_key])
 
 
 @register(

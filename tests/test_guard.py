@@ -65,6 +65,17 @@ def test_catches_env_subscript_and_getenv(tmp_path):
     assert any("'GEMINI_KEY'" in e for e in errs)
 
 
+def test_catches_bare_getenv_and_environ(tmp_path):
+    # `from os import getenv, environ` drops the os. prefix the old regex
+    # keyed on (ADVICE r6); the bare spellings must be caught too
+    errs = _errs(tmp_path,
+                 "from os import getenv, environ\n"
+                 "a = getenv('SECRET_TOKEN')\n"
+                 "b = environ['VAULT_ADDR']\n")
+    assert any("'SECRET_TOKEN'" in e for e in errs)
+    assert any("'VAULT_ADDR'" in e for e in errs)
+
+
 def test_catches_google_submodule_beyond_protobuf(tmp_path):
     ok = _errs(tmp_path, "from google.protobuf import message\n")
     assert ok == []

@@ -64,7 +64,27 @@ def test_salted_join_matches_direct_join(spark):
     direct = sorted(
         (r["l_orderkey"], r["l_linenumber"], r["s_nationkey"])
         for r in li.join(sup, li.l_suppkey == sup.s_suppkey).collect())
+    joined = P.salted_join(li, sup, "l_suppkey", "s_suppkey")
     salted = sorted(
         (r["l_orderkey"], r["l_linenumber"], r["s_nationkey"])
-        for r in P.salted_join(li, sup, "l_suppkey", "s_suppkey").collect())
+        for r in joined.collect())
     assert salted == direct
+    # output contract (ADVICE r6): original columns only, no salt residue,
+    # dim join key dropped -- select('*') sees an unsalted join's shape
+    assert joined.columns == ["l_orderkey", "l_linenumber", "l_suppkey",
+                              "s_nationkey"]
+
+
+def test_salted_join_preserves_user_salt_column(spark):
+    """A caller's own '_salt' column must pass through salted_join
+    untouched (the helper salts under an internal name)."""
+    li = (load_table(spark, SF_SMOKE, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_suppkey")
+          .withColumn("_salt", F.col("l_orderkey") % 7))
+    sup = load_table(spark, SF_SMOKE, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    joined = P.salted_join(li, sup, "l_suppkey", "s_suppkey")
+    assert joined.columns == ["l_orderkey", "l_linenumber", "l_suppkey",
+                              "_salt", "s_nationkey"]
+    assert all(r["_salt"] == r["l_orderkey"] % 7
+               for r in joined.collect())

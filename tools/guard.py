@@ -163,9 +163,11 @@ def check_file(path: str) -> list[str]:
                 errors.append(f"{rel}:{node.lineno}: suspicious string "
                               f"{node.value[:60]!r}")
     # every env read form: os.environ.get("X"), os.environ["X"],
-    # os.getenv("X")
+    # os.getenv("X") -- plus the bare spellings getenv("X") / environ["X"]
+    # that a `from os import getenv, environ` would enable (ADVICE r6:
+    # the os.-prefixed regex alone let those escape the guard)
     for m in re.finditer(
-            r"os\.(?:environ(?:\.get)?\s*[\(\[]|getenv\s*\()"
+            r"\b(?:os\.)?(?:environ(?:\.get)?\s*[\(\[]|getenv\s*\()"
             r"\s*['\"]([A-Z0-9_]+)", src):
         name = m.group(1)
         if not ALLOWED_ENV.match(name):

@@ -422,10 +422,15 @@ def run_storage_probe(spark, sf_dir: str) -> dict:
             md = pq.ParquetFile(f).metadata
             idx = {md.row_group(0).column(i).path_in_schema: i
                    for i in range(md.row_group(0).num_columns)}[col]
-            fmin = min(md.row_group(g).column(idx).statistics.min
-                       for g in range(md.num_row_groups))
-            fmax = max(md.row_group(g).column(idx).statistics.max
-                       for g in range(md.num_row_groups))
+            stats = [md.row_group(g).column(idx).statistics
+                     for g in range(md.num_row_groups)]
+            if any(s is None or not s.has_min_max for s in stats):
+                # a writer may omit column statistics; a reader must then
+                # admit the file (no pruning evidence) -- ADVICE r6
+                hit += 1
+                continue
+            fmin = min(s.min for s in stats)
+            fmax = max(s.max for s in stats)
             if fmin <= hi and lo <= fmax:
                 hit += 1
         return hit, len(files)
