@@ -226,11 +226,15 @@ PRIORITY: tuple[str, ...] = (
     # sketch family stays via a_hll_sketch_partial_merge),
     # f_array_functions + f_map_functions (greened r3+; the functions
     # family stays exercised in-window via doc_u7 regex dialect +
-    # doc_form_pivot_nda EAV pivot).
+    # doc_form_pivot_nda EAV pivot). Also in: the new oracle-backed
+    # pagerank star-forest twin (VERDICT r6 item 6 asked for driver
+    # eligibility; windowing it makes the closed-form solver
+    # driver-VISIBLE) for x1_dedup_simhash (greened r4-r6; the
+    # signature-dedup pattern stays via jaccard_ngram + the star twin's
+    # shared components kernel).
     "x1_dedup_exact", "x1_dedup_jaccard_ngram",
-    "x1_dedup_simhash",
     "x1_dedup_embedding_cosine", "x1_dedup_components",
-    "x1_dedup_components_star",
+    "x1_dedup_components_star", "x1_graph_pagerank_star",
     "s_pydatasource_formdocs", "x2_cosine_topk",
     "x4_token_stats", "x4_token_count_bpe",
     "x5_train_test_split_hash", "x5_decontaminate_ngram",

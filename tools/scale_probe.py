@@ -266,6 +266,29 @@ def run_streaming_probe(spark, sf_dir: str) -> dict:
         else:
             spark.conf.set(provider_key, old)
 
+    # Arrow batch-size sensitivity for the Python-state faces (VERDICT r6
+    # item 7): maxRecordsPerBatch bounds each Arrow chunk crossing the
+    # Python worker boundary. Too small multiplies per-chunk overhead
+    # (the per-key sort-and-concat runs once per chunk-group); too large
+    # only grows peak worker memory. Measured on the same drained corpus
+    # as the headline faces above.
+    arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    arrow_old = spark.conf.get(arrow_key, None)
+    try:
+        for mrb in (1000, 10000, 100000):
+            spark.conf.set(arrow_key, str(mrb))
+            out[f"apwstate_arrow{mrb}_s"] = drain(
+                stf.streaming_threshold_batches(
+                    spark, sf_dir,
+                    source=src.select("user_id", "event_id", "ts",
+                                      "value")),
+                "append")
+    finally:
+        if arrow_old is None:
+            spark.conf.unset(arrow_key)
+        else:
+            spark.conf.set(arrow_key, arrow_old)
+
     # Full-depth recursive-CTE face (the oracle gate runs the depth-capped
     # twin; the uncapped depth = longest per-key sequence lives here) --
     # timed AND value-checked against the applyInPandas batch kernel.
