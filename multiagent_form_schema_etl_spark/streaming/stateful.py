@@ -633,6 +633,11 @@ def threshold_sql_full_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = track_persist(load_table(s2, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"))
     n_rows = ev.count()
+    # the rec CTE accumulates one row per (key, level) = one per input
+    # event; Spark's default cteRecursionRowLimit (1M) trips at the 10x
+    # probe corpus, so size the backstop to the input with headroom
+    s2.conf.set("spark.sql.cteRecursionRowLimit",
+                str(max(1_000_000, 2 * n_rows)))
     s2.conf.set("spark.sql.shuffle.partitions",
                 str(max(1, min(32, n_rows // 100_000))))
     name = "__threshold_sql_events_full"
