@@ -168,6 +168,33 @@ def test_runtime_bloom_filter_prunes_selective_join(spark):
     assert sorted(map(tuple, j.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_threshold_sql_gate_caps_depth_via_window_group_limit(spark):
+    """The depth-capped recursive-CTE gate face (r7): the explicit
+    ``rn <= cap`` filter must compile to a WindowGroupLimit (top-cap per
+    key WITHOUT materializing every row's rank -- Spark's rank-limit
+    pushdown), the loop-invariant input must be the persisted relation,
+    and the recursion must execute as UnionLoop. Losing any of these
+    silently restores the 28s uncapped gate latency this face was
+    depth-capped to eliminate."""
+    plan = _plan(spark, "st_stateful_threshold_sql")
+    assert "UnionLoop" in plan
+    assert "WindowGroupLimit" in plan
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+
+
+def test_pagerank_star_per_component_solve_no_cartesian(spark):
+    """The oracle-backed pagerank twin must keep its scale shape: star
+    edges built via broadcast joins (the per-bucket hub relation is
+    KB-sized), the per-component solve as the ONLY Python surface
+    (groupBy-applyInPandas), and no cartesian anywhere in the
+    components+solve lineage."""
+    plan = _plan(spark, "x1_graph_pagerank_star")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
 def test_scaled_pipelines_pin_stage_persist(spark):
     """The 10k-doc pipelines materialize their stage relation through
     track_persist (r6: sessionized context for the scoped twin, the
