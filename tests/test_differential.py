@@ -481,3 +481,57 @@ def test_pagerank_components_drops_foreign_edge_endpoints(spark):
                  nodes, spark.createDataFrame([], "a long, b long")
              ).collect()}
     assert got == clean
+
+
+def test_star_closed_form_matches_dense_solve():
+    """The DuckDB oracle of x1_graph_pagerank_star encodes the star-graph
+    closed form (r_hub = c(1+dk)/(1-d^2), r_leaf = c + d*r_hub/k,
+    r_dangling = (1-d)/(n - d*n_d)); validate the algebra independently
+    of both engines: for arbitrary star forests (hypothesis-driven group
+    sizes; size-1 groups dangling) the closed form must equal the dense
+    (I - d*P^T) r = c*1 solve to machine precision, and total mass must
+    be 1."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(sizes=st.lists(st.integers(min_value=1, max_value=40),
+                          min_size=1, max_size=12))
+    def check(sizes):
+        d = 0.85
+        n = sum(sizes)
+        n_d = sum(1 for m in sizes if m == 1)
+        r_d = (1 - d) / (n - d * n_d)
+        c = (1 - d) / n + d * (n_d * r_d) / n
+
+        # dense reference over the linked subgraph only
+        linked = [m for m in sizes if m >= 2]
+        total = n_d * r_d
+        off = 0
+        ids = []
+        for m in linked:
+            ids.append((off, m))
+            off += m
+        nl = off
+        if nl:
+            mat = np.eye(nl)
+            for off, m in ids:
+                k = m - 1
+                for leaf in range(off + 1, off + m):
+                    # hub gathers each leaf's full rank (leaf degree 1)
+                    mat[off, leaf] -= d
+                    # each leaf gathers rank/k from the hub
+                    mat[leaf, off] -= d / k
+            r = np.linalg.solve(mat, np.full(nl, c))
+            for off, m in ids:
+                k = m - 1
+                hub = c * (1 + d * k) / (1 - d * d)
+                leaf = c + d * hub / k
+                assert abs(r[off] - hub) < 1e-12, (m, r[off], hub)
+                for j in range(off + 1, off + m):
+                    assert abs(r[j] - leaf) < 1e-12, (m, r[j], leaf)
+            total += float(r.sum())
+        assert abs(total - 1.0) < 1e-9
+
+    check()
