@@ -20,11 +20,14 @@ DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
 def get_spark(app_name: str = "multiagent-form-schema-etl-spark",
-              cpus: str | None = None) -> SparkSession:
+              cpus: str | None = None, ui: bool = False) -> SparkSession:
     """Build (or fetch) the session with scale-oriented defaults.
 
     Any existing active session is reused (configs are then whatever it was
     built with) -- the driver may pass its own session to ``entry``.
+    ``ui=True`` keeps the Spark UI (and its REST status API) up for probes
+    that read per-stage spill/shuffle metrics; off by default (static conf,
+    only effective when this call launches the JVM).
     """
     # When no real protobuf distribution exists, expose the repo's
     # clean-room wire-format shim (vendor/pbshim) on PYTHONPATH *before*
@@ -56,7 +59,7 @@ def get_spark(app_name: str = "multiagent-form-schema-etl-spark",
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui else "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
     )
