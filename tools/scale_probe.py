@@ -376,6 +376,61 @@ def run_spill_probe(spark, qs, sf_dir: str) -> dict:
     return out
 
 
+_CORES_QUERIES = ("x1_dedup_jaccard_ngram", "x1_dedup_components",
+                  "x5_decontaminate_ngram", "doc_pipeline_scoped_scaled")
+
+
+def run_cores_worker(cpus: int, sf_dir: str) -> dict:
+    """Child-process body for the strong-scaling probe: a FRESH JVM at
+    local[cpus] (shuffle partitions sized to match) runs the fixed heavy
+    query set once, cold, and prints per-query seconds."""
+    from multiagent_form_schema_etl_spark.session import get_spark
+
+    import __spark_entry__ as e
+
+    spark = get_spark("cores-probe", cpus=str(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+    # JVM/parquet warm-up outside the timed section, as in bench.py
+    qs["q01_pricing_summary"](spark, sf_dir).collect()
+    out: dict = {"cpus": cpus}
+    for name in _CORES_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        [r] = (df.select(F.count(F.lit(1)).alias("n"),
+                         F.max(F.xxhash64(*[F.col(c) for c in df.columns])))
+               .collect())
+        out[name] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+def run_cores_probe(sf_dir: str, cores: list[int]) -> list[dict]:
+    """Strong scaling: the same corpus and queries at different local[N]
+    parallelism, each in its OWN subprocess (a fresh JVM -- executor
+    thread count is launch-static). Parallel efficiency across N is the
+    local-mode proxy for how the plans would divide across a cluster's
+    executors: a plan that stops speeding up with cores is driver-bound
+    or skew-bound, which no number of executors would fix."""
+    import subprocess
+
+    results = []
+    for n in cores:
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--cores-run", str(n), "--cores-dir", sf_dir]
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           cwd=ROOT, timeout=1200)
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            raise RuntimeError(f"cores worker local[{n}] failed:\n"
+                               f"{r.stderr[-2000:]}")
+        d = json.loads(line[-1])
+        print(f"  local[{n}]: " + ", ".join(
+            f"{k}={v}s" for k, v in d.items() if k != "cpus"),
+            file=sys.stderr)
+        results.append(d)
+    return results
+
+
 def build_skew_dir(spark, mult: int) -> str:
     """Replicate lineitem mult-x and point HALF of all rows' l_suppkey at
     one hot supplier -- the canonical join-skew corpus (one key owns 50%
@@ -601,6 +656,14 @@ def main() -> None:
                     help="run the shuffle-heaviest queries and report "
                          "per-stage shuffle/spill/peak-memory bytes from "
                          "the REST status API (UI-enabled session)")
+    ap.add_argument("--cores", default="",
+                    help="strong-scaling probe: comma-separated local[N] "
+                         "settings (e.g. 4,8,16,32), each in a fresh "
+                         "subprocess JVM over the x10 corpus")
+    ap.add_argument("--cores-run", type=int, default=0,
+                    help=argparse.SUPPRESS)  # internal: child-process body
+    ap.add_argument("--cores-dir", default="",
+                    help=argparse.SUPPRESS)
     ap.add_argument("--streaming", action="store_true",
                     help="probe the LIVE streaming faces (tumbling agg, "
                          "watermarked dedup, applyInPandasWithState, "
@@ -614,12 +677,26 @@ def main() -> None:
     mults = [int(m) for m in args.mults.split(",") if m]
     skip = set(args.skip.split(","))
 
+    if args.cores_run:
+        # child-process body: fresh JVM at local[N], no parent session
+        print(json.dumps(run_cores_worker(args.cores_run,
+                                          args.cores_dir or BASE)))
+        return
+
     import __spark_entry__ as e
     from multiagent_form_schema_etl_spark.session import get_spark
 
     spark = get_spark("scale-probe", ui=args.spill)
     spark.sparkContext.setLogLevel("ERROR")
     qs = e.queries()
+
+    if args.cores:
+        cores = [int(c) for c in args.cores.split(",") if c]
+        d = build_dir(spark, 10, False)  # strong-scale on the x10 corpus
+        print(f"cores probe {cores} -> {d}", file=sys.stderr)
+        res = run_cores_probe(d, cores)
+        print(json.dumps({"mode": "cores", "corpus": d, "runs": res}))
+        return
 
     if args.pipe_copies:
         t = scoped_pipeline_copies(spark, args.pipe_copies)
