@@ -373,6 +373,42 @@ def x1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def minhash_band_buckets(docs: DataFrame) -> DataFrame:
+    """STATELESS per-row MinHash banding: (doc_id, band, bucket) from
+    (doc_id, text) with no token explode, no groupBy, no shuffle -- the
+    EXACT signature family of x1_dedup_minhash_lsh (k=16 minima of
+    xxhash64(k, token) over the distinct token set, 4 bands of 4,
+    band id = position in the band array), computed with array functions
+    so it also runs on a STREAMING DataFrame. Pinned equal to the
+    groupBy derivation in tests/test_streaming.py; shared by the live
+    streaming near-dup face (streaming/dedup_stream.py)."""
+    toks = F.array_distinct(
+        F.filter(F.split("text", " "), lambda w: w != ""))
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+
+    def hash_with(k: int):
+        # a closure factory, NOT a default-arg lambda: F.transform treats
+        # any TWO-parameter callable as an (element, index) lambda, so
+        # `lambda t, _k=k` would silently receive the array index as _k
+        # and hash every k identically
+        return lambda t: F.xxhash64(F.lit(k), t)
+
+    mins = [F.array_min(F.transform("toks", hash_with(k)))
+            .alias(f"h{k}") for k in range(_MINHASH_K)]
+    sigs = d.select("doc_id", *mins)
+    rows_per_band = _MINHASH_K // _LSH_BANDS
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}")
+                     for r in range(rows_per_band)]).alias(f"band{b}")
+        for b in range(_LSH_BANDS)]
+    banded = sigs.select("doc_id", *band_cols)
+    return banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}")
+                               for b in range(_LSH_BANDS)]))
+         .alias("band", "bucket"))
+
+
 def min_label_components(nodes: DataFrame, pairs: DataFrame,
                          max_rounds: int = 15) -> DataFrame:
     """Connected components by iterative min-label propagation, shared by

@@ -1,0 +1,120 @@
+"""STREAMING near-duplicate candidate generation (SURVEY §2.9 meets
+§2.11 X1): the MinHash+LSH band-bucket index maintained as keyed
+streaming state, so a corpus that arrives continuously (a landing zone,
+a crawl) surfaces its near-dup candidate pairs AT INGEST instead of in a
+nightly batch re-scan.
+
+Design (idiomatic Structured Streaming, no reference analog -- the
+reference processes documents one at a time and never deduplicates):
+
+- signature + banding are STATELESS per row (`operators/dedup.
+  minhash_band_buckets`: array-function MinHash, no shuffle), so the only
+  stateful stage is the bucket membership itself;
+- state = one ListState per (band, bucket) key holding the bucket's
+  member doc_ids (bounded by ``cap``, the same frequent-bucket guard as
+  the batch face: a bucket that big is non-discriminative);
+- each arriving doc emits candidate pairs against the bucket's EXISTING
+  members, then joins the list -- across micro-batches, a doc arriving
+  today pairs with one ingested last week without any rescan.
+
+Overflow semantics (documented divergence from the batch face): the
+batch `x1_dedup_minhash_lsh` drops >cap buckets ENTIRELY (it sees final
+sizes); a stream cannot retract already-emitted pairs, so this face
+emits pairs among the first ``cap`` members and closes the bucket
+(state stays bounded). On corpora where no bucket overflows, the two
+candidate sets are IDENTICAL -- pinned in tests/test_streaming.py over a
+multi-file stream that crosses micro-batch boundaries.
+
+Downstream, candidates feed the same exact-Jaccard verification the
+batch face uses (a stream-static or foreachBatch join); pair emission is
+per-band, so a downstream distinct (or the verification join itself,
+which is idempotent per pair) collapses multi-band collisions exactly as
+the batch face's DISTINCT does.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import minhash_band_buckets
+
+_CAND_SCHEMA = "band long, bucket long, doc_a long, doc_b long"
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over documents.parquet (directory-wrapped like
+    stream_events; a real deployment reads a landing dir / topic)."""
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(src):
+        d = src
+    else:
+        d = tempfile.mkdtemp(prefix="documents_stream_")
+        os.symlink(src, os.path.join(d, "documents.parquet"))
+    return (spark.readStream.schema(_DOC_SCHEMA)
+            .format("parquet").load(d))
+
+
+def streaming_lsh_candidates(spark: SparkSession, sf_dir: str,
+                             source: DataFrame | None = None,
+                             cap: int = 50) -> DataFrame:
+    """Live transformWithState plan: near-dup candidate pairs emitted the
+    moment the second bucket member arrives. ``source`` lets tests inject
+    a multi-file stream (maxFilesPerTrigger=1) proving bucket state
+    survives micro-batch boundaries.
+
+    Determinism: within a micro-batch new bucket members process in
+    ascending doc_id order, and every pair is emitted (min, max)-
+    normalized, so the collected output is reproducible and comparable
+    set-wise to the batch face regardless of arrival interleaving.
+
+    Environment gate: same protobuf requirement as the other
+    transformWithState faces; satisfied by a real installation or the
+    vendored wire-format shim (pbcompat)."""
+    from .pbcompat import ensure_protobuf
+
+    ensure_protobuf(spark)
+    import pandas as pd
+    from pyspark.sql.streaming import (StatefulProcessor,
+                                       StatefulProcessorHandle)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class BucketMembers(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._members = handle.getListState(
+                "members", StructType([StructField("doc_id", LongType())]))
+
+        def handleInputRows(self, key, rows, timerValues):
+            band, bucket = int(key[0]), int(key[1])
+            members = [int(r[0]) for r in self._members.get()]
+            seen = set(members)
+            out = []
+            new_ids = sorted({int(x) for c in rows if len(c)
+                              for x in c["doc_id"]} - seen)
+            appended = False
+            for d in new_ids:
+                if len(members) >= cap:
+                    break  # bucket closed: non-discriminative, state stays bounded
+                out.extend((band, bucket, min(m, d), max(m, d))
+                           for m in members)
+                members.append(d)
+                appended = True
+            if appended:
+                self._members.put([[m] for m in members])
+            yield pd.DataFrame(
+                out, columns=["band", "bucket", "doc_a", "doc_b"])
+
+        def close(self) -> None:
+            pass
+
+    docs = source if source is not None else stream_documents(spark, sf_dir)
+    buckets = minhash_band_buckets(docs.select("doc_id", "text"))
+    return buckets.groupBy("band", "bucket").transformWithStateInPandas(
+        statefulProcessor=BucketMembers(),
+        outputStructType=_CAND_SCHEMA,
+        outputMode="Append",
+        timeMode="None")

@@ -678,3 +678,113 @@ def test_tws_map_category_totals_matches_batch(spark, tmp_path):
     got = _rows(spark.sql("SELECT * FROM t_tws_map"))
     want = _rows(stf.st_tws_map_category_totals(spark, SF_SMOKE))
     assert got == want and len(got) > 0
+
+
+def test_stateless_band_buckets_match_batch_derivation(spark):
+    """The array-function MinHash banding (no explode, no groupBy; the
+    streaming face's signature path) must produce the exact (doc_id,
+    band, bucket) relation the batch x1_dedup_minhash_lsh face derives
+    via explode + groupBy-min over distinct tokens."""
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.operators import dedup as DD
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {(r["doc_id"], r["band"], r["bucket"])
+           for r in DD.minhash_band_buckets(
+               docs.select("doc_id", "text")).collect()}
+
+    tok = DD._tok_d_df(spark, SF_SMOKE).select("doc_id", "token")
+    mins = [F.min(F.xxhash64(F.lit(k), F.col("token"))).alias(f"h{k}")
+            for k in range(DD._MINHASH_K)]
+    sigs = tok.groupBy("doc_id").agg(*mins)
+    rpb = DD._MINHASH_K // DD._LSH_BANDS
+    band_cols = [F.xxhash64(*[F.col(f"h{b * rpb + r}") for r in range(rpb)])
+                 .alias(f"band{b}") for b in range(DD._LSH_BANDS)]
+    banded = sigs.select("doc_id", *band_cols)
+    want = {(r["doc_id"], r["band"], r["bucket"])
+            for r in banded.select(
+                "doc_id",
+                F.posexplode(F.array(*[F.col(f"band{b}")
+                                       for b in range(DD._LSH_BANDS)]))
+                 .alias("band", "bucket")).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_streaming_lsh_candidates_match_batch_buckets(spark, tmp_path):
+    """The live streaming near-dup face: documents stream in as THREE
+    files with maxFilesPerTrigger=1 (bucket ListState must carry members
+    across micro-batch boundaries), and the emitted candidate pairs must
+    equal the documented prefix-cap semantics EXACTLY: per (band,
+    bucket), all unordered pairs among the first ``cap`` members in
+    arrival order (file index, then doc_id within a micro-batch) -- which
+    reduces to the batch face's full pair set on buckets that never
+    overflow. This corpus's 40-word vocabulary makes buckets dense, so
+    BOTH regimes are exercised (the largest bucket holds hundreds of
+    docs; many hold 2-50). Also proves cross-batch pairing: at least one
+    emitted pair must span two input files."""
+    import os
+    import shutil
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.operators import dedup as DD
+    from multiagent_form_schema_etl_spark.streaming import dedup_stream as ds
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    parts = [docs.filter(F.col("doc_id") <= cut1),
+             docs.filter((F.col("doc_id") > cut1)
+                         & (F.col("doc_id") <= cut2)),
+             docs.filter(F.col("doc_id") > cut2)]
+    src = tmp_path / "src"
+    src.mkdir()
+    file_of = {}
+    for i, part in enumerate(parts):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        [pf] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.copy(stage / pf, src / f"{i}.parquet")
+        os.utime(src / f"{i}.parquet",
+                 (1_700_000_000 + i, 1_700_000_000 + i))
+        for r in part.select("doc_id").collect():
+            file_of[r["doc_id"]] = i
+
+    raw = (spark.readStream
+           .schema(ds._DOC_SCHEMA)
+           .format("parquet").option("maxFilesPerTrigger", "1")
+           .load(str(src)))
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        st.run_append_to_memory(
+            ds.streaming_lsh_candidates(spark, SF_SMOKE, source=raw),
+            "t_lsh_cand")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    got = {(r["band"], r["bucket"], r["doc_a"], r["doc_b"])
+           for r in spark.sql("SELECT * FROM t_lsh_cand").collect()}
+
+    # expectation: per bucket, all pairs among the first cap members in
+    # arrival order (file index, then doc_id within a micro-batch)
+    buckets = {}
+    for r in DD.minhash_band_buckets(
+            docs.select("doc_id", "text")).collect():
+        buckets.setdefault((r["band"], r["bucket"]), []).append(r["doc_id"])
+    sizes = sorted(len(m) for m in buckets.values())
+    assert sizes[-1] > 50 and any(2 <= s <= 50 for s in sizes)  # both regimes
+    want = set()
+    for (b, bk), mem in buckets.items():
+        order = sorted(mem, key=lambda d: (file_of[d], d))[:50]
+        want.update((b, bk, min(a, c), max(a, c))
+                    for i, a in enumerate(order) for c in order[i + 1:])
+    assert got == want and len(got) > 0
+    # state crossed micro-batches: some pair spans two input files
+    assert any(file_of[a] != file_of[b] for _, _, a, b in got)

@@ -310,6 +310,30 @@ def run_streaming_probe(spark, sf_dir: str) -> dict:
     for k in list(out):
         if k.endswith("_s") and out[k] > 0:
             out[k.replace("_s", "_evps")] = int(n / out[k])
+
+    # streaming near-dup candidates (r7): doc-keyed, so it reports its
+    # own docs/sec instead of joining the events/sec conversion above;
+    # transformWithState needs the RocksDB provider (multi-column-family
+    # state), same as the tws face
+    from multiagent_form_schema_etl_spark.streaming import (
+        dedup_stream as dds)
+    n_docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).count()
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key,
+                   "org.apache.spark.sql.execution.streaming.state."
+                   "RocksDBStateStoreProvider")
+    try:
+        t = drain(dds.streaming_lsh_candidates(spark, sf_dir), "append")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    out["lsh_candidates_drain"] = t
+    out["lsh_candidates_docs"] = n_docs
+    out["lsh_candidates_docs_per_s"] = int(n_docs / t) if t else 0
+
     for k, v in out.items():
         print(f"  {k}: {v}", file=sys.stderr)
     return out
