@@ -118,3 +118,45 @@ def streaming_lsh_candidates(spark: SparkSession, sf_dir: str,
         outputStructType=_CAND_SCHEMA,
         outputMode="Append",
         timeMode="None")
+
+
+def streaming_lsh_verified(spark: SparkSession, sf_dir: str,
+                           source: DataFrame | None = None,
+                           cap: int = 50) -> DataFrame:
+    """END-TO-END live near-dup: the stateful candidate stream above,
+    verified by TRUE Jaccard >= 0.8 against the corpus token sets via a
+    STREAM-STATIC join -- all stateless past the bucket state, so the
+    whole verification rides in the same append-mode query. This is the
+    streaming twin of the batch `x1_dedup_minhash_lsh` output (restricted
+    to prefix-cap candidates; multi-band duplicate pairs pass through the
+    idempotent verification unchanged and collapse at the consumer --
+    the batch face's DISTINCT equivalent for an unbounded stream would
+    need watermark-scoped dedup state the pair semantics don't require).
+
+    The static side is the CURRENT corpus snapshot (one sorted-distinct
+    token array per doc, broadcastable per micro-batch); a live
+    deployment refreshes it per batch or swaps in a foreachBatch lookup
+    against the canonical store."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    cands = streaming_lsh_candidates(spark, sf_dir, source=source, cap=cap)
+    sets = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_sort(F.array_distinct(
+            F.filter(F.split("text", " "), lambda w: w != "")))
+         .alias("toks"))
+    a = sets.select(F.col("doc_id").alias("doc_a"),
+                    F.col("toks").alias("toks_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"),
+                    F.col("toks").alias("toks_b"))
+    j = (cands.join(F.broadcast(a), "doc_a").join(F.broadcast(b), "doc_b")
+         .withColumn("n_inter",
+                     F.size(F.array_intersect("toks_a", "toks_b")))
+         .withColumn("jaccard",
+                     F.col("n_inter").cast("double")
+                     / (F.size("toks_a") + F.size("toks_b")
+                        - F.col("n_inter"))))
+    return (j.filter(F.col("jaccard") >= 0.8)
+            .select("doc_a", "doc_b", "jaccard"))

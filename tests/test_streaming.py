@@ -788,3 +788,76 @@ def test_streaming_lsh_candidates_match_batch_buckets(spark, tmp_path):
     assert got == want and len(got) > 0
     # state crossed micro-batches: some pair spans two input files
     assert any(file_of[a] != file_of[b] for _, _, a, b in got)
+
+
+def test_streaming_lsh_verified_matches_python_reference(spark, tmp_path):
+    """End-to-end live near-dup (candidates + stream-static Jaccard
+    verification): over a 40-doc slice (no bucket can overflow the cap,
+    so candidates = all bucket pairs), the verified pair set and each
+    pair's Jaccard must equal an independent pure-Python reference
+    (token sets + bucket pairing computed outside Spark's join/verify
+    lineage). Streamed as two files crossing a micro-batch boundary."""
+    import os
+    import shutil
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.operators import dedup as DD
+    from multiagent_form_schema_etl_spark.streaming import dedup_stream as ds
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())[:40]
+    slice40 = docs.filter(F.col("doc_id").isin(ids))
+    src = tmp_path / "src"
+    src.mkdir()
+    halves = [slice40.filter(F.col("doc_id") <= ids[19]),
+              slice40.filter(F.col("doc_id") > ids[19])]
+    for i, part in enumerate(halves):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        [pf] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.copy(stage / pf, src / f"{i}.parquet")
+        os.utime(src / f"{i}.parquet",
+                 (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (spark.readStream.schema(ds._DOC_SCHEMA)
+           .format("parquet").option("maxFilesPerTrigger", "1")
+           .load(str(src)))
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        st.run_append_to_memory(
+            ds.streaming_lsh_verified(spark, SF_SMOKE, source=raw),
+            "t_lsh_ver")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    rows = spark.sql("SELECT * FROM t_lsh_ver").collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+
+    # independent reference: bucket pairing from the (pinned-equal)
+    # banding helper, token sets and Jaccard in pure Python
+    toks = {r["doc_id"]: {t for t in r["text"].split(" ") if t}
+            for r in slice40.select("doc_id", "text").collect()}
+    buckets = {}
+    for r in DD.minhash_band_buckets(
+            slice40.select("doc_id", "text")).collect():
+        buckets.setdefault((r["band"], r["bucket"]), []).append(r["doc_id"])
+    assert max(len(m) for m in buckets.values()) <= 40  # cap never binds
+    want = {}
+    for mem in buckets.values():
+        for i, a in enumerate(sorted(mem)):
+            for b in sorted(mem)[i + 1:]:
+                inter = len(toks[a] & toks[b])
+                j = inter / (len(toks[a]) + len(toks[b]) - inter)
+                if j >= 0.8:
+                    want[(a, b)] = j
+    assert set(got) == set(want) and len(got) > 0
+    for p, jv in want.items():
+        assert abs(got[p] - jv) < 1e-12, (p, got[p], jv)
