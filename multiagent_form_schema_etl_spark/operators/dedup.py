@@ -792,7 +792,8 @@ def x1_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PAGERANK_STAR_ORACLE = """
     WITH g AS (
-      SELECT doc_id, lang, doc_id % 41 AS bucket FROM documents
+      SELECT doc_id, COALESCE(lang, '') AS lang, doc_id % 41 AS bucket
+      FROM documents
     ),
     grp AS (
       SELECT lang, bucket, COUNT(*) AS m, MIN(doc_id) AS hub
@@ -844,7 +845,12 @@ def x1_graph_pagerank_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking role of graph_rank in the reference's dedup stage (see
     x1_graph_pagerank)."""
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.select("doc_id", "lang",
+    # NULL-safe grouping key: Spark's equi-join never matches NULL keys
+    # while SQL GROUP BY groups NULLs together, so a NULL lang would make
+    # the two engines disagree on which docs are dangling -- coalesce to
+    # '' on BOTH sides (the oracle does the same)
+    g = docs.select("doc_id",
+                    F.coalesce("lang", F.lit("")).alias("lang"),
                     (F.col("doc_id") % 41).alias("bucket"))
     grp = g.groupBy("lang", "bucket").agg(F.min("doc_id").alias("hub"))
     edges = (g.join(grp, ["lang", "bucket"])

@@ -44,6 +44,11 @@ _CAND_SCHEMA = "band long, bucket long, doc_a long, doc_b long"
 _DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
+# one symlink-wrapper dir per source FILE for the process lifetime --
+# repeated probe/test invocations reuse it instead of littering /tmp
+_STREAM_DIRS: dict[str, str] = {}
+
+
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream source over documents.parquet (directory-wrapped like
     stream_events; a real deployment reads a landing dir / topic)."""
@@ -52,9 +57,12 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "documents.parquet")
     if os.path.isdir(src):
         d = src
+    elif src in _STREAM_DIRS:
+        d = _STREAM_DIRS[src]
     else:
         d = tempfile.mkdtemp(prefix="documents_stream_")
         os.symlink(src, os.path.join(d, "documents.parquet"))
+        _STREAM_DIRS[src] = d
     return (spark.readStream.schema(_DOC_SCHEMA)
             .format("parquet").load(d))
 
@@ -95,16 +103,20 @@ def streaming_lsh_candidates(spark: SparkSession, sf_dir: str,
             out = []
             new_ids = sorted({int(x) for c in rows if len(c)
                               for x in c["doc_id"]} - seen)
-            appended = False
+            added: list[int] = []
             for d in new_ids:
                 if len(members) >= cap:
                     break  # bucket closed: non-discriminative, state stays bounded
                 out.extend((band, bucket, min(m, d), max(m, d))
                            for m in members)
                 members.append(d)
-                appended = True
-            if appended:
-                self._members.put([[m] for m in members])
+                added.append(d)
+            if added:
+                # append only the DELTA: membership is append-only until
+                # the bucket closes, and rewriting all ~cap rows per
+                # micro-batch via put() would multiply state-store write
+                # volume cap-fold on hot buckets
+                self._members.appendList([[d] for d in added])
             yield pd.DataFrame(
                 out, columns=["band", "bucket", "doc_a", "doc_b"])
 

@@ -624,14 +624,19 @@ def threshold_sql_full_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UNCAPPED recursive-CTE run (depth = longest per-key sequence:
     86 levels at sf0.01, 99 at sf0.1). Not registered -- the oracle gate
     runs the depth-capped twin above; tools/scale_probe.py --streaming
-    measures and row-checks this one against the batch kernel face."""
+    measures and row-checks this one against the batch kernel face.
+
+    Cache ownership: the loop-invariant input persists OUTSIDE any
+    registered build, so the memo cannot release it -- the handle rides
+    on the returned DataFrame as ``_sg_cached_input`` and the CALLER
+    unpersists it after consuming the result (the probe does; a caller
+    that forgets merely leaves one LRU-evictable relation behind)."""
     from ..session import tune_for_session
-    from ..plans.registry import track_persist
 
     s2 = tune_for_session(spark.newSession())
     s2.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
-    ev = track_persist(load_table(s2, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value"))
+    ev = load_table(s2, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value").persist()
     n_rows = ev.count()
     # the rec CTE accumulates one row per (key, level) = one per input
     # event; Spark's default cteRecursionRowLimit (1M) trips at the 10x
@@ -642,4 +647,6 @@ def threshold_sql_full_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 str(max(1, min(32, n_rows // 100_000))))
     name = "__threshold_sql_events_full"
     ev.createOrReplaceTempView(name)
-    return s2.sql(_THRESHOLD_RECURSIVE_SQL.format(v=name, cap=1 << 30))
+    out = s2.sql(_THRESHOLD_RECURSIVE_SQL.format(v=name, cap=1 << 30))
+    out._sg_cached_input = ev
+    return out

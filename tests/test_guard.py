@@ -74,6 +74,13 @@ def test_catches_bare_getenv_and_environ(tmp_path):
                  "b = environ['VAULT_ADDR']\n")
     assert any("'SECRET_TOKEN'" in e for e in errs)
     assert any("'VAULT_ADDR'" in e for e in errs)
+    # ...but attribute access on unrelated objects is NOT an env read
+    # (request.environ is WSGI, h.getenv is any API): no false positives
+    clean = _errs(tmp_path,
+                  "def f(request, h):\n"
+                  "    a = request.environ['REMOTE_ADDR']\n"
+                  "    return h.getenv('SOME_NAME')\n")
+    assert clean == []
 
 
 def test_catches_google_submodule_beyond_protobuf(tmp_path):
