@@ -323,24 +323,17 @@ def x1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (scale path): k=16 xxhash64 minima → 4 bands of
     4 → band-bucket join → candidates verified by true Jaccard >= 0.8.
 
-    This is the 100 TB shape: signature build is one pass + one groupBy;
-    candidate generation shuffles on (band, bucket-hash) instead of
-    all-pairs. xxhash64 is JVM-side and fast but not reproducible in DuckDB,
-    so the driver records the weaker rows-only check (SURVEY §5)."""
+    This is the 100 TB shape: signature build is a pure per-row MAP (r7:
+    the stateless array-function banding shared with the streaming face
+    -- pinned token-for-token equal to the old explode+groupBy-min
+    derivation in pytest -- replaced the signature stage's full
+    token-row shuffle with zero shuffles); candidate generation shuffles
+    on (band, bucket-hash) instead of all-pairs. xxhash64 is JVM-side
+    and fast but not reproducible in DuckDB, so the driver records the
+    weaker rows-only check (SURVEY §5)."""
     tok = _tok_d_df(spark, sf_dir).select("doc_id", "token")
-    mins = [F.min(F.xxhash64(F.lit(k), F.col("token"))).alias(f"h{k}")
-            for k in range(_MINHASH_K)]
-    sigs = tok.groupBy("doc_id").agg(*mins)
-    rows_per_band = _MINHASH_K // _LSH_BANDS
-    band_cols = []
-    for bnd in range(_LSH_BANDS):
-        cols = [F.col(f"h{bnd * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.xxhash64(*cols).alias(f"band{bnd}"))
-    banded = sigs.select("doc_id", *band_cols)
-    buckets = banded.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(_LSH_BANDS)]))
-         .alias("band", "bucket"))
+    buckets = minhash_band_buckets(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     # Frequent-bucket pruning: a bucket holding >50 docs is non-discriminative
     # (this corpus's 40-word vocabulary makes most docs collide) and would
     # blow the candidate join up toward all-pairs; cap it. At scale this is
