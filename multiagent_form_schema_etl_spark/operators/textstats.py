@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..fixtures import values_sql
-from ..plans.registry import register
+from ..plans.registry import register, track_persist
 
 _TOKENS = """
     tokens AS (
@@ -418,6 +418,29 @@ def x4_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, "token string, exact_count long, cms_in_band boolean")
 
 
+def _bucket_prefix_rank(sig: DataFrame, bucket: str, order, out: str,
+                        spark: SparkSession) -> DataFrame:
+    """Global row_number() without a global sort: rank within ``bucket``
+    partitions (the bucket column is monotone in the global sort order by
+    construction) and offset each bucket by the count of rows in all
+    earlier buckets. The bucket-count table is clamp-bounded (<= a few
+    thousand rows, independent of corpus size), so its prefix sum runs
+    driver-side -- no unpartitioned WindowExec anywhere in the plan. Same
+    decomposition as x5_shard_by_budget (llmprep.py), with the prefix sum
+    pulled off the executors entirely."""
+    counts = sorted(sig.groupBy(bucket).count().collect(),
+                    key=lambda r: r[bucket])
+    offs, acc = [], 0
+    for r in counts:
+        offs.append((r[bucket], acc))
+        acc += r["count"]
+    off_df = spark.createDataFrame(offs, f"{bucket} int, _off_{out} long")
+    ww = Window.partitionBy(bucket).orderBy(*order)
+    return (sig.join(F.broadcast(off_df), bucket)
+            .withColumn(out, F.col(f"_off_{out}") + F.row_number().over(ww))
+            .drop(f"_off_{out}"))
+
+
 @register(
     "x4_rank_fusion_rrf",
     oracle="""
@@ -452,25 +475,43 @@ def x4_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical diversity) fuse into one top-20; the same plan fuses any
     ranker pair -- e.g. x2_cosine_topk with x4_tf_rarity_topk per query.
     Deterministic: every rank tie-breaks on doc_id, fusion is one double
-    expression. Scale: global ranks need a global sort ONLY because this
-    variant ranks the whole corpus; per-query fusion partitions by query
-    id (rank windows per query, no global sort)."""
+    expression.
+
+    Scale shape (VERDICT r7 item 2): the oracle states each global rank as
+    ONE unpartitioned row_number window, which on a cluster funnels the
+    whole corpus through a single task. The Spark plan computes the
+    identical ranks via the two-phase bucket-prefix decomposition proven in
+    x5_shard_by_budget: quantize each sort key into a clamp-bounded bucket
+    id that is monotone in the sort order (length DIV 64 clamped to 4096
+    buckets; diversity quantized to 129 buckets), count rows per bucket
+    (bounded table, prefix-summed driver-side), broadcast the offsets, and
+    rank within each bucket under a PARTITIONED window. Ties across the
+    clamp boundary stay exact because the within-bucket order is the full
+    sort key. Hash-equality against the naive global-window oracle proves
+    the decomposition exact."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != "")
     # empty/whitespace-only docs: diversity 0, never a 0/0 (ANSI mode)
-    sig = docs.select(
+    sig = track_persist(docs.select(
         "doc_id", F.length("text").alias("n_chars"),
         F.when(F.size(toks) > 0,
                F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
-        .otherwise(F.lit(0.0)).alias("diversity"))
-    ranked = sig.select(
-        "doc_id",
-        F.row_number().over(
-            Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
-        .alias("r_len"),
-        F.row_number().over(
-            Window.orderBy(F.desc("diversity"), F.asc("doc_id")))
-        .alias("r_div"))
+        .otherwise(F.lit(0.0)).alias("diversity")).withColumn(
+        # ascending bucket == descending n_chars; docs >= 4095*64 chars
+        # share bucket 0 and order exactly within it. NULL text => length
+        # NULL => bucket with the shortest docs; desc_nulls_last inside the
+        # bucket matches the oracle's DESC NULLS LAST.
+        "_b_len",
+        (F.lit(4095) - F.least(F.coalesce(F.col("n_chars"), F.lit(0))
+                               / F.lit(64), F.lit(4095)).cast("int"))
+        .cast("int")).withColumn(
+        "_b_div",
+        F.floor((F.lit(1.0) - F.col("diversity")) * 128).cast("int")))
+    ranked = _bucket_prefix_rank(
+        sig, "_b_len", (F.desc("n_chars"), F.asc("doc_id")), "r_len", spark)
+    ranked = _bucket_prefix_rank(
+        ranked, "_b_div", (F.desc("diversity"), F.asc("doc_id")), "r_div",
+        spark)
     rrf = (1.0 / (60 + F.col("r_len")) + 1.0 / (60 + F.col("r_div")))
     return (ranked.select("doc_id",
                           F.col("r_len").cast("long").alias("r_len"),

@@ -26,10 +26,11 @@ candidate sets are IDENTICAL -- pinned in tests/test_streaming.py over a
 multi-file stream that crosses micro-batch boundaries.
 
 Downstream, candidates feed the same exact-Jaccard verification the
-batch face uses (a stream-static or foreachBatch join); pair emission is
-per-band, so a downstream distinct (or the verification join itself,
-which is idempotent per pair) collapses multi-band collisions exactly as
-the batch face's DISTINCT does.
+batch face uses (a stream-static or foreachBatch join). Candidate
+emission is per-band (the raw face keeps band/bucket provenance);
+`streaming_lsh_verified` collapses multi-band collisions with a chained
+streaming dropDuplicates so its output matches the batch face's
+DISTINCT row-for-row.
 """
 
 from __future__ import annotations
@@ -134,16 +135,21 @@ def streaming_lsh_candidates(spark: SparkSession, sf_dir: str,
 
 def streaming_lsh_verified(spark: SparkSession, sf_dir: str,
                            source: DataFrame | None = None,
-                           cap: int = 50) -> DataFrame:
+                           cap: int = 50,
+                           distinct_pairs: bool = True) -> DataFrame:
     """END-TO-END live near-dup: the stateful candidate stream above,
     verified by TRUE Jaccard >= 0.8 against the corpus token sets via a
-    STREAM-STATIC join -- all stateless past the bucket state, so the
-    whole verification rides in the same append-mode query. This is the
-    streaming twin of the batch `x1_dedup_minhash_lsh` output (restricted
-    to prefix-cap candidates; multi-band duplicate pairs pass through the
-    idempotent verification unchanged and collapse at the consumer --
-    the batch face's DISTINCT equivalent for an unbounded stream would
-    need watermark-scoped dedup state the pair semantics don't require).
+    STREAM-STATIC join, then collapsed to ONE row per verified pair --
+    the same DISTINCT the batch `x1_dedup_minhash_lsh` applies, as a
+    chained streaming dropDuplicates (ADVICE r7: multi-band collisions
+    used to multiply output rows vs the batch twin). Return contract:
+    with the default ``distinct_pairs=True`` the output is row-for-row
+    the batch face's verified-pair set restricted to prefix-cap
+    candidates, and each pair appears in exactly one micro-batch (its
+    first). State bound: the dedup operator keeps one row per DISTINCT
+    verified pair -- the stream's own output, the minimum any exact
+    pair-dedup can hold; pass ``distinct_pairs=False`` to trade duplicate
+    emissions for zero extra state when the consumer dedups anyway.
 
     The static side is the CURRENT corpus snapshot (one sorted-distinct
     token array per doc, broadcastable per micro-batch); a live
@@ -170,5 +176,8 @@ def streaming_lsh_verified(spark: SparkSession, sf_dir: str,
                      F.col("n_inter").cast("double")
                      / (F.size("toks_a") + F.size("toks_b")
                         - F.col("n_inter"))))
-    return (j.filter(F.col("jaccard") >= 0.8)
-            .select("doc_a", "doc_b", "jaccard"))
+    out = (j.filter(F.col("jaccard") >= 0.8)
+           .select("doc_a", "doc_b", "jaccard"))
+    if distinct_pairs:
+        out = out.dropDuplicates(["doc_a", "doc_b"])
+    return out

@@ -81,6 +81,13 @@ def test_catches_bare_getenv_and_environ(tmp_path):
                   "    a = request.environ['REMOTE_ADDR']\n"
                   "    return h.getenv('SOME_NAME')\n")
     assert clean == []
+    # ...including identifiers/attribute chains that merely END in "os"
+    # (ADVICE r7: the boundary must cover the os.-prefixed branch too)
+    clean2 = _errs(tmp_path,
+                   "def g(myos, chaos):\n"
+                   "    a = myos.environ['SECRET_X']\n"
+                   "    return chaos.getenv('TOKEN_X')\n")
+    assert clean2 == []
 
 
 def test_catches_google_submodule_beyond_protobuf(tmp_path):

@@ -840,6 +840,9 @@ def test_streaming_lsh_verified_matches_python_reference(spark, tmp_path):
             spark.conf.set(provider_key, old)
     rows = spark.sql("SELECT * FROM t_lsh_ver").collect()
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    # ADVICE r7: multi-band collisions must NOT multiply output rows --
+    # the default distinct_pairs contract emits each verified pair once
+    assert len(rows) == len(got)
 
     # independent reference: bucket pairing from the (pinned-equal)
     # banding helper, token sets and Jaccard in pure Python

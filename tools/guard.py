@@ -165,12 +165,13 @@ def check_file(path: str) -> list[str]:
     # every env read form: os.environ.get("X"), os.environ["X"],
     # os.getenv("X") -- plus the bare spellings getenv("X") / environ["X"]
     # that a `from os import getenv, environ` would enable (ADVICE r6:
-    # the os.-prefixed regex alone let those escape the guard). The bare
-    # branch must NOT be preceded by a dot or word char, or attribute
-    # access on unrelated objects (request.environ[...], h.getenv(...))
-    # would false-fail the guard.
+    # the os.-prefixed regex alone let those escape the guard). NEITHER
+    # branch may be preceded by a dot or word char, or attribute access
+    # on unrelated objects (request.environ[...], h.getenv(...),
+    # myos.environ[...], chaos.getenv(...)) would false-fail the guard
+    # (ADVICE r7: the lookbehind previously covered only the bare branch).
     for m in re.finditer(
-            r"(?:os\.|(?<![\w.]))(?:environ(?:\.get)?\s*[\(\[]|getenv\s*\()"
+            r"(?<![\w.])(?:os\.)?(?:environ(?:\.get)?\s*[\(\[]|getenv\s*\()"
             r"\s*['\"]([A-Z0-9_]+)", src):
         name = m.group(1)
         if not ALLOWED_ENV.match(name):

@@ -294,15 +294,19 @@ def run_streaming_probe(spark, sf_dir: str) -> dict:
     # timed AND value-checked against the applyInPandas batch kernel.
     t0 = time.perf_counter()
     full_df = stf.threshold_sql_full_depth(spark, sf_dir)
-    sql_pdf = (full_df.toPandas().sort_values(["user_id", "batch_id"])
-               .reset_index(drop=True))
-    out["recursive_cte_full_depth_s"] = round(time.perf_counter() - t0, 2)
-    # release the face's persisted loop-invariant input (see its
-    # docstring: caller-owned handle) so later probe steps don't run
-    # under a multi-million-row pinned relation
-    cached = getattr(full_df, "_sg_cached_input", None)
-    if cached is not None:
-        cached.unpersist()
+    try:
+        sql_pdf = (full_df.toPandas().sort_values(["user_id", "batch_id"])
+                   .reset_index(drop=True))
+        out["recursive_cte_full_depth_s"] = round(
+            time.perf_counter() - t0, 2)
+    finally:
+        # release the face's persisted loop-invariant input (see its
+        # docstring: caller-owned handle) even when the drain/timing
+        # raises (ADVICE r7), so later probe steps never run under a
+        # multi-million-row pinned relation
+        cached = getattr(full_df, "_sg_cached_input", None)
+        if cached is not None:
+            cached.unpersist()
     kern_pdf = (stf.st_stateful_threshold_batches(spark, sf_dir)
                 .toPandas().sort_values(["user_id", "batch_id"])
                 .reset_index(drop=True))
