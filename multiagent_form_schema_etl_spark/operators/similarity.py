@@ -55,9 +55,12 @@ def _dec_norm(v: str | F.Column) -> F.Column:
     return F.sqrt(_dec_fold(F.transform(v, lambda x: (x * x).cast(_DEC_ITEM))))
 
 
-@register(
-    "x2_cosine_topk",
-    oracle=f"""
+# Shared by the decimal-exact face and the GEMM face: top-k over cosines
+# ROUNDED at 9 dp (rounding happens BEFORE ranking on both engines, ties
+# break on match_id), which is what makes the float64-GEMM compute path
+# hash-equal to the decimal-stated SQL -- fp fold-order divergence is
+# ~1e-15, three orders below the rounding grain (VERDICT r7 item 5).
+_COS_TOPK_ORACLE = f"""
     WITH e AS (
       SELECT vec_id,
              unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
@@ -82,8 +85,10 @@ def _dec_norm(v: str | F.Column) -> F.Column:
                                         ORDER BY cosine DESC, match_id) AS BIGINT) AS rnk
       FROM cos)
     WHERE rnk <= {_TOP_K}
-    """,
-)
+    """
+
+
+@register("x2_cosine_topk", oracle=_COS_TOPK_ORACLE)
 def x2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for a 10-vector query set (oracle variant).
 
@@ -145,7 +150,7 @@ def x2_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rnk") <= _TOP_K))
 
 
-@register("x2_cosine_topk_gemm")  # BLAS fp64 fold order != SQL sum => rows-only
+@register("x2_cosine_topk_gemm", oracle=_COS_TOPK_ORACLE)
 def x2_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-k via Arrow-batched numpy GEMM -- the kernel a
     100 TB bucket-rerank actually wants.
@@ -160,10 +165,14 @@ def x2_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global window over the union of local winners is exact, and only
     k rows per (query, batch) ever reach the shuffle.
 
-    Cosines are rounded at 9 dp (engine policy) and ties break on
-    match_id; BLAS fp64 accumulation order differs from a SQL SUM, so this
-    registers rows-only -- rank agreement with the decimal-exact
-    `x2_cosine_topk` is pinned in pytest (test_ann_recall.py)."""
+    Cosines are rounded at 9 dp BEFORE the top-k cut and ties break on
+    match_id -- which is exactly the shared `_COS_TOPK_ORACLE` statement,
+    so despite BLAS fp64 accumulation order differing from a SQL SUM the
+    face is ORACLE-BACKED (r8, VERDICT r7 item 5): the fold-order
+    divergence (~1e-15 on unit-normalized 64-dim vectors) sits three
+    orders below the 1e-9 rounding grain. Rank agreement with the
+    decimal-exact `x2_cosine_topk` is additionally pinned in pytest
+    (test_ann_recall.py)."""
     import numpy as np
     import pandas as pd
 
@@ -205,9 +214,12 @@ def x2_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "match_id", "cosine", "rnk"))
 
 
-@register(
-    "x1_dedup_embedding_cosine",
-    oracle=f"""
+# Shared by the exact all-pairs face and the IVF-bucketed face: every
+# pair with decimal-exact cosine >= 0.45 (rounded at 9 dp). The IVF face
+# meeting this oracle asserts recall == 1.0 on the gate corpora -- a
+# STRONGER check than the former rows-only registration (VERDICT r7
+# item 8); the recall-floor pytest documents the 4-probe margin.
+_EMB_COS_PAIRS_ORACLE = f"""
     WITH e AS (
       SELECT vec_id,
              unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
@@ -226,8 +238,10 @@ def x2_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN norms na ON d.vec_a = na.vec_id
     JOIN norms nb ON d.vec_b = nb.vec_id
     WHERE ROUND(d.dot / (na.nrm * nb.nrm), 9) >= 0.45
-    """,
-)
+    """
+
+
+@register("x1_dedup_embedding_cosine", oracle=_EMB_COS_PAIRS_ORACLE)
 def x1_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup: all pairs with cosine >= 0.45 (threshold
     sized to this corpus; random 64-dim vectors top out around 0.51).
@@ -321,7 +335,7 @@ def _ivf_dedup_cells(spark: SparkSession, sf_dir: str
     return emb, cells
 
 
-@register("x1_dedup_embedding_ivf")  # trained centroids => rows-only check
+@register("x1_dedup_embedding_ivf", oracle=_EMB_COS_PAIRS_ORACLE)
 def x1_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup at scale: IVF-bucketed embedding near-dup (the
     SemDeDup shape -- coarse-quantize the corpus, pair only within cells,
@@ -334,6 +348,15 @@ def x1_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     are verified. Verification reuses the double sieve + decimal fold, so
     every emitted pair carries the IDENTICAL cosine as the exact oracle
     variant (sound by construction); recall is pinned in pytest.
+
+    Oracle-backed since r8 (VERDICT r7 item 8): measured 4-probe recall is
+    1.0 on every gate corpus (sf0.001/0.01/0.1), so the face shares the
+    exact all-pairs oracle -- the hash match doubles as a recall == 1.0
+    assertion, strictly stronger than the old rows-only registration. A
+    sub-1.0-recall corpus would fail the gate loudly, which is the correct
+    signal: the 4-probe parameters are SIZED to keep exact recall at these
+    densities (the pytest floor of 0.9 guards the approximation contract
+    if the corpus is ever regenerated adversarially).
 
     100 TB: centroid count scales with the corpus (r4: K = n/250 above
     the 8-cell floor -- the fixed-K variant measured QUADRATIC in the
@@ -630,14 +653,34 @@ def x2_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "match_id", "cosine", "rnk"))
 
 
-@register("x2_grouped_center_applyinpandas")  # numpy FP summation order => rows-only
+@register(
+    "x2_grouped_center_applyinpandas",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+             unnest(range(1, length(embedding) + 1)) AS i
+      FROM embeddings),
+    mu AS (SELECT label, i, AVG(v) AS mu FROM e GROUP BY label, i)
+    SELECT e.vec_id, e.label,
+           ROUND(sqrt(SUM((e.v - mu.mu) * (e.v - mu.mu))), 9)
+             AS centered_norm
+    FROM e JOIN mu ON e.label = mu.label AND e.i = mu.i
+    GROUP BY e.vec_id, e.label
+    """,
+)
 def x2_grouped_center_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-label mean-centering of embeddings
     (feature normalization, a standard pre-ANN step). Each label group
     arrives as one pandas frame via Arrow; output is (vec_id, label,
-    centered_norm). Demonstrates the applyInPandas execution shape -- the
-    same math is expressible in pure SQL (see tests), which is what the
-    oracle-checked operators use."""
+    centered_norm).
+
+    Oracle-backed since r8 (VERDICT r7 item 8): the norm is rounded at
+    9 dp (engine policy), which puts the numpy-pairwise vs SQL-sequential
+    FP summation divergence (~1e-14 on 64-dim O(1) vectors) five orders
+    below the rounding grain -- the same rounded-twin trick as the
+    pagerank star face and the GEMM top-k. Agreement with builtin
+    DataFrame math stays pinned in test_properties.py."""
     import numpy as np
     import pandas as pd
 
@@ -651,7 +694,8 @@ def x2_grouped_center_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFra
         return pd.DataFrame({
             "vec_id": pdf["vec_id"],
             "label": pdf["label"],
-            "centered_norm": np.sqrt((centered * centered).sum(axis=1)),
+            "centered_norm": np.round(
+                np.sqrt((centered * centered).sum(axis=1)), 9),
         })
 
     return emb.groupBy("label").applyInPandas(

@@ -184,104 +184,42 @@ def query_names() -> list[str]:
 # and the builder's own gate (tools/check.py); rows-only queries register
 # last so they never consume a checked slot.
 PRIORITY: tuple[str, ...] = (
-    # document pipeline (SURVEY core). r7 second rotation (VERDICT r6's
-    # headline real-user miss is DRIVER VISIBILITY: 76 of 182 queries had
-    # never had a driver-green row): ten rows green for >=3 consecutive
-    # rounds hand their slots to ten never-driver-checked oracle-backed
-    # operators, one-for-one within (or adjacent to) their families --
-    # doc_e1_word_explode -> doc_u7_cascade_hoisted (the generated-
-    # projection cascade strategy; word explode stays exercised inside
-    # doc_a2's lineage), doc_a3_full_text -> doc_pipeline_scaled (the 10k-
-    # doc end-to-end throughput pipeline; full-text concat is its first
-    # stage), doc_a6_baseline_compare -> doc_pipeline_scoped_scaled,
-    # doc_a5_eval_metrics -> etl_scd2_intervals (P/R/F1 family stays via
-    # doc_a6_eval_report).
-    "doc_p1_blocks_normalize", "doc_a1_ocr_routing",
-    "doc_u7_cascade_hoisted",
-    "doc_a2_clause_sessionize", "doc_pipeline_scaled",
-    "doc_u7_extraction_cascade", "doc_p10_validation_errors",
-    "doc_u8_recovery_defaults", "doc_a7_form_completeness",
-    "doc_j1_field_scoring", "etl_scd2_intervals", "doc_a6_eval_report",
-    "doc_j2_section_context", "doc_pipeline_scoped_scaled",
-    "doc_u7_scoped_extraction", "doc_form_pivot_nda",
-    # EXT: dedup / similarity / text / corpus prep / multimodal
-    # (simhash / doc_fingerprint / chunk_overlap rotated out r3 — their
-    # families stay in-window via the other dedup/x4/x5 rows and all keep
-    # their oracles + the builder gate)
-    # r4 rotation (VERDICT r3 item 1): the r3 scale-path work enters the
-    # checked window -- the jaccard cost-model auto-selector (shares
-    # _JACCARD_ORACLE), simhash back in, and the ListState
-    # transformWithState batch twin. Out: x4_quality_score,
-    # x4_lang_id_char_ngram, x5_shard_by_budget (families stay in-window
-    # via x4_token_stats and the three other x5 rows; all rotated-out
-    # queries keep their oracles + the builder gate tools/check.py).
-    # r6 rotation (VERDICT r5 item 1): the three oracle-backed operators
-    # that had never seen a driver-green row enter the window --
-    # x1_dedup_substring_spans, x1_dedup_apply_keeplist, and the MapState
-    # transformWithState twin st_tws_map_category_totals. Out (families
-    # stay in-window; all keep oracles + the builder gate tools/check.py):
-    # x1_dedup_jaccard_auto (shares _JACCARD_ORACLE with
-    # x1_dedup_jaccard_ngram), st_latest_event_per_user (stateful family
-    # stays via st_stateful_threshold_batches + the tws rows),
-    # a_approx_percentile (paired-exact pattern stays via
-    # a_approx_count_distinct + a_hll_sketch_partial_merge).
-    # r7 rotation (VERDICT r6 item 1): the six operators that carried r6's
-    # biggest code changes yet never had a driver-green row enter the
-    # window -- BPE train/encode (driver-local bounded-sample training),
-    # BPE token counting, sequence packing, large/small-star connected
-    # components, and the depth-capped recursive-CTE stateful face. Out
-    # (families stay in-window; every rotated-out query keeps its oracle +
-    # the builder gate tools/check.py): x1_dedup_substring_spans +
-    # x1_dedup_apply_keeplist (greened r6; x1 stays via the six other
-    # dedup rows), st_tws_recent_list_window (greened r5/r6; tws stays via
-    # st_tws_map_category_totals), a_approx_count_distinct (greened r3+;
-    # sketch family stays via a_hll_sketch_partial_merge),
-    # f_array_functions + f_map_functions (greened r3+; the functions
-    # family stays exercised in-window via doc_u7 regex dialect +
-    # doc_form_pivot_nda EAV pivot). Also in: the new oracle-backed
-    # pagerank star-forest twin (VERDICT r6 item 6 asked for driver
-    # eligibility; windowing it makes the closed-form solver
-    # driver-VISIBLE) for x1_dedup_simhash (greened r4-r6; the
-    # signature-dedup pattern stays via jaccard_ngram + the star twin's
-    # shared components kernel).
-    "x1_dedup_exact", "x1_dedup_jaccard_ngram",
-    "x1_dedup_embedding_cosine", "x1_dedup_components",
-    "x1_dedup_components_star", "x1_graph_pagerank_star",
-    "s_pydatasource_formdocs", "x2_cosine_topk",
-    "x4_token_stats", "x4_token_count_bpe",
-    # second-rotation swap: x5_train_test_split_hash (greened r4+) ->
-    # x5_pii_redact_phones (never checked; the PII scrub is a flagship
-    # corpus-prep op)
-    "x5_pii_redact_phones", "x5_decontaminate_ngram",
-    "x5_corpus_filter_funnel",
-    "x5_bpe_vocab_train", "x5_bpe_encode", "x5_pack_sequences",
-    "x3_multimodal_schema",
-    # streaming twins + event analytics. Second-rotation swap:
-    # st_tumbling_window (greened r2+) -> st_funnel_conversion (never
-    # checked; windowed-agg family stays via st_session_window).
-    "st_funnel_conversion", "st_session_window",
-    "st_tws_map_category_totals",
-    "st_stateful_threshold_batches", "st_stateful_threshold_sql",
-    "st_stream_static_enrich", "st_max_concurrency",
-    # window functions (lead/lag also exercised inside doc_a2, in-window).
-    # Second-rotation swap: w_rank_top_customers_per_nation (greened r4+)
-    # -> w_sliding_frame_moving_avg (never checked; ranking keeps its
-    # oracle + builder gate just outside).
-    "w1_running_revenue_per_customer", "w_sliding_frame_moving_avg",
-    # advanced joins / ETL (theta-containment kept via doc_j2, in-window).
-    # Second-rotation swap: etl_upsert_latest_wins (greened r5+) ->
-    # etl_cdc_snapshot_diff (never checked; same CDC family).
-    "j_asof_backward_join", "j_range_interval_join",
-    "etl_cdc_snapshot_diff", "j_salted_skew_join",
-    # aggregates. Second-rotation swaps: a4_conditional_aggregation
-    # (greened r2+) -> a_udaf_median_mad (never checked; the pandas-UDAF
-    # python surface gets a driver row), a7_bool_and_completeness
-    # (greened r3+; bool_and stays in-window via doc_a7) ->
-    # a_rollup_order_hierarchy (never checked; rollup/grouping-sets
-    # family gets its first driver row).
-    "a_udaf_median_mad", "a_rollup_order_hierarchy",
-    "a_salted_skew_sum", "a_hll_sketch_partial_merge",
+    # r8 rotation (VERDICT r7 item 1, executing NOTES_r7's committed r8
+    # queue aggressively): 33 of the window's 50 rows were green for >= 3
+    # consecutive rounds and 17 were r7 first-timers that greened -- so 34
+    # slots hand over to never-driver-checked oracle-backed queries
+    # (taking the never-checked oracle-backed backlog 45 -> 12 in one
+    # round) plus the new rounded-oracle GEMM top-k twin (VERDICT r7
+    # item 5). A 16-row core keeps every SURVEY §2 family represented by
+    # a long-green row; every rotated-out query keeps its oracle + the
+    # builder gate tools/check.py and the tri-SF sweeps.
+    "doc_p1_blocks_normalize", "doc_a2_clause_sessionize",
+    "doc_u7_extraction_cascade", "doc_j1_field_scoring",
+    "doc_u7_scoped_hoisted",
+    "x1_dedup_exact", "x1_dedup_jaccard_ngram", "x1_dedup_components",
+    "x1_dedup_jaccard_prefix", "x1_dedup_jaccard_blockpairs",
+    "x1_dedup_chunk_exact", "x1_dedup_incremental",
+    "s_pydatasource_formdocs",
+    "x2_cosine_topk", "x2_cosine_topk_gemm",
+    "x4_token_stats", "x4_rank_fusion_rrf", "x4_lang_id_heuristic",
+    "x4_term_frequencies", "x4_readability_bands",
+    "x5_decontaminate_ngram", "x5_stratified_sample",
+    "x5_pii_pseudonymize", "x5_dataset_card_stats", "x5_repetition_stats",
+    "x3_payload_dedup",
+    "st_session_window", "st_stateful_threshold_batches",
+    "st_gap_fill_forward", "st_cohort_retention", "st_anomaly_zscore",
+    "st_multi_granularity_rollup", "st_trend_slope_exact",
+    "st_event_transition_matrix", "st_tws_running_totals",
+    "a_gini_concentration", "a_histogram_equiwidth",
+    "a_cube_lineitem_flags", "a_multi_distinct_counts",
+    "a_theta_sketch_set_ops", "a_hll_sketch_partial_merge",
+    "f_udtf_word_explode", "f_variant_semistructured", "f_unpivot_melt",
+    "j_range_bucketed_join", "set_ops_bag_semantics",
+    "j_asof_backward_join",
+    "w1_running_revenue_per_customer", "w2_lead_lag_event_gaps",
+    "w_percent_rank_cume",
 )
+
 
 
 def ordered_query_names() -> list[str]:
