@@ -130,6 +130,87 @@ def _cos_expr(a: str, b: str) -> F.Column:
     return dot / (na * nb)
 
 
+_GEMM_BLOCK = 512  # vectors per block in the distributed block-GEMM sieve
+
+
+def _gemm_block_pairs(emb: DataFrame, threshold: float | None = None,
+                      margin: int | None = None) -> DataFrame:
+    """Distributed block-GEMM double sieve over all vector pairs -- the
+    candidate stage shared by the exact O(n^2) faces (VERDICT r7 item 4:
+    the zip_with/aggregate sieve evaluated one Catalyst scalar expression
+    per (pair, dim); one BLAS call per block pair amortizes that ~100x).
+
+    Plan shape: vectors pack into ``_GEMM_BLOCK``-sized blocks keyed on
+    vec_id DIV block (so block order == id order), block pairs join, and a
+    mapInPandas kernel GEMMs each pair of blocks. No driver collect, no
+    corpus broadcast: shuffle volume is O(n^2/B) packed-block bytes spread
+    over (n/B)^2 independent tasks -- the standard distributed exact
+    all-pairs layout, and the part a 100 TB run would keep even after the
+    LSH/IVF candidate paths replace exhaustive pairing.
+
+    Returns (src, dst, dcos) float64-cosine candidates:
+    - threshold mode: every unordered pair src < dst with dcos >= the
+      (caller-slackened) threshold; block pairs join triangularly.
+    - margin mode: per (src, dst-block), the local top-``margin`` dsts
+      under (dcos desc, dst asc); the caller's partitioned window merges
+      the locals exactly (the global top-margin is a subset of the union
+      of per-block top-margins). Block pairs join fully (both orders).
+    """
+    import numpy as np
+    import pandas as pd
+
+    assert (threshold is None) != (margin is None)
+    packed = (emb.withColumn(
+        "blk", F.expr(f"CAST(vec_id DIV {_GEMM_BLOCK} AS INT)"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "vec")).alias("rows")))
+    a = packed.select(F.col("blk").alias("blk_a"),
+                      F.col("rows").alias("rows_a"))
+    b = packed.select(F.col("blk").alias("blk_b"),
+                      F.col("rows").alias("rows_b"))
+    joined = (a.join(b, F.col("blk_a") <= F.col("blk_b"))
+              if threshold is not None else a.crossJoin(b))
+
+    def sieve(batches):
+        for pdf in batches:
+            for ra, rb, same in zip(pdf["rows_a"], pdf["rows_b"],
+                                    pdf["blk_a"] == pdf["blk_b"]):
+                ia = np.asarray([r["vec_id"] for r in ra], dtype=np.int64)
+                ib = np.asarray([r["vec_id"] for r in rb], dtype=np.int64)
+                ma = np.asarray([np.asarray(r["vec"], dtype=np.float64)
+                                 for r in ra])
+                mb = np.asarray([np.asarray(r["vec"], dtype=np.float64)
+                                 for r in rb])
+                na = np.linalg.norm(ma, axis=1, keepdims=True)
+                nb = np.linalg.norm(mb, axis=1, keepdims=True)
+                na[na == 0] = 1.0  # zero vectors score 0, never NaN
+                nb[nb == 0] = 1.0
+                s = (ma / na) @ (mb / nb).T
+                if threshold is not None:
+                    mask = s >= threshold
+                    if same:
+                        mask &= ia[:, None] < ib[None, :]
+                    ii, jj = np.nonzero(mask)
+                    yield pd.DataFrame({"src": ia[ii], "dst": ib[jj],
+                                        "dcos": s[ii, jj]})
+                else:
+                    if same:
+                        s[ia[:, None] == ib[None, :]] = -np.inf
+                    out_s, out_d, out_c = [], [], []
+                    for r in range(len(ia)):
+                        row = s[r]
+                        top = np.lexsort((ib, -row))[:margin]
+                        out_s.extend([ia[r]] * len(top))
+                        out_d.extend(ib[top])
+                        out_c.extend(row[top])
+                    yield pd.DataFrame({
+                        "src": np.asarray(out_s, dtype=np.int64),
+                        "dst": np.asarray(out_d, dtype=np.int64),
+                        "dcos": np.asarray(out_c, dtype=np.float64)})
+
+    return joined.mapInPandas(sieve, "src long, dst long, dcos double")
+
+
 @register("x2_cosine_topk_bruteforce")  # FP fold order differs from SQL sum => rows-only
 def x2_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-k across ALL vectors (bench-scale path): broadcast
@@ -253,22 +334,30 @@ def x1_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the oracle's SUM -- which frees the plan from the dim join entirely
     (its key has only `dims` distinct values: a shuffled self-join on it is
     maximally skewed, and was ~18s at sf0.01 vs <2s for this shape). The
-    remaining join is a broadcast pair join; norms are a 1-row-per-vector
-    broadcast. Still O(n^2) by construction -- this is the oracle/rerank
-    variant; the LSH/IVF/PQ paths are the at-scale candidates."""
+    candidate stage is the distributed block-GEMM sieve
+    (`_gemm_block_pairs`); survivors join their vectors back and re-verify
+    under the decimal fold. Still O(n^2) FLOPs by construction -- this is
+    the oracle/rerank variant; the LSH/IVF/PQ paths are the at-scale
+    candidates -- but the FLOPs run as BLAS over block pairs instead of
+    Catalyst scalar expressions over every (pair, dim)."""
     emb = (load_table(spark, sf_dir, "embeddings")
            .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
                    .alias("vec")))
     norms = emb.select("vec_id", _dec_norm("vec").alias("nrm"))
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
-    pairs = F.broadcast(a).join(b, F.col("vec_a") < F.col("vec_b"))
-    # Double-precision sieve before the exact pass: plain-double cosine is
-    # within ~1e-15 of the decimal value, so a 1e-6 slack cannot drop a true
-    # >= 0.45 pair, and the expensive BigDecimal fold then runs only on the
-    # few surviving candidates instead of every pair (same cheap-prune /
-    # exact-verify shape as the LSH paths).
-    pairs = pairs.filter(_cos_expr("va", "vb") >= 0.45 - 1e-6)
+    # Double-precision sieve before the exact pass (r8: block-GEMM -- the
+    # zip_with/aggregate pair sieve was the sweep's 167 s entry at sf0.1;
+    # one BLAS call per block pair computes the same float64 cosines
+    # ~100x faster): GEMM cosine is within ~1e-15 of the decimal value,
+    # so a 1e-6 slack cannot drop a true >= 0.45 pair, and the expensive
+    # BigDecimal fold then runs only on the few surviving candidates
+    # instead of every pair (same cheap-prune / exact-verify shape as the
+    # LSH paths).
+    cand = (_gemm_block_pairs(emb, threshold=0.45 - 1e-6)
+            .select(F.col("src").alias("vec_a"),
+                    F.col("dst").alias("vec_b")))
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    pairs = cand.join(va, "vec_a").join(vb, "vec_b")
     dots = pairs.select("vec_a", "vec_b", _dec_dot("va", "vb").alias("dot"))
     na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
@@ -883,27 +972,25 @@ _KNN_K = 3        # neighbors per vector in the graph
 _KNN_MARGIN = 20  # double-sieve rank margin before the exact decimal pass
 
 
+# Oracle states cosines with DuckDB's native list_cosine_similarity
+# (double precision) instead of the decimal-summed dim join the anchor
+# face x1_dedup_embedding_cosine keeps: both land on the SAME 9-dp-rounded
+# values (fp divergence ~1e-15, three orders below the grain -- the
+# rounded-twin argument, validated by the tri-SF sweeps), and the native
+# form cuts the oracle from a 4M-pair x 64-dim explode join (~50 s of the
+# 171 s r7 sweep entry at sf0.1) to one vectorized pass (VERDICT r7
+# item 4: sweep entries <= 60 s, hashes unchanged).
 @register(
     "x2_knn_graph",
     oracle=f"""
-    WITH e AS (
+    WITH v AS (
       SELECT vec_id,
-             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
-             unnest(range(1, length(embedding) + 1)) AS i
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       FROM embeddings),
-    norms AS (
-      SELECT vec_id, sqrt(CAST(SUM(CAST(v * v AS {_DEC})) AS DOUBLE)) AS nrm
-      FROM e GROUP BY vec_id),
-    dots AS (
-      SELECT a.vec_id AS src, b.vec_id AS dst,
-             CAST(SUM(CAST(a.v * b.v AS {_DEC})) AS DOUBLE) AS dot
-      FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
-      GROUP BY a.vec_id, b.vec_id),
     cos AS (
-      SELECT d.src, d.dst, ROUND(d.dot / (na.nrm * nb.nrm), 9) AS cosine
-      FROM dots d
-      JOIN norms na ON d.src = na.vec_id
-      JOIN norms nb ON d.dst = nb.vec_id)
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(list_cosine_similarity(a.vec, b.vec), 9) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id)
     SELECT src, dst, cosine, rnk FROM (
       SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src
                      ORDER BY cosine DESC, dst) AS BIGINT) AS rnk
@@ -921,22 +1008,26 @@ def x2_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~1e-15, so the true top-{_KNN_K} by the 9-dp-rounded decimal value
     cannot sit outside a {_KNN_MARGIN}-deep double ranking), then the exact
     decimal fold recomputes and re-ranks only those candidates against the
-    oracle's semantics. O(n^2) doubles + O(n*k) decimals; at 100 TB the
-    candidate stage swaps for the LSH/IVF/PQ paths and the exact re-rank
-    stays as-is."""
+    oracle's semantics. O(n^2) doubles + O(n*k) decimals; since r8 the
+    double pass is the distributed block-GEMM sieve (`_gemm_block_pairs`
+    margin mode: per-(src, dst-block) local top-{_KNN_MARGIN}, merged by
+    one partitioned window -- the sweep's 171 s zip_with pair scan at
+    sf0.1 becomes one BLAS call per block pair). At 100 TB the candidate
+    stage swaps for the LSH/IVF/PQ paths and the exact re-rank stays
+    as-is."""
     emb = (load_table(spark, sf_dir, "embeddings")
            .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
                    .alias("vec")))
     norms = emb.select("vec_id", _dec_norm("vec").alias("nrm"))
-    a = emb.select(F.col("vec_id").alias("src"), F.col("vec").alias("va"))
-    b = emb.select(F.col("vec_id").alias("dst"), F.col("vec").alias("vb"))
-    pairs = (F.broadcast(a).join(b, F.col("src") != F.col("dst"))
-             .select("src", "dst", "va", "vb",
-                     _cos_expr("va", "vb").alias("dcos")))
+    local = _gemm_block_pairs(emb, margin=_KNN_MARGIN)
     ws = Window.partitionBy("src").orderBy(F.desc("dcos"), F.asc("dst"))
-    cand = (pairs.withColumn("crnk", F.row_number().over(ws))
-            .filter(F.col("crnk") <= _KNN_MARGIN))
-    dots = cand.select("src", "dst", _dec_dot("va", "vb").alias("dot"))
+    cand = (local.withColumn("crnk", F.row_number().over(ws))
+            .filter(F.col("crnk") <= _KNN_MARGIN)
+            .select("src", "dst"))
+    va = emb.select(F.col("vec_id").alias("src"), F.col("vec").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("dst"), F.col("vec").alias("vb"))
+    dots = (cand.join(va, "src").join(vb, "dst")
+            .select("src", "dst", _dec_dot("va", "vb").alias("dot")))
     na = norms.select(F.col("vec_id").alias("src"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("vec_id").alias("dst"), F.col("nrm").alias("nb"))
     cos = (dots.join(F.broadcast(na), "src").join(F.broadcast(nb), "dst")
@@ -949,28 +1040,21 @@ def x2_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "dst", "cosine", "rnk"))
 
 
+# Pair stage stated with the native list cosine (same 9-dp-rounded
+# values as the decimal-summed dim join x1_dedup_embedding_cosine's
+# oracle keeps as the family's exactness anchor; see x2_knn_graph's
+# comment for the argument and the r7-item-4 motivation).
 @register(
     "x1_dedup_semantic_clusters",
-    oracle=f"""
-    WITH RECURSIVE e AS (
+    oracle="""
+    WITH RECURSIVE v AS (
       SELECT vec_id,
-             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
-             unnest(range(1, length(embedding) + 1)) AS i
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       FROM embeddings),
-    norms AS (
-      SELECT vec_id, sqrt(CAST(SUM(CAST(v * v AS {_DEC})) AS DOUBLE)) AS nrm
-      FROM e GROUP BY vec_id),
-    dots AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             CAST(SUM(CAST(a.v * b.v AS {_DEC})) AS DOUBLE) AS dot
-      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
-      GROUP BY a.vec_id, b.vec_id),
     cos_pairs AS (
-      SELECT d.vec_a, d.vec_b
-      FROM dots d
-      JOIN norms na ON d.vec_a = na.vec_id
-      JOIN norms nb ON d.vec_b = nb.vec_id
-      WHERE ROUND(d.dot / (na.nrm * nb.nrm), 9) >= 0.45),
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 9) >= 0.45),
     edges AS (SELECT vec_a AS a, vec_b AS b FROM cos_pairs
               UNION ALL SELECT vec_b, vec_a FROM cos_pairs),
     reach(src, dst) AS (
