@@ -123,7 +123,13 @@ def x1_dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (40-word vocabulary => ~1% of all pairs are near-dups, so any
     candidate-pruning scheme still pays full verification). For sparse-match
     corpora, the lossless pruned variant below is the scale path."""
-    tok = _tok_d_df(spark, sf_dir)
+    return _jaccard_ngram_from(_tok_d_df(spark, sf_dir))
+
+
+def _jaccard_ngram_from(tok: DataFrame) -> DataFrame:
+    """Inverted-index Jaccard plan over a prepared distinct
+    (doc_id, lang, bucket, token) relation (shared with the derived-corpus
+    auto-selector face)."""
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = tok.alias("a")
     b = tok.alias("b")
@@ -207,6 +213,13 @@ def x1_dedup_jaccard_blockpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_chars") / 50.0).cast("long").alias("bucket"),
         F.array_sort(F.array_distinct(
             F.filter(F.split("text", " "), lambda w: w != ""))).alias("toks"))
+    return _jaccard_blockpairs_from(sets)
+
+
+def _jaccard_blockpairs_from(sets: DataFrame) -> DataFrame:
+    """Blocked pair-join Jaccard plan over a prepared
+    (doc_id, lang, bucket, toks sorted-distinct array) relation (shared
+    with the derived-corpus auto-selector face)."""
     a, b = sets.alias("a"), sets.alias("b")
     pairs = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
                     & (F.col("a.bucket") == F.col("b.bucket"))
@@ -245,10 +258,103 @@ def x1_dedup_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x1_dedup_jaccard_ngram(spark, sf_dir)
 
 
+@register(
+    "x1_dedup_jaccard_auto_dense",
+    oracle="""
+    WITH rep AS (
+      SELECT lang, CAST(FLOOR(n_chars / 400.0) AS BIGINT) AS bucket,
+             min_by(text, doc_id) AS rtext
+      FROM documents WHERE n_chars >= 400 GROUP BY 1, 2),
+    dense AS (
+      SELECT d.doc_id, d.lang,
+             CAST(FLOOR(d.n_chars / 400.0) AS BIGINT) AS bucket,
+             r.rtext AS text
+      FROM documents d
+      JOIN rep r ON d.lang = r.lang
+                AND CAST(FLOOR(d.n_chars / 400.0) AS BIGINT) = r.bucket
+      WHERE d.n_chars >= 400),
+    tok_d AS (
+      SELECT DISTINCT doc_id, lang, bucket, token FROM (
+        SELECT doc_id, lang, bucket,
+               unnest(string_split(text, ' ')) AS token FROM dense)
+      WHERE token <> ''),
+    tok_sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok_d GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tok_d a JOIN tok_d b
+        ON a.token = b.token AND a.lang = b.lang AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN tok_sizes sa ON i.doc_a = sa.doc_id
+    JOIN tok_sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.8
+    """,
+)
+def x1_dedup_jaccard_auto_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto-selector's BLOCKPAIRS branch exercised under the oracle
+    gate (VERDICT r7 item 7: the cost model was pytest-pinned to choose
+    correctly, but no gate run had ever executed the blockpairs branch
+    through the auto face).
+
+    Corpus: the boilerplate-flood worst case, derived from real data --
+    every SUBSTANTIAL document (n_chars >= 400) carries its
+    (lang, coarse-length-bucket) block REPRESENTATIVE's text (min-doc_id;
+    the template-stamped shape where one boilerplate fills whole blocks),
+    while sub-minimum documents are exempt from pairing (singleton blocks
+    keyed by their own doc_id -- the standard min-length dedup gate) but
+    stay in the corpus the planner's stats pass scans. Dense long blocks
+    put ~35 matched tokens behind every candidate pair where the corpus
+    averages ~25 tokens/doc, so the measured cost model picks the pair
+    join STRICTLY (idx/pair = 1.15-1.24x at sf0.001/0.01/0.1), not on the
+    tie rule. The choice is asserted here -- a corpus drift that flips it
+    fails loudly rather than silently testing the wrong branch -- and
+    pinned in test_jaccard_auto.py. The oracle omits the exempt singleton
+    docs: blockless by construction, they cannot produce a pair on either
+    engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    long = docs.filter(F.col("n_chars") >= 400).select(
+        "doc_id", "lang",
+        F.floor(F.col("n_chars") / 400.0).cast("long").alias("bucket"),
+        "text")
+    rep = (long.groupBy("lang", "bucket")
+           .agg(F.min_by("text", "doc_id").alias("rtext")))
+    dense = (long.join(F.broadcast(rep), ["lang", "bucket"])
+             .select("doc_id", "lang", "bucket",
+                     F.col("rtext").alias("text")))
+    exempt = docs.filter(F.col("n_chars") < 400).select(
+        "doc_id", "lang",
+        (-(F.col("doc_id") + 1)).cast("long").alias("bucket"), "text")
+    d = dense.unionByName(exempt)
+    toks_arr = F.array_sort(F.array_distinct(
+        F.filter(F.split("text", " "), lambda w: w != "")))
+    tok = d.select("doc_id", "lang", "bucket",
+                   F.explode(toks_arr).alias("token"))
+    choice = _jaccard_choice_over(tok)
+    if choice != "blockpairs":
+        raise AssertionError(
+            f"dense twin-block corpus must select blockpairs, got {choice}")
+    return _jaccard_blockpairs_from(
+        d.select("doc_id", "lang", "bucket", toks_arr.alias("toks")))
+
+
 def _jaccard_auto_choice(spark: SparkSession, sf_dir: str) -> str:
-    """The auto-selector's cost model, exposed so tests can pin WHICH
-    branch a given corpus shape selects (VERDICT r3 item 6)."""
-    tok = _tok_d_df(spark, sf_dir)
+    """The auto-selector's cost model over the standard corpus, exposed so
+    tests can pin WHICH branch a given corpus shape selects (VERDICT r3
+    item 6)."""
+    return _jaccard_choice_over(_tok_d_df(spark, sf_dir))
+
+
+def _jaccard_choice_over(tok: DataFrame) -> str:
+    """Cost model over any prepared (doc_id, lang, bucket, token) relation.
+    Tie rule: at equal estimated row volume the PAIR join is preferred --
+    it moves each doc's packed array exactly once and needs no hash
+    aggregation, where the index moves one row per matched token and pays
+    a corpus-wide groupBy; equality happens exactly at full block density
+    (every token present in every doc of its block), which is the
+    boilerplate-flood shape the pair join is built for."""
     [ts] = (tok.groupBy("lang", "bucket", "token")
             .agg(F.count(F.lit(1)).alias("c"))
             .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("idx_rows"),

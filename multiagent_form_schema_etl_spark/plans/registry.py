@@ -196,7 +196,10 @@ PRIORITY: tuple[str, ...] = (
     "doc_p1_blocks_normalize", "doc_a2_clause_sessionize",
     "doc_u7_extraction_cascade", "doc_j1_field_scoring",
     "doc_u7_scoped_hoisted",
-    "x1_dedup_exact", "x1_dedup_jaccard_ngram", "x1_dedup_components",
+    # x1_dedup_jaccard_ngram (green r2-r7) hands its slot to the new
+    # dense-corpus auto-selector face so the BLOCKPAIRS branch is driver-
+    # visible through the selector, not only directly (VERDICT r7 item 7)
+    "x1_dedup_exact", "x1_dedup_jaccard_auto_dense", "x1_dedup_components",
     "x1_dedup_jaccard_prefix", "x1_dedup_jaccard_blockpairs",
     "x1_dedup_chunk_exact", "x1_dedup_incremental",
     "s_pydatasource_formdocs",

@@ -112,3 +112,33 @@ def test_substring_spans_constructed(spark, tmp_path):
     assert (0, 3, 1, 13, 10) in got         # second repeat (other diagonal)
     assert not any(2 in (a, b) for a, b, *_ in got)  # 5-run never seeds
     assert (1, 3, 3, 1, 10) in got and (1, 3, 3, 13, 10) in got
+
+
+def test_registered_dense_face_takes_blockpairs_on_real_corpus(spark):
+    """The REGISTERED x1_dedup_jaccard_auto_dense face (VERDICT r7 item 7)
+    must take the blockpairs branch on the real corpus -- the face raises
+    if its derived boilerplate-flood shape ever selects ngram, so simply
+    executing it is the pin -- and its output must be exactly the dense
+    long-block pair set: every (lang, coarse-bucket) block of n_chars>=400
+    docs pairs completely at jaccard 1.0 (all docs carry the block
+    representative's text), and no sub-minimum doc ever appears."""
+    from pyspark.sql import functions as F
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.operators.dedup import (
+        x1_dedup_jaccard_auto_dense)
+
+    rows = x1_dedup_jaccard_auto_dense(spark, SF_SMOKE).collect()
+    assert rows and all(r["jaccard"] == 1.0 for r in rows)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    blocks = {}
+    for r in (docs.filter("n_chars >= 400")
+              .select("doc_id", "lang",
+                      F.floor(F.col("n_chars") / 400.0).alias("b"))
+              .collect()):
+        blocks.setdefault((r["lang"], r["b"]), []).append(r["doc_id"])
+    want = set()
+    for mem in blocks.values():
+        mem = sorted(mem)
+        want.update((a, b) for i, a in enumerate(mem) for b in mem[i + 1:])
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == want
