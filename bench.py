@@ -6,12 +6,24 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is fully executed (collect) but results are small aggregates, so
 timing measures scan+shuffle+agg, not driver materialization.
+
+Noise-proofing (VERDICT r7 item 3: this box swings +/-40% on identical
+code, and a single-run BENCH record cost r7 a 30% phantom regression):
+the default invocation runs N=$SPARK_GRAFT_BENCH_RUNS (default 3)
+INDEPENDENT passes, each in a fresh subprocess JVM so every pass's cold
+numbers include their own Catalyst analysis + codegen compile, and
+reports the per-query and per-total MEDIANS as the headline fields plus
+the full per-run records under "runs" -- the committed artifact carries
+its own error bars. `bench.py --single` runs one pass (the pre-r8
+behavior).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
@@ -51,7 +63,7 @@ OPTIONAL = [
 ]
 
 
-def main() -> None:
+def run_pass() -> dict:
     import __spark_entry__ as e
     from multiagent_form_schema_etl_spark.session import get_spark
 
@@ -111,7 +123,7 @@ def main() -> None:
                      for name in ("w1_running_revenue_per_customer",
                                   "st_session_window") if name in qs}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    return {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
@@ -120,7 +132,53 @@ def main() -> None:
         "warm_total": round(sum(warm.values()), 3),
         "queries_collect_method": collect_times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+
+
+def main() -> None:
+    if "--single" in sys.argv:
+        print(json.dumps(run_pass()))
+        return
+    n = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    runs = []
+    for _ in range(n):
+        # fresh subprocess JVM per pass: cold numbers keep their own
+        # analysis+codegen, and a noisy-host spike in one pass cannot
+        # contaminate the others
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single"],
+            stdout=subprocess.PIPE, text=True, env=os.environ)
+        lines = [ln for ln in p.stdout.splitlines()
+                 if ln.lstrip().startswith("{")]
+        if p.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"bench pass failed (rc={p.returncode}): {p.stdout[-500:]}")
+        runs.append(json.loads(lines[-1]))
+
+    def med(xs):
+        return round(statistics.median(xs), 3)
+
+    rec = {
+        "metric": "headline_queries_total_runtime",
+        # headline value/queries = per-total and per-query MEDIANS over
+        # the runs (so the per-query medians need not sum to "value")
+        "value": med([r["value"] for r in runs]),
+        "unit": "sec",
+        "queries": {q: med([r["queries"][q] for r in runs])
+                    for q in runs[0]["queries"]},
+        "queries_warm": {q: med([r["queries_warm"][q] for r in runs])
+                         for q in runs[0]["queries_warm"]},
+        "warm_total": med([r["warm_total"] for r in runs]),
+        "queries_collect_method": {
+            q: med([r["queries_collect_method"][q] for r in runs])
+            for q in runs[0]["queries_collect_method"]},
+        "n_runs": len(runs),
+        "runs": [{"value": r["value"], "warm_total": r["warm_total"],
+                  "queries": r["queries"], "queries_warm": r["queries_warm"]}
+                 for r in runs],
+        "sf": runs[0]["sf"],
+    }
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

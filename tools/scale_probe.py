@@ -349,6 +349,122 @@ def run_streaming_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def run_soak_probe(spark, sf_dir: str, n_files: int = 50) -> dict:
+    """Long-stream soak for the streaming LSH face (VERDICT r7 item 6):
+    the 3-file pytest proves cross-batch pairing; this drives ``n_files``
+    micro-batches (one file per trigger, doc_id-range slices of the probe
+    corpus in arrival order) on the RocksDB backend and publishes the
+    per-batch series a production standing query is judged on -- trigger
+    latency, state-store row growth (must approach the capped bucket-mass
+    bound, never exceed it), and candidate output per batch -- plus the
+    corpus's bucket-close stats (buckets at the cap are closed and stop
+    growing; that is the state bound)."""
+    import json as _json
+    import tempfile
+
+    from multiagent_form_schema_etl_spark.operators.dedup import (
+        minhash_band_buckets)
+    from multiagent_form_schema_etl_spark.streaming import (
+        dedup_stream as dds)
+
+    cap = 50
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+
+    stream_dir = os.path.join(
+        OUT, f"soak_{n_files}_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.isdir(stream_dir):
+        (docs.select("doc_id", "text", "lang", "source", "n_chars")
+         .repartitionByRange(n_files, "doc_id")
+         .write.mode("overwrite").parquet(stream_dir + ".tmp"))
+        os.rename(stream_dir + ".tmp", stream_dir)
+    parts = sorted(f for f in os.listdir(stream_dir)
+                   if f.endswith(".parquet"))
+    # arrival order = doc_id-range order (FileStreamSource picks oldest
+    # mtime first)
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(stream_dir, f),
+                 (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (spark.readStream.schema(dds._DOC_SCHEMA).format("parquet")
+           .option("maxFilesPerTrigger", "1").load(stream_dir))
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    n_prog_key = "spark.sql.streaming.numRecentProgressUpdates"
+    old_np = spark.conf.get(n_prog_key, None)
+    spark.conf.set(provider_key,
+                   "org.apache.spark.sql.execution.streaming.state."
+                   "RocksDBStateStoreProvider")
+    spark.conf.set(n_prog_key, str(n_files + 20))
+    try:
+        cands = dds.streaming_lsh_candidates(spark, sf_dir, source=raw,
+                                             cap=cap)
+        q = (cands.writeStream.format("memory").queryName("t_soak")
+             .outputMode("append")
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="soak_ckpt_"))
+             .start())
+        t0 = time.perf_counter()
+        q.processAllAvailable()
+        total = round(time.perf_counter() - t0, 2)
+        prog = [_json.loads(p.json) for p in q.recentProgress]
+        q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+        if old_np is None:
+            spark.conf.unset(n_prog_key)
+        else:
+            spark.conf.set(n_prog_key, old_np)
+
+    batches = []
+    for p in prog:
+        if not p.get("stateOperators") or p["numInputRows"] == 0:
+            continue
+        so = p["stateOperators"][0]
+        batches.append({
+            "ms": p["durationMs"].get("triggerExecution"),
+            "in_rows": p["numInputRows"],
+            "out_pairs": p.get("sink", {}).get("numOutputRows", -1),
+            "state_rows": so.get("numRowsTotal"),
+            "state_updated": so.get("numRowsUpdated"),
+        })
+
+    # state bound: final bucket membership can never exceed
+    # sum(min(bucket_size, cap)) over the batch face's bucket table
+    bb = (minhash_band_buckets(docs.select("doc_id", "text"))
+          .groupBy("band", "bucket").count().select("count").collect())
+    sizes = [r["count"] for r in bb]
+    bound = sum(min(s, cap) for s in sizes)
+    n_cands = spark.sql("SELECT count(*) c FROM t_soak").collect()[0]["c"]
+    lat = sorted(b["ms"] for b in batches if b["ms"] is not None)
+    out = {
+        "n_docs": n_docs,
+        "n_files": n_files,
+        "n_batches": len(batches),
+        "drain_s": total,
+        "docs_per_s": int(n_docs / total) if total else 0,
+        "candidates": n_cands,
+        "batch_ms_p50": lat[len(lat) // 2] if lat else None,
+        "batch_ms_p90": lat[int(len(lat) * 0.9)] if lat else None,
+        "batch_ms_max": lat[-1] if lat else None,
+        "state_rows_final": batches[-1]["state_rows"] if batches else None,
+        "state_rows_bound": bound,
+        "state_bounded": bool(batches
+                              and batches[-1]["state_rows"] <= bound),
+        "n_buckets": len(sizes),
+        "n_buckets_closed": sum(1 for s in sizes if s >= cap),
+        "state_rows_series": [b["state_rows"] for b in batches],
+        "batch_ms_series": [b["ms"] for b in batches],
+        "out_pairs_series": [b["out_pairs"] for b in batches],
+    }
+    for k, v in out.items():
+        print(f"  {k}: {v}", file=sys.stderr)
+    return out
+
+
 _SPILL_QUERIES = ("x1_dedup_jaccard_ngram", "x1_dedup_components",
                   "w1_running_revenue_per_customer", "etl_scd2_intervals",
                   "x5_decontaminate_ngram")
@@ -703,6 +819,12 @@ def main() -> None:
                          "watermarked dedup, applyInPandasWithState, "
                          "transformWithState) over replicated events: "
                          "drain time + events/sec per face")
+    ap.add_argument("--soak", type=int, default=0,
+                    help="long-stream soak for the streaming LSH face: "
+                         "N micro-batches (one doc_id-range file per "
+                         "trigger) over the x10 corpus on RocksDB; "
+                         "per-batch latency/state-growth series + the "
+                         "capped-bucket state bound (VERDICT r7 item 6)")
     ap.add_argument("--pipe-copies", type=int, default=0,
                     help="run ONLY the scoped document pipeline at N "
                          "fixture copies (4 docs each; 250000 -> 1M docs) "
@@ -765,6 +887,13 @@ def main() -> None:
             res = run_spill_probe(spark, qs, d)
             print(json.dumps({"mode": "spill", "mult": mult,
                               "metrics": res}))
+        return
+
+    if args.soak:
+        d = build_dir(spark, 10, False)
+        print(f"soak probe {args.soak} batches -> {d}", file=sys.stderr)
+        res = run_soak_probe(spark, d, n_files=args.soak)
+        print(json.dumps({"mode": "soak", "mult": 10, "metrics": res}))
         return
 
     if args.streaming:
