@@ -432,12 +432,15 @@ def run_soak_probe(spark, sf_dir: str, n_files: int = 50) -> dict:
             "state_updated": so.get("numRowsUpdated"),
         })
 
-    # state bound: final bucket membership can never exceed
-    # sum(min(bucket_size, cap)) over the batch face's bucket table
+    # state bounds: the operator's numRowsTotal counts state KEYS (one per
+    # touched (band, bucket)), so its ceiling is the corpus's bucket
+    # count; the per-key ListState is cap-bounded by construction (the
+    # close-at-cap guard, pinned in test_streaming.py), giving the member
+    # ceiling sum(min(bucket_size, cap)) reported alongside.
     bb = (minhash_band_buckets(docs.select("doc_id", "text"))
           .groupBy("band", "bucket").count().select("count").collect())
     sizes = [r["count"] for r in bb]
-    bound = sum(min(s, cap) for s in sizes)
+    member_bound = sum(min(s, cap) for s in sizes)
     n_cands = spark.sql("SELECT count(*) c FROM t_soak").collect()[0]["c"]
     lat = sorted(b["ms"] for b in batches if b["ms"] is not None)
     out = {
@@ -450,13 +453,14 @@ def run_soak_probe(spark, sf_dir: str, n_files: int = 50) -> dict:
         "batch_ms_p50": lat[len(lat) // 2] if lat else None,
         "batch_ms_p90": lat[int(len(lat) * 0.9)] if lat else None,
         "batch_ms_max": lat[-1] if lat else None,
-        "state_rows_final": batches[-1]["state_rows"] if batches else None,
-        "state_rows_bound": bound,
+        "state_keys_final": batches[-1]["state_rows"] if batches else None,
+        "state_keys_bound": len(sizes),
         "state_bounded": bool(batches
-                              and batches[-1]["state_rows"] <= bound),
+                              and batches[-1]["state_rows"] <= len(sizes)),
+        "state_member_rows_bound": member_bound,
         "n_buckets": len(sizes),
         "n_buckets_closed": sum(1 for s in sizes if s >= cap),
-        "state_rows_series": [b["state_rows"] for b in batches],
+        "state_keys_series": [b["state_rows"] for b in batches],
         "batch_ms_series": [b["ms"] for b in batches],
         "out_pairs_series": [b["out_pairs"] for b in batches],
     }
