@@ -211,12 +211,17 @@ def _gemm_block_pairs(emb: DataFrame, threshold: float | None = None,
     return joined.mapInPandas(sieve, "src long, dst long, dcos double")
 
 
-@register("x2_cosine_topk_bruteforce")  # FP fold order differs from SQL sum => rows-only
+@register("x2_cosine_topk_bruteforce", oracle=_COS_TOPK_ORACLE)
 def x2_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-k across ALL vectors (bench-scale path): broadcast
     self-join + zip_with/aggregate cosine, TakeOrdered top-k per query.
     O(n^2 * d) FLOPs but zero explode -- arrays stay packed, whole-stage
-    codegen keeps the fold JVM-side."""
+    codegen keeps the fold JVM-side.
+
+    Oracle-backed since r8 (the same rounding argument as the GEMM face):
+    cosines round at 9 dp BEFORE the top-k cut with ties on match_id --
+    the sequential JVM double fold diverges from the oracle's decimal SUM
+    by ~1e-15, three orders below the grain."""
     emb = (load_table(spark, sf_dir, "embeddings")
            .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
                    .alias("vec")))
@@ -225,9 +230,9 @@ def x2_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(F.col("vec_id").alias("match_id"), F.col("vec").alias("mv"))
     pairs = F.broadcast(a).crossJoin(b).filter(F.col("match_id") != F.col("query_id"))
     cos = pairs.select("query_id", "match_id",
-                       _cos_expr("qv", "mv").alias("cosine"))
+                       F.round(_cos_expr("qv", "mv"), 9).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
-    return (cos.withColumn("rnk", F.row_number().over(w))
+    return (cos.withColumn("rnk", F.row_number().over(w).cast("long"))
             .filter(F.col("rnk") <= _TOP_K))
 
 
