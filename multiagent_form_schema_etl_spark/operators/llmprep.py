@@ -176,6 +176,70 @@ def x5_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("train_df").cast("long").alias("n_train_hits")))
 
 
+_SEMDECON_THR = 0.42  # cosine floor: paraphrase-level proximity on this
+#                       corpus (random 64-dim cosines top out ~0.51; the
+#                       near-dup faces use 0.45 -- decontamination casts a
+#                       slightly wider net than dedup by design)
+
+
+@register(
+    "x5_decontaminate_semantic",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+             vec_id % 10 >= 8 AS heldout
+      FROM embeddings),
+    hits AS (
+      SELECT t.vec_id AS train_id, h.vec_id AS heldout_id,
+             ROUND(list_cosine_similarity(t.vec, h.vec), 9) AS cosine
+      FROM v t JOIN v h ON (NOT t.heldout) AND h.heldout)
+    SELECT train_id,
+           CAST(COUNT(*) AS BIGINT) AS n_heldout_hits,
+           MAX(cosine) AS max_cosine,
+           MIN(heldout_id) AS first_heldout_id
+    FROM hits WHERE cosine >= {_SEMDECON_THR}
+    GROUP BY train_id
+    """,
+)
+def x5_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination (r8): flag training examples whose
+    embedding sits within paraphrase distance (cosine >= 0.42,
+    `_SEMDECON_THR`) of ANY held-out/eval example -- the companion pass to
+    x5_decontaminate_ngram for leakage that n-gram overlap misses
+    (translations, templated rephrasings, near-duplicate embeddings).
+    Split membership is the deterministic vec_id % 10 >= 8 held-out
+    bucket; output is one row per contaminated train doc with its hit
+    count, max cosine, and lowest matching eval id.
+
+    Plan shape: the asymmetric block-GEMM sieve
+    (`similarity._gemm_block_pairs(other=heldout)`) -- one BLAS pass of
+    train blocks against the BROADCAST packed held-out side (eval
+    benches are benchmark-sized at any corpus scale, so the train corpus
+    streams through in one narrow pass; no self-pairing, no shuffle of
+    the pair space). Cosines round at 9 dp before thresholding on both
+    engines (the rounded-twin argument, same as the GEMM top-k)."""
+    from .similarity import _gemm_block_pairs
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("vec"),
+                   (F.col("vec_id") % 10 >= 8).alias("heldout")))
+    train = emb.filter(~F.col("heldout")).select("vec_id", "vec")
+    held = emb.filter(F.col("heldout")).select("vec_id", "vec")
+    pairs = _gemm_block_pairs(train, threshold=_SEMDECON_THR - 1e-6,
+                              other=held)
+    scored = pairs.select(F.col("src").alias("train_id"),
+                          F.col("dst").alias("heldout_id"),
+                          F.round("dcos", 9).alias("cosine"))
+    return (scored.filter(F.col("cosine") >= _SEMDECON_THR)
+            .groupBy("train_id")
+            .agg(F.count(F.lit(1)).alias("n_heldout_hits"),
+                 F.max("cosine").alias("max_cosine"),
+                 F.min("heldout_id").alias("first_heldout_id")))
+
+
 _PHONE_PAT = r"\b\d{2}-\d{3}-\d{3}-\d{4}\b"
 
 

@@ -134,7 +134,8 @@ _GEMM_BLOCK = 512  # vectors per block in the distributed block-GEMM sieve
 
 
 def _gemm_block_pairs(emb: DataFrame, threshold: float | None = None,
-                      margin: int | None = None) -> DataFrame:
+                      margin: int | None = None,
+                      other: DataFrame | None = None) -> DataFrame:
     """Distributed block-GEMM double sieve over all vector pairs -- the
     candidate stage shared by the exact O(n^2) faces (VERDICT r7 item 4:
     the zip_with/aggregate sieve evaluated one Catalyst scalar expression
@@ -155,26 +156,45 @@ def _gemm_block_pairs(emb: DataFrame, threshold: float | None = None,
       under (dcos desc, dst asc); the caller's partitioned window merges
       the locals exactly (the global top-margin is a subset of the union
       of per-block top-margins). Block pairs join fully (both orders).
+    - asymmetric (``other`` given, threshold mode): src blocks come from
+      ``emb``, dst blocks from ``other`` (assumed id-disjoint, e.g. a
+      train/heldout split); every src x dst block pair joins once and all
+      pairs >= threshold emit -- the eval-decontamination shape, where
+      the ``other`` side is usually benchmark-sized and its packed blocks
+      broadcast.
     """
     import numpy as np
     import pandas as pd
 
     assert (threshold is None) != (margin is None)
-    packed = (emb.withColumn(
-        "blk", F.expr(f"CAST(vec_id DIV {_GEMM_BLOCK} AS INT)"))
-        .groupBy("blk")
-        .agg(F.collect_list(F.struct("vec_id", "vec")).alias("rows")))
+    assert other is None or threshold is not None
+
+    def pack(df):
+        return (df.withColumn(
+            "blk", F.expr(f"CAST(vec_id DIV {_GEMM_BLOCK} AS INT)"))
+            .groupBy("blk")
+            .agg(F.collect_list(F.struct("vec_id", "vec")).alias("rows")))
+
+    packed = pack(emb)
     a = packed.select(F.col("blk").alias("blk_a"),
                       F.col("rows").alias("rows_a"))
-    b = packed.select(F.col("blk").alias("blk_b"),
-                      F.col("rows").alias("rows_b"))
-    joined = (a.join(b, F.col("blk_a") <= F.col("blk_b"))
-              if threshold is not None else a.crossJoin(b))
+    b = (pack(other) if other is not None else packed).select(
+        F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    if other is not None:
+        joined = a.crossJoin(F.broadcast(b))
+    elif threshold is not None:
+        joined = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    else:
+        joined = a.crossJoin(b)
+
+    symmetric = other is None
 
     def sieve(batches):
         for pdf in batches:
             for ra, rb, same in zip(pdf["rows_a"], pdf["rows_b"],
-                                    pdf["blk_a"] == pdf["blk_b"]):
+                                    (pdf["blk_a"] == pdf["blk_b"])
+                                    if symmetric
+                                    else [False] * len(pdf)):
                 ia = np.asarray([r["vec_id"] for r in ra], dtype=np.int64)
                 ib = np.asarray([r["vec_id"] for r in rb], dtype=np.int64)
                 ma = np.asarray([np.asarray(r["vec"], dtype=np.float64)
