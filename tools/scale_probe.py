@@ -177,6 +177,21 @@ def run_ann_probe(spark, qs, sf_dir: str) -> dict:
     out["ivf_dedup_pairs"] = qs["x1_dedup_embedding_ivf"](
         spark, sf_dir).count()
     out["ivf_dedup_s"] = round(time.perf_counter() - t0, 2)
+
+    # r8: the block-GEMM-sieved exact faces (VERDICT r7 item 4) -- the
+    # O(n^2)-FLOPs faces must stay BLAS-bound, not plan-bound, as the
+    # corpus replicates
+    t0 = time.perf_counter()
+    out["embedding_cosine_pairs"] = qs["x1_dedup_embedding_cosine"](
+        spark, sf_dir).count()
+    out["embedding_cosine_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    out["knn_graph_rows"] = qs["x2_knn_graph"](spark, sf_dir).count()
+    out["knn_graph_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    out["semantic_decon_docs"] = qs["x5_decontaminate_semantic"](
+        spark, sf_dir).count()
+    out["semantic_decon_s"] = round(time.perf_counter() - t0, 2)
     for k, v in out.items():
         print(f"  {k}: {v}", file=sys.stderr)
     return out
