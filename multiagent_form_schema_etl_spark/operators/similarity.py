@@ -220,6 +220,10 @@ def _gemm_block_pairs(emb: DataFrame, threshold: float | None = None,
                     for r in range(len(ia)):
                         row = s[r]
                         top = np.lexsort((ib, -row))[:margin]
+                        # a block smaller than the margin would otherwise
+                        # let the -inf-masked self slot through the local
+                        # top-k (and re-rank as cosine 1.0 downstream)
+                        top = top[np.isfinite(row[top])]
                         out_s.extend([ia[r]] * len(top))
                         out_d.extend(ib[top])
                         out_c.extend(row[top])

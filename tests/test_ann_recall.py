@@ -325,3 +325,23 @@ def test_coreset_kcenter_batched_mirror_and_radius(spark):
     r_batched = radius([v for _r, v, _d in sel])
     r_greedy = radius(greedy_ids)
     assert r_batched <= 2.0 * r_greedy + 1e-9, (r_batched, r_greedy)
+
+
+def test_gemm_block_pairs_small_block_never_emits_self(spark):
+    """Margin-mode block-GEMM sieve on a block SMALLER than the margin:
+    the -inf-masked self slot must not leak through the local top-k
+    (downstream decimal re-rank would score it cosine 1.0 and corrupt
+    the kNN graph). Three vectors, margin 5: every (src, dst) pair with
+    src != dst emits exactly once, no self pairs."""
+    from pyspark.sql import functions as F
+
+    from multiagent_form_schema_etl_spark.operators.similarity import (
+        _gemm_block_pairs)
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.8, 0.6]), (2, [0.0, 1.0])],
+        "vec_id long, vec array<double>")
+    rows = _gemm_block_pairs(emb, margin=5).collect()
+    got = {(r["src"], r["dst"]) for r in rows}
+    assert got == {(a, b) for a in range(3) for b in range(3) if a != b}
+    assert all(abs(r["dcos"]) <= 1.0 + 1e-12 for r in rows)
