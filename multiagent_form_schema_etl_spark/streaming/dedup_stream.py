@@ -43,6 +43,7 @@ from ..operators.dedup import minhash_band_buckets
 
 _CAND_SCHEMA = "band long, bucket long, doc_a long, doc_b long"
 _DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+_EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
 
 
 # one symlink-wrapper dir per source FILE for the process lifetime --
@@ -131,6 +132,84 @@ def streaming_lsh_candidates(spark: SparkSession, sf_dir: str,
         outputStructType=_CAND_SCHEMA,
         outputMode="Append",
         timeMode="None")
+
+
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over embeddings.parquet (same directory-wrap
+    trick as stream_documents)."""
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(src):
+        d = src
+    elif src in _STREAM_DIRS:
+        d = _STREAM_DIRS[src]
+    else:
+        d = tempfile.mkdtemp(prefix="embeddings_stream_")
+        os.symlink(src, os.path.join(d, "embeddings.parquet"))
+        _STREAM_DIRS[src] = d
+    return (spark.readStream.schema(_EMB_SCHEMA)
+            .format("parquet").load(d))
+
+
+def streaming_semantic_decon(spark: SparkSession, sf_dir: str,
+                             source: DataFrame | None = None,
+                             threshold: float = 0.42) -> DataFrame:
+    """LIVE semantic decontamination: training examples arriving on a
+    stream are flagged AT INGEST when their embedding sits within
+    paraphrase distance (cosine >= ``threshold``) of any held-out/eval
+    example -- the streaming twin of the batch
+    `llmprep.x5_decontaminate_semantic`, for the landing-zone deployment
+    where contaminated examples should never reach the corpus at all.
+
+    Fully STATELESS past the source: the eval side is benchmark-sized by
+    construction (the deterministic vec_id % 10 >= 8 split here; a real
+    deployment pins its eval benches), so its L2-normalized matrix is
+    collected once at plan build and rides the task closure -- each
+    micro-batch pays one Arrow hop and one BLAS GEMM per batch, no
+    state store, no shuffle. Output: (train_id, heldout_id, cosine) per
+    hit, cosine rounded at 9 dp exactly like the batch face; per-pair
+    rows (the batch face's pre-aggregation relation) so downstream can
+    either drop flagged ids or aggregate as the batch face does.
+    Pinned set-equal to the batch face over a 2-file micro-batched
+    stream in tests/test_streaming.py."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    held_rows = (load_table(spark, sf_dir, "embeddings")
+                 .filter(F.col("vec_id") % 10 >= 8)
+                 .select("vec_id", "embedding").collect())
+    h_ids = np.asarray([r["vec_id"] for r in held_rows], dtype=np.int64)
+    hm = np.asarray([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in held_rows])
+    hn = np.linalg.norm(hm, axis=1, keepdims=True)
+    hn[hn == 0] = 1.0
+    hm = hm / hn
+
+    emb = source if source is not None else stream_embeddings(spark, sf_dir)
+    train = emb.filter(F.col("vec_id") % 10 < 8)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf["embedding"]])
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            s = np.round((m / n) @ hm.T, 9)
+            ii, jj = np.nonzero(s >= threshold)
+            yield pd.DataFrame({"train_id": ids[ii],
+                                "heldout_id": h_ids[jj],
+                                "cosine": s[ii, jj]})
+
+    return train.select("vec_id", "embedding").mapInPandas(
+        score, "train_id long, heldout_id long, cosine double")
 
 
 def streaming_lsh_verified(spark: SparkSession, sf_dir: str,

@@ -254,3 +254,37 @@ def test_sweep_line_concurrency_matches_brute_force(spark, tmp_path):
             peak_start = min(t for t, c in conc.items() if c == peak)
             want[etype] = (peak, peak_start)
         assert got == want, f"seed {seed}"
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 10_000),   # n_chars (incl. clamp range)
+                          st.integers(0, 128)),     # diversity quantum
+                min_size=1, max_size=60))
+def test_bucket_prefix_rank_equals_global_window(spark, rows):
+    """The bucket-prefix rank decomposition (x4_rank_fusion_rrf's r8 plan:
+    clamp-bounded bucket ids monotone in the sort order + driver-side
+    prefix sums + partitioned within-bucket row_number) must equal the
+    single global row_number window on arbitrary data, including ties,
+    clamp-boundary values (n_chars >= 4095*64 collapse into bucket 0),
+    and single-row inputs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from multiagent_form_schema_etl_spark.operators.textstats import (
+        _bucket_prefix_rank)
+
+    data = [(i, n, d / 128.0) for i, (n, d) in enumerate(rows)]
+    sig = (spark.createDataFrame(
+        data, "doc_id long, n_chars int, diversity double")
+        .withColumn("_b_len",
+                    (F.lit(4095) - F.least(F.col("n_chars") / F.lit(64),
+                                           F.lit(4095)).cast("int"))
+                    .cast("int")))
+    got = {r["doc_id"]: r["r"] for r in _bucket_prefix_rank(
+        sig, "_b_len", (F.desc("n_chars"), F.asc("doc_id")), "r",
+        spark).collect()}
+    want = {r["doc_id"]: r["r"] for r in sig.select(
+        "doc_id", F.row_number().over(
+            Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))).alias("r"))
+        .collect()}
+    assert got == want

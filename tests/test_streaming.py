@@ -864,3 +864,55 @@ def test_streaming_lsh_verified_matches_python_reference(spark, tmp_path):
     assert set(got) == set(want) and len(got) > 0
     for p, jv in want.items():
         assert abs(got[p] - jv) < 1e-12, (p, got[p], jv)
+
+
+def test_streaming_semantic_decon_matches_batch_face(spark, tmp_path):
+    """Live semantic decontamination (stateless stream-side GEMM against
+    the static eval matrix) must produce exactly the batch face's
+    pre-aggregation hit set -- same pairs, same 9-dp cosines -- over a
+    2-file micro-batched embedding stream, and its per-train aggregation
+    must equal x5_decontaminate_semantic row-for-row."""
+    import os
+    import shutil
+    from collections import defaultdict
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.operators.llmprep import (
+        x5_decontaminate_semantic)
+    from multiagent_form_schema_etl_spark.streaming import dedup_stream as ds
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding", "label")
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    halves = [emb.filter(F.col("vec_id") <= ids[len(ids) // 2]),
+              emb.filter(F.col("vec_id") > ids[len(ids) // 2])]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, part in enumerate(halves):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        [pf] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.copy(stage / pf, src / f"{i}.parquet")
+        os.utime(src / f"{i}.parquet",
+                 (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (spark.readStream.schema(ds._EMB_SCHEMA)
+           .format("parquet").option("maxFilesPerTrigger", "1")
+           .load(str(src)))
+    st.run_append_to_memory(
+        ds.streaming_semantic_decon(spark, SF_SMOKE, source=raw),
+        "t_semdecon")
+    rows = spark.sql("SELECT * FROM t_semdecon").collect()
+    assert rows and len(rows) == len({(r["train_id"], r["heldout_id"])
+                                      for r in rows})
+
+    agg = defaultdict(lambda: [0, -1.0, 1 << 62])
+    for r in rows:
+        a = agg[r["train_id"]]
+        a[0] += 1
+        a[1] = max(a[1], r["cosine"])
+        a[2] = min(a[2], r["heldout_id"])
+    want = {r["train_id"]: (r["n_heldout_hits"], r["max_cosine"],
+                            r["first_heldout_id"])
+            for r in x5_decontaminate_semantic(spark, SF_SMOKE).collect()}
+    assert {k: tuple(v) for k, v in agg.items()} == want
