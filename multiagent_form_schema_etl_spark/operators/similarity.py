@@ -351,6 +351,22 @@ _EMB_COS_PAIRS_ORACLE = f"""
     """
 
 
+# The same pair set stated with DuckDB's native list cosine (identical
+# 9-dp-rounded values -- the knn/semantic-clusters precedent): the IVF
+# face carries this cheap form so the sweep doesn't pay the decimal
+# dim join twice; the decimal-stated anchor stays on the exact face.
+_EMB_COS_PAIRS_ORACLE_NATIVE = """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.vec, b.vec), 9) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 9) >= 0.45
+    """
+
+
 @register("x1_dedup_embedding_cosine", oracle=_EMB_COS_PAIRS_ORACLE)
 def x1_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup: all pairs with cosine >= 0.45 (threshold
@@ -453,7 +469,7 @@ def _ivf_dedup_cells(spark: SparkSession, sf_dir: str
     return emb, cells
 
 
-@register("x1_dedup_embedding_ivf", oracle=_EMB_COS_PAIRS_ORACLE)
+@register("x1_dedup_embedding_ivf", oracle=_EMB_COS_PAIRS_ORACLE_NATIVE)
 def x1_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup at scale: IVF-bucketed embedding near-dup (the
     SemDeDup shape -- coarse-quantize the corpus, pair only within cells,
