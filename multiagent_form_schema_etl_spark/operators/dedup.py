@@ -508,6 +508,122 @@ def minhash_band_buckets(docs: DataFrame) -> DataFrame:
          .alias("band", "bucket"))
 
 
+_LSH_MD5_CAP = 50  # same frequent-bucket guard as the xxhash face
+
+
+@register(
+    "x1_dedup_minhash_lsh_md5",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    seeds AS (SELECT unnest(range(0, {_MINHASH_K})) AS i),
+    sig AS (
+      SELECT doc_id, i,
+             MIN({_md5_int_sql("token || ':' || CAST(i AS VARCHAR)", 'duck')})
+               AS mh
+      FROM tok_d, seeds GROUP BY doc_id, i),
+    bands AS (
+      SELECT doc_id, i // {_MINHASH_K // _LSH_BANDS} AS band,
+             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS key
+      FROM sig GROUP BY doc_id, i // {_MINHASH_K // _LSH_BANDS}),
+    good AS (
+      SELECT band, key FROM bands GROUP BY band, key
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_MD5_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN good g ON a.band = g.band AND a.key = g.key
+      JOIN bands b ON a.band = b.band AND a.key = b.key
+                  AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN tok_d ta ON ta.doc_id = c.doc_a
+      JOIN tok_d tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter)
+             AS jaccard
+    FROM inter i
+    JOIN tok_sizes sa ON i.doc_a = sa.doc_id
+    JOIN tok_sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.8
+    """,
+)
+def x1_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the PORTABLE md5 hash family -- the oracle-backed
+    twin of `x1_dedup_minhash_lsh` (r8): same pipeline end to end (k=16
+    seeded minima over the distinct token set, 4 bands of 4, band-bucket
+    candidate join with the 2..50 bucket guard, true-Jaccard >= 0.8
+    verification), but every hash is the first-8-hex-digits-of-md5
+    integer DuckDB reproduces bit-for-bit, so the ENTIRE LSH pipeline --
+    signature build, banding, frequent-bucket cap, candidate set, and
+    verification -- is value-hash-checked by the gate instead of the
+    rows-only carve-out. The xxhash64 face stays registered as the fast
+    path (JVM xxhash is ~5x cheaper than md5); this face is the family's
+    correctness anchor, exactly like the decimal anchor in X2.
+
+    Signature build is the same STATELESS per-row map as the fast face
+    (array transform + array_min, zero shuffles); band keys are the
+    '-'-joined minima in seed order (a string both engines render
+    identically for 32-bit non-negative ints)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.array_distinct(
+        F.filter(F.split("text", " "), lambda w: w != ""))
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+
+    def mh(i: int):
+        # closure factory (not a default-arg lambda): F.transform binds
+        # any two-parameter callable as (element, index)
+        def h(t):
+            return F.conv(
+                F.substring(F.md5(F.concat(t, F.lit(f":{i}"))), 1, 8),
+                16, 10).cast("bigint")
+        return F.array_min(F.transform("toks", h))
+
+    rows_per_band = _MINHASH_K // _LSH_BANDS
+    band_cols = [
+        F.concat_ws("-", *[mh(b * rows_per_band + r).cast("string")
+                           for r in range(rows_per_band)]).alias(f"k{b}")
+        for b in range(_LSH_BANDS)]
+    banded = d.select("doc_id", *band_cols)
+    buckets = banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"k{b}")
+                               for b in range(_LSH_BANDS)]))
+         .alias("band", "key"))
+    good = (buckets.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter((F.col("n") > 1) & (F.col("n") <= _LSH_MD5_CAP))
+            .select("band", "key"))
+    buckets = buckets.join(F.broadcast(good), ["band", "key"])
+    cand = (buckets.alias("a").join(
+                buckets.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    tok = (docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("token"))
+           .filter(F.col("token") != "").distinct())
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (cand.join(ta, "doc_a").join(tb, ["doc_b", "token"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    j = (inter
+         .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                            F.col("n_tok").alias("na")), "doc_a")
+         .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                            F.col("n_tok").alias("nb")), "doc_b")
+         .withColumn("jaccard", F.col("n_inter").cast("double")
+                     / (F.col("na") + F.col("nb") - F.col("n_inter"))))
+    return (j.filter(F.col("jaccard") >= 0.8)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
 def min_label_components(nodes: DataFrame, pairs: DataFrame,
                          max_rounds: int = 15) -> DataFrame:
     """Connected components by iterative min-label propagation, shared by

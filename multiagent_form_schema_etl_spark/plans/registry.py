@@ -198,8 +198,12 @@ PRIORITY: tuple[str, ...] = (
     "doc_u7_scoped_hoisted",
     # x1_dedup_jaccard_ngram (green r2-r7) hands its slot to the new
     # dense-corpus auto-selector face so the BLOCKPAIRS branch is driver-
-    # visible through the selector, not only directly (VERDICT r7 item 7)
-    "x1_dedup_exact", "x1_dedup_jaccard_auto_dense", "x1_dedup_components",
+    # visible through the selector, not only directly (VERDICT r7 item 7);
+    # x1_dedup_components (green r2-r7, star twin greened r7) hands its
+    # slot to the new portable-md5 MinHash+LSH twin so the flagship LSH
+    # pipeline gets its first oracle-checked driver row
+    "x1_dedup_exact", "x1_dedup_jaccard_auto_dense",
+    "x1_dedup_minhash_lsh_md5",
     "x1_dedup_jaccard_prefix", "x1_dedup_jaccard_blockpairs",
     "x1_dedup_chunk_exact", "x1_dedup_incremental",
     "s_pydatasource_formdocs",
