@@ -345,3 +345,20 @@ def test_gemm_block_pairs_small_block_never_emits_self(spark):
     got = {(r["src"], r["dst"]) for r in rows}
     assert got == {(a, b) for a in range(3) for b in range(3) if a != b}
     assert all(abs(r["dcos"]) <= 1.0 + 1e-12 for r in rows)
+
+
+def test_minhash_lsh_md5_sound_and_recall(spark, true_jaccard_pairs):
+    """The portable-md5 oracle twin of the LSH face: same soundness
+    contract (every emitted pair is a TRUE >= 0.8 Jaccard pair with the
+    exact Jaccard value) and a nonzero candidate-recall floor under the
+    same frequent-bucket cap -- the hash family changes which buckets
+    collide, never the verification."""
+    out = {(r.doc_a, r.doc_b): r.jaccard
+           for r in _queries()["x1_dedup_minhash_lsh_md5"](
+               spark, SF_SMOKE).collect()}
+    assert out, "md5 LSH returned no pairs"
+    for pair, j in out.items():
+        assert pair in true_jaccard_pairs, f"unsound pair {pair} (j={j})"
+        assert abs(true_jaccard_pairs[pair] - j) < 1e-9
+    recall = len(set(out) & set(true_jaccard_pairs)) / len(true_jaccard_pairs)
+    assert recall >= 0.03, f"md5 LSH recall collapsed: {recall:.3f}"
