@@ -439,12 +439,17 @@ def run_soak_probe(spark, sf_dir: str, n_files: int = 50) -> dict:
         if not p.get("stateOperators") or p["numInputRows"] == 0:
             continue
         so = p["stateOperators"][0]
+        cm = so.get("customMetrics", {}) or {}
         batches.append({
             "ms": p["durationMs"].get("triggerExecution"),
             "in_rows": p["numInputRows"],
             "out_pairs": p.get("sink", {}).get("numOutputRows", -1),
             "state_rows": so.get("numRowsTotal"),
             "state_updated": so.get("numRowsUpdated"),
+            # RocksDB on-disk footprint (bytes): the actual state-store
+            # size growth, alongside the logical key count
+            "sst_bytes": cm.get("rocksdbSstFileSize"),
+            "rocksdb_mem": cm.get("rocksdbTotalMemUsageBytes"),
         })
 
     # state bounds: the operator's numRowsTotal counts state KEYS (one per
@@ -475,9 +480,13 @@ def run_soak_probe(spark, sf_dir: str, n_files: int = 50) -> dict:
         "state_member_rows_bound": member_bound,
         "n_buckets": len(sizes),
         "n_buckets_closed": sum(1 for s in sizes if s >= cap),
+        "sst_bytes_final": batches[-1]["sst_bytes"] if batches else None,
+        "rocksdb_mem_final": (batches[-1]["rocksdb_mem"]
+                              if batches else None),
         "state_keys_series": [b["state_rows"] for b in batches],
         "batch_ms_series": [b["ms"] for b in batches],
         "out_pairs_series": [b["out_pairs"] for b in batches],
+        "sst_bytes_series": [b["sst_bytes"] for b in batches],
     }
     for k, v in out.items():
         print(f"  {k}: {v}", file=sys.stderr)
