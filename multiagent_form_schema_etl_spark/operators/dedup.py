@@ -716,6 +716,93 @@ def x1_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+@register(
+    "x1_dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE {_TOKENS_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tok_d a JOIN tok_d b
+        ON a.token = b.token AND a.lang = b.lang AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN tok_sizes sa ON i.doc_a = sa.doc_id
+      JOIN tok_sizes sb ON i.doc_b = sb.doc_id
+      WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.8),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component_id
+             FROM reach GROUP BY src),
+    quality AS (
+      SELECT doc_id,
+             ROUND(CASE WHEN len >= 200 THEN 1.0 ELSE len / 200 END * 0.5
+                   + CASE WHEN n_tokens >= 40 THEN 1.0
+                          ELSE CAST(n_tokens AS DOUBLE) / 40 END * 0.5,
+                   6) AS quality
+      FROM (SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1
+                        AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS DOUBLE) AS len
+            FROM documents)),
+    ranked AS (
+      SELECT c.component_id, c.doc_id, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                ORDER BY q.quality DESC, c.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.component_id) AS n_docs
+      FROM comp c JOIN quality q ON c.doc_id = q.doc_id)
+    SELECT component_id, doc_id AS keep_doc_id, quality AS best_quality,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1
+    """,
+)
+def x1_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup canonicalization (r8): per near-dup cluster,
+    KEEP THE BEST document (highest x4_quality_score heuristic, min
+    doc_id on ties) instead of an arbitrary min-id representative -- what
+    production corpus dedup actually ships: duplicates differ in OCR
+    noise, truncation, and boilerplate, and keeping the highest-quality
+    member is the whole point of finding the cluster. Composes the
+    Jaccard pair graph + min-label components kernel with the portable
+    saturating quality formula (identical in both engines, rounded at 6
+    before ranking).
+
+    Scale shape: everything up to components is the proven near-dup
+    lineage; the selection is one quality join (map-side formula, no
+    extra scan beyond documents) and a window PARTITIONED by component --
+    no global sort, no driver loop."""
+    from pyspark.sql import Window
+
+    pairs = x1_dedup_jaccard_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents")
+    comp = min_label_components(docs.select("doc_id"), pairs)
+    n_tokens = (F.length("text")
+                - F.length(F.regexp_replace("text", " ", "")) + 1
+                ).cast("long")
+    length = F.length("text").cast("double")
+    quality = (F.when(length >= 200, 1.0).otherwise(length / 200) * 0.5
+               + F.when(n_tokens >= 40, F.lit(1.0))
+                  .otherwise(n_tokens.cast("double") / 40) * 0.5)
+    q = docs.select("doc_id", F.round(quality, 6).alias("quality"))
+    joined = comp.select(F.col("node_id").alias("doc_id"),
+                         "component_id").join(q, "doc_id")
+    w = Window.partitionBy("component_id")
+    ww = w.orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (joined
+            .withColumn("rn", F.row_number().over(ww))
+            .withColumn("n_docs", F.count(F.lit(1)).over(w))
+            .filter(F.col("rn") == 1)
+            .select("component_id", F.col("doc_id").alias("keep_doc_id"),
+                    F.col("quality").alias("best_quality"),
+                    F.col("n_docs").cast("long").alias("n_docs")))
+
+
 def star_contraction_components(nodes: DataFrame, pairs: DataFrame,
                                 max_rounds: int = 24) -> DataFrame:
     """Connected components by alternating large-star/small-star contraction
