@@ -419,11 +419,13 @@ def run_soak_probe(spark, sf_dir: str, n_files: int = 50) -> dict:
              .option("checkpointLocation",
                      tempfile.mkdtemp(prefix="soak_ckpt_"))
              .start())
-        t0 = time.perf_counter()
-        q.processAllAvailable()
-        total = round(time.perf_counter() - t0, 2)
-        prog = [_json.loads(p.json) for p in q.recentProgress]
-        q.stop()
+        try:
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            total = round(time.perf_counter() - t0, 2)
+            prog = [_json.loads(p.json) for p in q.recentProgress]
+        finally:
+            q.stop()  # a failed drain must not leave the query running
     finally:
         if old is None:
             spark.conf.unset(provider_key)
