@@ -920,10 +920,12 @@ def main() -> None:
         return
 
     if args.soak:
-        d = build_dir(spark, 10, False)
-        print(f"soak probe {args.soak} batches -> {d}", file=sys.stderr)
+        mult = mults[0] if mults else 10  # --mults 30 --soak 50 = 30x soak
+        d = build_dir(spark, mult, False)
+        print(f"soak probe {args.soak} batches x{mult} -> {d}",
+              file=sys.stderr)
         res = run_soak_probe(spark, d, n_files=args.soak)
-        print(json.dumps({"mode": "soak", "mult": 10, "metrics": res}))
+        print(json.dumps({"mode": "soak", "mult": mult, "metrics": res}))
         return
 
     if args.streaming:
