@@ -90,6 +90,21 @@ def test_catches_bare_getenv_and_environ(tmp_path):
     assert clean2 == []
 
 
+def test_catches_dot_preceded_os_chain(tmp_path):
+    # ADVICE r8: the blanket lookbehind that fixed myos/chaos also
+    # suppressed genuine env reads through attribute chains ENDING in the
+    # os module -- those must still flag.
+    errs = _errs(tmp_path,
+                 "import os as _os\n"
+                 "class C:\n"
+                 "    os = _os\n"
+                 "    def f(self, mod):\n"
+                 "        a = mod.os.environ['SECRET_Y']\n"
+                 "        return self.os.getenv('TOKEN_Y')\n")
+    assert any("SECRET_Y" in e for e in errs)
+    assert any("TOKEN_Y" in e for e in errs)
+
+
 def test_catches_google_submodule_beyond_protobuf(tmp_path):
     ok = _errs(tmp_path, "from google.protobuf import message\n")
     assert ok == []

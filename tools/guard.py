@@ -165,13 +165,20 @@ def check_file(path: str) -> list[str]:
     # every env read form: os.environ.get("X"), os.environ["X"],
     # os.getenv("X") -- plus the bare spellings getenv("X") / environ["X"]
     # that a `from os import getenv, environ` would enable (ADVICE r6:
-    # the os.-prefixed regex alone let those escape the guard). NEITHER
-    # branch may be preceded by a dot or word char, or attribute access
-    # on unrelated objects (request.environ[...], h.getenv(...),
-    # myos.environ[...], chaos.getenv(...)) would false-fail the guard
-    # (ADVICE r7: the lookbehind previously covered only the bare branch).
+    # the os.-prefixed regex alone let those escape the guard). Three
+    # prefixes, each with its own boundary (ADVICE r8: a blanket
+    # lookbehind over the whole alternation suppressed the os.-prefixed
+    # branch when DOT-preceded, so mod.os.environ[...] escaped):
+    #   (?<![\w.])os\.  -- the plain `os.` spelling, `os` a bare name
+    #   \.os\.          -- an attribute chain ending in the os module
+    #                      (self.os.getenv, mod.os.environ); `myos.` /
+    #                      `chaos.` still pass: their `os` segment is
+    #                      word-preceded, not dot-preceded
+    #   (?<![\w.])      -- the bare from-import spelling; unrelated
+    #                      attributes (request.environ, h.getenv) pass
     for m in re.finditer(
-            r"(?<![\w.])(?:os\.)?(?:environ(?:\.get)?\s*[\(\[]|getenv\s*\()"
+            r"(?:(?<![\w.])os\.|\.os\.|(?<![\w.]))"
+            r"(?:environ(?:\.get)?\s*[\(\[]|getenv\s*\()"
             r"\s*['\"]([A-Z0-9_]+)", src):
         name = m.group(1)
         if not ALLOWED_ENV.match(name):
