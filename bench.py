@@ -12,10 +12,15 @@ code, and a single-run BENCH record cost r7 a 30% phantom regression):
 the default invocation runs N=$SPARK_GRAFT_BENCH_RUNS (default 3)
 INDEPENDENT passes, each in a fresh subprocess JVM so every pass's cold
 numbers include their own Catalyst analysis + codegen compile, and
-reports the per-query and per-total MEDIANS as the headline fields plus
-the full per-run records under "runs" -- the committed artifact carries
-its own error bars. `bench.py --single` runs one pass (the pre-r8
-behavior).
+reports the per-query and per-total MEDIANS. `bench.py --single` runs
+one pass (the pre-r8 behavior).
+
+Output contract (VERDICT r8 item 1: the r8 one-line record carried the
+full per-run data, overflowed the driver's ~2 KB stdout-tail capture,
+and BENCH_r08.parsed came back null): the FINAL stdout line is a COMPACT
+medians-only JSON record (hard-capped under ~1.9 KB); the full per-run
+records land in the committed side artifact BENCH_LOCAL.json, which is
+where the error bars live.
 """
 
 from __future__ import annotations
@@ -53,6 +58,9 @@ OPTIONAL = [
     "x2_cosine_topk_bruteforce",
     "x2_cosine_topk_gemm",
     "x2_ann_pq_adc",
+    "x1_dedup_embedding_cosine",
+    "x5_decontaminate_semantic",
+    "x1_dedup_keep_best_quality",
     "x4_token_stats",
     "x4_doc_fingerprint",
     "x5_decontaminate_ngram",
@@ -155,17 +163,32 @@ def main() -> None:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single"],
             stdout=subprocess.PIPE, text=True, env=os.environ)
-        lines = [ln for ln in p.stdout.splitlines()
-                 if ln.lstrip().startswith("{")]
-        if p.returncode != 0 or not lines:
+        # Scan candidate brace-prefixed lines in REVERSE for one that both
+        # parses and carries our metric -- a stray brace-prefixed log line
+        # after the record (JVM shutdown chatter) must not crash the
+        # multi-run bench with a bare JSONDecodeError (ADVICE r8).
+        rec = None
+        for ln in reversed([ln for ln in p.stdout.splitlines()
+                            if ln.lstrip().startswith("{")]):
+            try:
+                cand = json.loads(ln)
+            except ValueError:
+                continue
+            if (isinstance(cand, dict)
+                    and cand.get("metric") == "headline_queries_total_runtime"):
+                rec = cand
+                break
+        if p.returncode != 0 or rec is None:
             raise RuntimeError(
-                f"bench pass failed (rc={p.returncode}): {p.stdout[-500:]}")
-        runs.append(json.loads(lines[-1]))
+                f"bench pass failed (rc={p.returncode}, "
+                f"record={'missing' if rec is None else 'ok'}): "
+                f"{p.stdout[-500:]}")
+        runs.append(rec)
 
     def med(xs):
         return round(statistics.median(xs), 3)
 
-    rec = {
+    full = {
         "metric": "headline_queries_total_runtime",
         # headline value/queries = per-total and per-query MEDIANS over
         # the runs (so the per-query medians need not sum to "value")
@@ -185,7 +208,26 @@ def main() -> None:
                  for r in runs],
         "sf": runs[0]["sf"],
     }
-    print(json.dumps(rec))
+    # Full record (medians + every per-run sample) goes to a committed side
+    # artifact; stdout gets ONLY a compact medians line. VERDICT r8 item 1:
+    # the one-line multi-run record (~6-7 KB) overflowed the driver's ~2 KB
+    # stdout-tail capture and BENCH_r08.parsed came back null -- the error
+    # bars live in the file, the driver contract line stays small.
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_LOCAL.json")
+    try:
+        with open(side, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the medians
+    compact = {k: full[k] for k in
+               ("metric", "value", "unit", "queries", "queries_warm",
+                "warm_total", "n_runs", "sf")}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # hard budget: never overflow the tail capture
+        compact.pop("queries_warm")  # still in BENCH_LOCAL.json
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
