@@ -10,7 +10,10 @@ robustness pass -- catches LIMIT ties and scale-dependent divergence).
 
 from __future__ import annotations
 
+import contextlib
+import io
 import math
+import re
 import sys
 import time
 
@@ -22,6 +25,195 @@ import os
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
+
+# ---------------------------------------------------------------------------
+# Rounded-oracle boundary audit (VERDICT r8 item 3). The 9-dp-rounded faces
+# reconcile ~1e-15 fp fold-order divergence (BLAS vs DuckDB native vs decimal
+# SQL) by rounding BEFORE comparison; that argument fails only if a COMPARED
+# cell's pre-round value sits within the divergence of a 0.5e-9 rounding-bin
+# boundary (for thresholded faces, the threshold's own bin edge -- the same
+# .5e-9 grid -- controls membership). This audit recomputes each face's
+# compared cells at full double precision in DuckDB, reports the min
+# |value - nearest boundary| per face, FAILS below 5e-15 (3x the 1.5e-15
+# max observed cross-engine divergence: a flip is then genuinely imminent)
+# and WARNS below 1e-12 -- so a regenerated corpus that straddles a bin is
+# pre-detected, not a surprise hash FAIL.
+#
+# Exposure = compared cells ONLY, never all pairs: boundary distances are
+# quasi-uniform on [0, 0.5e-9], so the expected min over n values is
+# 0.5e-9/n -- an all-pairs exposure (1.2e5+ values) lands ~4e-15 on EVERY
+# corpus and says nothing about the hash, while the compared sets (top-k
+# rows + the rank-k+1 inclusion cell, >=threshold pairs + the membership
+# skin, emitted norms) are what a flip can actually change. Integer-
+# arithmetic ROUNDs (quality formulas, token fractions) are bit-identical
+# on both engines by construction and are not exposed. Embeddings are
+# 500-2000 rows here, so the exposures are cheap gate artifacts.
+_COS_CTE = """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings)"""
+_BOUNDARY_EXPOSURES: dict[str, str] = {
+    # emitted top-5 per query plus the rank-6 inclusion cell
+    "topk_cells": _COS_CTE + """,
+        cos AS (SELECT a.vec_id AS q, list_cosine_similarity(a.vec, b.vec) AS x
+                FROM e a JOIN e b ON b.vec_id <> a.vec_id
+                WHERE a.vec_id < 10)
+        SELECT x FROM (SELECT x, ROW_NUMBER() OVER (PARTITION BY q
+                                                    ORDER BY x DESC) AS r
+                       FROM cos) WHERE r <= 6""",
+    # emitted top-3 neighbors per source plus the rank-4 inclusion cell
+    "knn_cells": _COS_CTE + """,
+        cos AS (SELECT a.vec_id AS s, list_cosine_similarity(a.vec, b.vec) AS x
+                FROM e a JOIN e b ON b.vec_id <> a.vec_id)
+        SELECT x FROM (SELECT x, ROW_NUMBER() OVER (PARTITION BY s
+                                                    ORDER BY x DESC) AS r
+                       FROM cos) WHERE r <= 4""",
+    # emitted >=0.45 pair cosines plus the membership skin below the edge
+    "emb_pairs_045": _COS_CTE + """
+        SELECT list_cosine_similarity(a.vec, b.vec) AS x
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.vec, b.vec) >= 0.45 - 2e-9""",
+    # clusters emit only component MEMBERSHIP -- just the 0.45 edge skin
+    "emb_skin_045": _COS_CTE + """
+        SELECT list_cosine_similarity(a.vec, b.vec) AS x
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.vec, b.vec)
+              BETWEEN 0.45 - 2e-9 AND 0.45 + 2e-9""",
+    # decon emits per-train max cosine + hit counts: >=0.42 cells + skin
+    "decon_pairs_042": _COS_CTE + """
+        SELECT list_cosine_similarity(t.vec, h.vec) AS x
+        FROM e t JOIN e h
+          ON (NOT t.vec_id % 10 >= 8) AND h.vec_id % 10 >= 8
+        WHERE list_cosine_similarity(t.vec, h.vec) >= 0.42 - 2e-9""",
+    # pre-round centered norms of x2_grouped_center_applyinpandas (all
+    # cells are emitted)
+    "centered_norms": """
+        WITH e AS (
+          SELECT vec_id, label,
+                 unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                   AS v,
+                 unnest(range(1, length(embedding) + 1)) AS i
+          FROM embeddings),
+        mu AS (SELECT label, i, AVG(v) AS mu FROM e GROUP BY label, i)
+        SELECT sqrt(SUM((e.v - mu.mu) * (e.v - mu.mu))) AS x
+        FROM e JOIN mu ON e.label = mu.label AND e.i = mu.i
+        GROUP BY e.vec_id, e.label""",
+}
+_BOUNDARY_FACES: dict[str, str] = {
+    "x2_cosine_topk": "topk_cells",
+    "x2_cosine_topk_gemm": "topk_cells",
+    "x2_cosine_topk_bruteforce": "topk_cells",
+    "x2_ann_lsh_buckets": "topk_cells",
+    "x2_ann_pq_adc": "topk_cells",
+    "x2_knn_graph": "knn_cells",
+    "x1_dedup_embedding_auto": "emb_pairs_045",
+    "x1_dedup_embedding_cosine": "emb_pairs_045",
+    "x1_dedup_embedding_ivf": "emb_pairs_045",
+    "x1_dedup_semantic_clusters": "emb_skin_045",
+    "x5_decontaminate_semantic": "decon_pairs_042",
+    "x2_grouped_center_applyinpandas": "centered_norms",
+}
+_BOUNDARY_FAIL = 5e-15  # flip imminent: inside 3x the max observed divergence
+_BOUNDARY_WARN = 1e-12  # worth a look on the next corpus regeneration
+
+
+def _boundary_dist(x: float) -> float:
+    """Distance from x to the nearest odd multiple of 0.5e-9 (the ties of
+    ROUND(x, 9)), in value units. The x*1e9 scaling loses < 2e-16 of
+    absolute precision for |x| <= ~2, below the 5e-15 gate's resolution
+    but disclosed in the printed figure's last digits."""
+    s = x * 1e9
+    return abs((s - math.floor(s)) - 0.5) * 1e-9
+
+
+def boundary_audit(con, faces: list[str]) -> list[str]:
+    """Report min pre-round boundary distance per rounded face; return
+    the faces whose compared cells dip below the imminent-flip bound."""
+    failures: list[str] = []
+    mins: dict[str, tuple[float, int]] = {}
+    for exp in sorted({_BOUNDARY_FACES[f] for f in faces}):
+        vals = [v for (v,) in con.execute(_BOUNDARY_EXPOSURES[exp]).fetchall()
+                if v is not None and math.isfinite(v)]
+        mins[exp] = (min(map(_boundary_dist, vals), default=math.inf),
+                     len(vals))
+    for f in faces:
+        d, n = mins[_BOUNDARY_FACES[f]]
+        status = ("FAIL" if d < _BOUNDARY_FAIL
+                  else "warn" if d < _BOUNDARY_WARN else "ok")
+        print(f"BOUNDARY {f}: exposure={_BOUNDARY_FACES[f]} n={n} "
+              f"min_dist={d:.3e} [{status}]")
+        if d < _BOUNDARY_FAIL:
+            failures.append(f)
+    return failures
+
+
+# ---------------------------------------------------------------------------
+# Plan-regression guard (VERDICT r8 item 7): PLANS.md is regenerated each
+# round but nothing FAILED if a plan regressed. Every checked query's
+# physical plan is asserted here: CartesianProduct and Python-eval nodes may
+# appear ONLY on the committed allowlist, and no Window may run with an
+# empty partition spec on anything but the allowlisted dimension-sized
+# relations (an unpartitioned window over a fact relation is the
+# single-executor bottleneck the rrf rewrite removed in r8).
+_CART_ALLOW: frozenset[str] = frozenset()  # intentional tiny cross joins
+#   plan as BroadcastNestedLoopJoin, never CartesianProduct -- keep empty
+_PYUDF_ALLOW: frozenset[str] = frozenset({
+    # declared Arrow-batched faces (mapInPandas / applyInPandas / UDTF /
+    # pandas UDAF) -- each docstring states why built-ins can't express it
+    "doc_u1_model_labeled_clauses", "f_udtf_word_explode",
+    "st_stateful_threshold_batches", "x1_dedup_embedding_auto",
+    "x1_dedup_embedding_cosine",
+    "x1_dedup_embedding_ivf", "x1_graph_pagerank", "x1_graph_pagerank_star",
+    "x2_ann_ivf_kmeans", "x2_ann_pq_adc", "x2_cosine_topk_gemm",
+    "x2_grouped_center_applyinpandas", "x2_knn_graph",
+    "x3_decode_feature_stub", "x5_decontaminate_semantic",
+})
+_UNPART_WINDOW_ALLOW: frozenset[str] = frozenset({
+    # dimension-sized ntile (customer sample; windows.py docstring states
+    # the bound) and the bucket-table prefix windows (clamp-bounded,
+    # llmprep.py docstring) -- populated from the committed PLANS.md audit
+    "w_ntile_acctbal_quartiles",
+})
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes with an empty partition spec in a formatted
+    explain. A Window node's detail reads
+    `Arguments: [funcs], [partition cols], [order]`; an empty middle group
+    leaves the `], [], [` signature."""
+    n = 0
+    for block in re.split(r"\n\(\d+\) ", plan):
+        if block.startswith("Window"):
+            m = re.search(r"Arguments: (.*)", block)
+            if m and "], [], [" in m.group(1):
+                n += 1
+    return n
+
+
+def plan_guard(name: str, sdf) -> list[str]:
+    """Return plan-regression problems for one built DataFrame (cheap:
+    driver-side explain of the already-analyzed plan)."""
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            sdf.explain("formatted")
+    except Exception:
+        return []  # no physical plan (should not happen for batch faces)
+    plan = buf.getvalue()
+    problems = []
+    cart = plan.count("CartesianProduct")
+    if cart and name not in _CART_ALLOW:
+        problems.append(f"plan regression: {cart} CartesianProduct node(s)")
+    pyudf = (plan.count("BatchEvalPython") + plan.count("ArrowEvalPython")
+             + plan.count("MapInPandas") + plan.count("FlatMapGroupsInPandas"))
+    if pyudf and name not in _PYUDF_ALLOW:
+        problems.append(f"plan regression: {pyudf} Python-eval node(s) "
+                        "off the declared allowlist")
+    unp = _unpartitioned_windows(plan)
+    if unp and name not in _UNPART_WINDOW_ALLOW:
+        problems.append(f"plan regression: {unp} unpartitioned Window "
+                        "node(s)")
+    return problems
 
 
 def canon(v):
@@ -91,6 +283,11 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {ex}")
             failed.append(name)
             continue
+        plan_problems = plan_guard(name, sdf)
+        if plan_problems:
+            print(f"FAIL {name}: " + "; ".join(plan_problems))
+            failed.append(name)
+            continue
         complex_cols = [f.name for f in sdf.schema.fields
                         if f.dataType.typeName() in ("array", "map", "struct")]
         if complex_cols and name in oracles:
@@ -144,6 +341,11 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+
+    exposed = [n for n in names if n in _BOUNDARY_FACES and n not in failed]
+    if exposed:
+        print()
+        failed.extend(boundary_audit(con, exposed))
 
     print(f"\n{len(names)-len(failed)}/{len(names)} passed")
     return 1 if failed else 0
