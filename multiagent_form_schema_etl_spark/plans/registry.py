@@ -184,47 +184,46 @@ def query_names() -> list[str]:
 # and the builder's own gate (tools/check.py); rows-only queries register
 # last so they never consume a checked slot.
 PRIORITY: tuple[str, ...] = (
-    # r8 rotation (VERDICT r7 item 1, executing NOTES_r7's committed r8
-    # queue aggressively): 33 of the window's 50 rows were green for >= 3
-    # consecutive rounds and 17 were r7 first-timers that greened -- so 34
-    # slots hand over to never-driver-checked oracle-backed queries
-    # (taking the never-checked oracle-backed backlog 45 -> 12 in one
-    # round) plus the new rounded-oracle GEMM top-k twin (VERDICT r7
-    # item 5). A 16-row core keeps every SURVEY §2 family represented by
-    # a long-green row; every rotated-out query keeps its oracle + the
+    # r9 rotation (VERDICT r8 item 2, executing NOTES_r8's committed r9
+    # queue IN FULL): the 17 remaining never-driver-checked oracle-backed
+    # queries all enter the window -- after this round every oracle-backed
+    # query in the registry has had a driver-green row -- plus the three
+    # faces that gained oracles this round (the embedding auto-selector,
+    # VERDICT r8 item 4, and the LSH/PQ ANN faces whose shared exact
+    # top-k oracle doubles as a recall == 1.0 assertion, item 8). A
+    # 30-row core keeps every SURVEY §2 family represented by a
+    # recently-green row; every rotated-out query keeps its oracle + the
     # builder gate tools/check.py and the tri-SF sweeps.
     "doc_p1_blocks_normalize", "doc_a2_clause_sessionize",
     "doc_u7_extraction_cascade", "doc_j1_field_scoring",
-    "doc_u7_scoped_hoisted",
-    # x1_dedup_jaccard_ngram (green r2-r7) hands its slot to the new
-    # dense-corpus auto-selector face so the BLOCKPAIRS branch is driver-
-    # visible through the selector, not only directly (VERDICT r7 item 7);
-    # x1_dedup_components (green r2-r7, star twin greened r7) hands its
-    # slot to the new portable-md5 MinHash+LSH twin so the flagship LSH
-    # pipeline gets its first oracle-checked driver row
     "x1_dedup_exact", "x1_dedup_jaccard_auto_dense",
-    "x1_dedup_minhash_lsh_md5",
-    "x1_dedup_jaccard_prefix", "x1_dedup_jaccard_blockpairs",
-    "x1_dedup_chunk_exact", "x1_dedup_incremental",
+    "x1_dedup_minhash_lsh_md5", "x1_dedup_incremental",
     "s_pydatasource_formdocs",
     "x2_cosine_topk", "x2_cosine_topk_gemm",
-    "x4_token_stats", "x4_rank_fusion_rrf", "x4_lang_id_heuristic",
-    "x4_term_frequencies", "x4_readability_bands",
+    "x4_token_stats", "x4_rank_fusion_rrf",
     "x5_decontaminate_ngram", "x5_stratified_sample",
-    "x5_pii_pseudonymize", "x5_dataset_card_stats", "x5_repetition_stats",
+    "x5_pii_pseudonymize", "x5_dataset_card_stats",
     "x3_payload_dedup",
     "st_session_window", "st_stateful_threshold_batches",
-    "st_gap_fill_forward", "st_cohort_retention", "st_anomaly_zscore",
-    "st_multi_granularity_rollup", "st_trend_slope_exact",
-    "st_event_transition_matrix", "st_tws_running_totals",
-    "a_gini_concentration", "a_histogram_equiwidth",
-    "a_cube_lineitem_flags", "a_multi_distinct_counts",
-    "a_theta_sketch_set_ops", "a_hll_sketch_partial_merge",
-    "f_udtf_word_explode", "f_variant_semistructured", "f_unpivot_melt",
-    "j_range_bucketed_join", "set_ops_bag_semantics",
+    "st_gap_fill_forward", "st_tws_running_totals", "st_anomaly_zscore",
+    "a_gini_concentration", "a_cube_lineitem_flags",
+    "a_hll_sketch_partial_merge",
+    "f_udtf_word_explode", "f_variant_semistructured",
     "j_asof_backward_join",
-    "w1_running_revenue_per_customer", "w2_lead_lag_event_gaps",
     "w_percent_rank_cume",
+    # -- the committed r9 queue: last 17 never-driver-checked
+    # oracle-backed queries (NOTES_r8.md) --
+    "etl_incremental_agg", "a8_distinct_key_union",
+    "a2_minmax_stats_per_nation", "w_ntile_acctbal_quartiles",
+    "x2_cosine_topk_bruteforce", "x1_dedup_embedding_ivf",
+    "x2_grouped_center_applyinpandas", "x2_knn_graph",
+    "x1_dedup_semantic_clusters", "x4_tf_rarity_topk",
+    "x4_doc_rolling_hash", "x4_heavy_hitters_cms",
+    "x5_decontaminate_semantic", "x5_domain_mixture_sample",
+    "x3_payload_chunked", "st_click_purchase_join",
+    "x1_dedup_keep_best_quality",
+    # -- new r9 oracle-backed faces --
+    "x1_dedup_embedding_auto", "x2_ann_lsh_buckets", "x2_ann_pq_adc",
 )
 
 
