@@ -495,6 +495,117 @@ def run_soak_probe(spark, sf_dir: str, n_files: int = 50) -> dict:
     return out
 
 
+def run_semdecon_soak_probe(spark, sf_dir: str, n_files: int = 50) -> dict:
+    """Soak for the STATELESS streaming semantic-decontamination face
+    (VERDICT r8 item 5): drive ``n_files`` one-file micro-batches of the
+    replicated embedding corpus through
+    ``streaming_semantic_decon`` and publish what a standing landing-zone
+    query is judged on -- per-batch trigger latency (must stay FLAT: the
+    face holds no state, so batch cost depends only on batch size x the
+    closure-resident eval matrix), the state-operator count (must be ZERO
+    at every trigger), and set-equality of the drained stream to the
+    batch face's aggregation at full depth (not just the 2-file
+    pytest)."""
+    import json as _json
+    import tempfile
+
+    from multiagent_form_schema_etl_spark.operators.llmprep import (
+        x5_decontaminate_semantic)
+    from multiagent_form_schema_etl_spark.streaming import (
+        dedup_stream as dds)
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_vecs = emb.count()
+
+    stream_dir = os.path.join(
+        OUT, f"semsoak_{n_files}_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.isdir(stream_dir):
+        (emb.select("vec_id", "embedding", "label")
+         .repartitionByRange(n_files, "vec_id")
+         .write.mode("overwrite").parquet(stream_dir + ".tmp"))
+        os.rename(stream_dir + ".tmp", stream_dir)
+    parts = sorted(f for f in os.listdir(stream_dir)
+                   if f.endswith(".parquet"))
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(stream_dir, f),
+                 (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (spark.readStream.schema(dds._EMB_SCHEMA).format("parquet")
+           .option("maxFilesPerTrigger", "1").load(stream_dir))
+    n_prog_key = "spark.sql.streaming.numRecentProgressUpdates"
+    old_np = spark.conf.get(n_prog_key, None)
+    spark.conf.set(n_prog_key, str(n_files + 20))
+    try:
+        hits = dds.streaming_semantic_decon(spark, sf_dir, source=raw)
+        q = (hits.writeStream.format("memory").queryName("t_semsoak")
+             .outputMode("append")
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="semsoak_ckpt_"))
+             .start())
+        try:
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            total = round(time.perf_counter() - t0, 2)
+            prog = [_json.loads(p.json) for p in q.recentProgress]
+        finally:
+            q.stop()  # a failed drain must not leave the query running
+    finally:
+        if old_np is None:
+            spark.conf.unset(n_prog_key)
+        else:
+            spark.conf.set(n_prog_key, old_np)
+
+    batches = [{
+        "ms": p["durationMs"].get("triggerExecution"),
+        "in_rows": p["numInputRows"],
+        "out_rows": p.get("sink", {}).get("numOutputRows", -1),
+        "n_state_ops": len(p.get("stateOperators") or []),
+    } for p in prog if p["numInputRows"] > 0]
+
+    # Set-equality at depth: the drained per-pair stream, aggregated the
+    # batch face's way, must equal the batch face on the same corpus.
+    stream_agg = sorted(
+        (r["train_id"], r["n"], r["mx"], r["fh"])
+        for r in spark.sql(
+            "SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n,"
+            " MAX(cosine) AS mx, MIN(heldout_id) AS fh"
+            " FROM t_semsoak GROUP BY train_id").collect())
+    batch_agg = sorted(
+        (r["train_id"], r["n_heldout_hits"], r["max_cosine"],
+         r["first_heldout_id"])
+        for r in x5_decontaminate_semantic(spark, sf_dir).collect())
+
+    series = [b["ms"] for b in batches if b["ms"] is not None]
+    lat = sorted(series)
+
+    def _med(xs):
+        return sorted(xs)[len(xs) // 2]
+
+    half = len(series) // 2
+    out = {
+        "n_vecs": n_vecs,
+        "n_files": n_files,
+        "n_batches": len(batches),
+        "drain_s": total,
+        "flagged_pairs": sum(b["out_rows"] for b in batches),
+        "batch_ms_p50": lat[len(lat) // 2] if lat else None,
+        "batch_ms_p90": lat[int(len(lat) * 0.9)] if lat else None,
+        "batch_ms_max": lat[-1] if lat else None,
+        # flatness: ARRIVAL-ORDER second-half median over first-half
+        # median (a stateful or leaking face drifts up; a flat face
+        # hovers ~1.0)
+        "latency_drift": (round(_med(series[half:]) / _med(series[:half]),
+                                2) if len(series) >= 4 else None),
+        "zero_state": all(b["n_state_ops"] == 0 for b in batches),
+        "matches_batch_face": stream_agg == batch_agg,
+        "n_flagged_train": len(stream_agg),
+        "batch_ms_series": [b["ms"] for b in batches],
+    }
+    for k, v in out.items():
+        print(f"  {k}: {v}", file=sys.stderr)
+    return out
+
+
 _SPILL_QUERIES = ("x1_dedup_jaccard_ngram", "x1_dedup_components",
                   "w1_running_revenue_per_customer", "etl_scd2_intervals",
                   "x5_decontaminate_ngram")
@@ -855,6 +966,13 @@ def main() -> None:
                          "trigger) over the x10 corpus on RocksDB; "
                          "per-batch latency/state-growth series + the "
                          "capped-bucket state bound (VERDICT r7 item 6)")
+    ap.add_argument("--soak-semdecon", type=int, default=0,
+                    help="long-stream soak for the STATELESS streaming "
+                         "semantic-decontamination face: N one-file "
+                         "micro-batches over the replicated-embeddings "
+                         "corpus; per-batch latency series (must be "
+                         "flat), zero-state assertion, and set-equality "
+                         "to the batch face at depth (VERDICT r8 item 5)")
     ap.add_argument("--pipe-copies", type=int, default=0,
                     help="run ONLY the scoped document pipeline at N "
                          "fixture copies (4 docs each; 250000 -> 1M docs) "
@@ -926,6 +1044,17 @@ def main() -> None:
               file=sys.stderr)
         res = run_soak_probe(spark, d, n_files=args.soak)
         print(json.dumps({"mode": "soak", "mult": mult, "metrics": res}))
+        return
+
+    if args.soak_semdecon:
+        mult = mults[0] if mults else 10
+        d = build_ann_dir(spark, mult, args.density)
+        print(f"semdecon soak {args.soak_semdecon} batches x{mult} -> {d}",
+              file=sys.stderr)
+        res = run_semdecon_soak_probe(spark, d,
+                                      n_files=args.soak_semdecon)
+        print(json.dumps({"mode": "soak_semdecon", "mult": mult,
+                          "density": args.density, "metrics": res}))
         return
 
     if args.streaming:
