@@ -202,7 +202,7 @@ PRIORITY: tuple[str, ...] = (
     "x2_cosine_topk", "x2_cosine_topk_gemm",
     "x4_token_stats", "x4_rank_fusion_rrf",
     "x5_decontaminate_ngram", "x5_stratified_sample",
-    "x5_pii_pseudonymize", "x5_dataset_card_stats",
+    "x5_pii_pseudonymize",
     "x3_payload_dedup",
     "st_session_window", "st_stateful_threshold_batches",
     "st_gap_fill_forward", "st_tws_running_totals", "st_anomaly_zscore",
@@ -224,6 +224,7 @@ PRIORITY: tuple[str, ...] = (
     "x1_dedup_keep_best_quality",
     # -- new r9 oracle-backed faces --
     "x1_dedup_embedding_auto", "x2_ann_lsh_buckets", "x2_ann_pq_adc",
+    "x2_ann_ivf_kmeans",
 )
 
 

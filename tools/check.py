@@ -105,6 +105,7 @@ _BOUNDARY_FACES: dict[str, str] = {
     "x2_cosine_topk_bruteforce": "topk_cells",
     "x2_ann_lsh_buckets": "topk_cells",
     "x2_ann_pq_adc": "topk_cells",
+    "x2_ann_ivf_kmeans": "topk_cells",
     "x2_knn_graph": "knn_cells",
     "x1_dedup_embedding_auto": "emb_pairs_045",
     "x1_dedup_embedding_cosine": "emb_pairs_045",
