@@ -559,16 +559,43 @@ def _emb_dedup_costs(emb: DataFrame, cells: DataFrame) -> tuple[float, float]:
     return float(occ["rows"] or 0.0), n * (n - 1) / 2.0
 
 
+_GEMM_PAIR_BUDGET = 2_000_000_000  # exact-tractability bound: the 30x
+#   probe corpus (1.8e9 pairs) runs the exact block-GEMM face in 56 s on
+#   this box, and exact is COMPLETE -- so below this FLOP volume the
+#   selector never trades recall for an index. Above it, the SemDeDup-
+#   style approximation becomes the honest default (r9 probe,
+#   SCALE_PROBE.md).
+_IVF_ROW_COST = 25.0  # measured per-row cost of an IVF candidate-join row
+#   relative to one GEMM sieve pair: the 10x/30x probes clock the GEMM
+#   face at 20-32M pairs/s vs ~1M candidate rows/s for the cell join
+#   (shuffle + join machinery + per-row Catalyst sieve vs one fused BLAS
+#   multiply-add in an Arrow batch). The naive volume-equality rule
+#   (r9 first cut) picked ivf at 10x/30x where GEMM measured 4.7x/3.4x
+#   FASTER -- this constant is what the measurement corrected.
+
+
 def _emb_dedup_choice_over(emb: DataFrame, cells: DataFrame) -> str:
-    """Tie rule: at equal row volume the GEMM branch wins -- a sieve pair
-    costs one fused BLAS multiply-add row inside an Arrow batch, while an
-    IVF candidate row pays shuffle + join machinery before the same sieve;
-    volume-equality therefore strictly favors the GEMM side, and the
-    measured regimes sit far from the boundary on both sides (gate corpora
-    and twin floods pick gemm, the 10x/30x uniform probe corpora pick ivf
-    -- SCALE_PROBE.md r9)."""
-    ivf_rows, gemm_pairs = _emb_dedup_costs(emb, cells)
-    return "ivf" if ivf_rows < gemm_pairs else "gemm"
+    """Branch rule, fully measurement-calibrated (SCALE_PROBE.md r9):
+
+    1. Exact while exact is tractable: gemm whenever the all-pairs volume
+       fits _GEMM_PAIR_BUDGET -- complete AND measured faster than the
+       cell join at every probe point up to 1.8e9 pairs (where IVF also
+       leaked recall: 0.758/0.643 at 10x/30x uniform).
+    2. Above budget, the cell join must beat exact by the measured
+       per-row cost ratio, else gemm: twin-flood corpora concentrate into
+       few cells and blow `ivf_rows` past the bar automatically (the r8
+       adversarial regime -- IVF there was BOTH slower and 64% recall).
+    3. Otherwise ivf: the approximation a 100 TB SemDeDup pass accepts,
+       with recall measured per corpus (SCALE_PROBE --ann)."""
+    return _emb_dedup_choice_from(*_emb_dedup_costs(emb, cells))
+
+
+def _emb_dedup_choice_from(ivf_rows: float, gemm_pairs: float) -> str:
+    if gemm_pairs <= _GEMM_PAIR_BUDGET:
+        return "gemm"
+    if ivf_rows * _IVF_ROW_COST >= gemm_pairs:
+        return "gemm"
+    return "ivf"
 
 
 def _emb_dedup_choice(spark: SparkSession, sf_dir: str) -> str:
@@ -579,30 +606,33 @@ def _emb_dedup_choice(spark: SparkSession, sf_dir: str) -> str:
 
 @register("x1_dedup_embedding_auto", oracle=_EMB_COS_PAIRS_ORACLE_NATIVE)
 def x1_dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cost-based selection between the exact block-GEMM all-pairs face
-    and the IVF-bucketed face (VERDICT r8 item 4, closing the honest r8
-    probe finding: on the 30x REPLICATED-twin corpus IVF recovered only
-    64% of the exact pair set while ALSO running 10x slower -- 209.9 s vs
-    20.7 s -- because twins concentrate into few cells and the in-cell
-    pair join goes quadratic in twin multiplicity; on uniform corpora the
-    cell join is the linear-in-n scale path). One stats pass over the
-    actual multi-probe cell assignment estimates both branches' row
-    volumes (`_emb_dedup_costs`); the cheaper branch runs, and both
-    branches emit the IDENTICAL contract (every pair with decimal-exact
-    cosine >= 0.45, 9-dp rounded) under the same oracle.
+    """Measured cost/density selection between the exact block-GEMM
+    all-pairs face and the IVF-bucketed face (VERDICT r8 item 4). One
+    stats pass over the actual multi-probe cell assignment estimates both
+    branches' row volumes (`_emb_dedup_costs`); `_emb_dedup_choice_over`
+    applies the measurement-calibrated rule (exact while tractable;
+    above budget, the cell join must clear the measured per-row cost
+    ratio -- twin floods fail that bar automatically via occupancy skew,
+    the honest r8/r9 probe findings).
 
-    Gate corpora (500-2000 vectors) sit BELOW the IVF crossover -- with
-    K = max(8, n/250) cells and 4-probe assignment the candidate join
-    materializes ~2x the all-pairs volume at these sizes -- so the gate
-    exercises the gemm branch (asserted below; the choice is also pinned
-    on constructed uniform/twin corpora in test_emb_auto.py, where the
-    ivf branch additionally runs end-to-end and is checked set-equal to
-    the exact face). EAGER AT BUILD: planning pays the quantizer train +
-    one occupancy aggregation (the quantizer is reused by the ivf branch
-    when chosen); the registry memo bounds it to once per (session,
-    sf_dir, snapshot)."""
+    Every gate corpus sits deep inside the exact-tractability budget, so
+    the gate exercises the gemm branch under the shared >= 0.45 pair
+    oracle -- ASSERTED below: a gate corpus drifting into the
+    above-budget regime would otherwise silently route this face's EXACT
+    oracle onto the approximate branch. The ivf branch's routing and its
+    end-to-end output are pinned on constructed corpora in
+    test_emb_auto.py (with the calibration constants overridden and
+    documented there), and both branches + the rule are measured at
+    10x/30x in SCALE_PROBE.md. EAGER AT BUILD: planning pays the
+    quantizer train + one occupancy aggregation (the quantizer is reused
+    by the ivf branch when chosen); the registry memo bounds it to once
+    per (session, sf_dir, snapshot)."""
     emb, cells = _ivf_dedup_cells(spark, sf_dir)
-    choice = _emb_dedup_choice_over(emb, cells)
+    ivf_rows, gemm_pairs = _emb_dedup_costs(emb, cells)
+    choice = _emb_dedup_choice_from(ivf_rows, gemm_pairs)
+    if gemm_pairs <= _GEMM_PAIR_BUDGET and choice != "gemm":
+        raise AssertionError(
+            f"under-budget corpus must select gemm, got {choice}")
     if choice == "ivf":
         return _ivf_pairs_from(emb, cells)
     return x1_dedup_embedding_cosine(spark, sf_dir)

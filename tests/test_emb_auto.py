@@ -1,10 +1,13 @@
 """Both branches of the embedding near-dup auto-selector pinned in CI
-(VERDICT r8 item 4): the gate corpora sit below the IVF crossover (the
-4-probe cell join materializes ~2x the all-pairs volume at 500-2000
-vectors), so a constructed uniform corpus must force the ivf branch --
-and its output must be set-equal to the exact block-GEMM face on the
-same data -- while a twin-flood corpus (the r8 probe's adversarial
-regime) must route back to gemm via occupancy skew alone.
+(VERDICT r8 item 4). The selector's DEFAULT calibration routes every
+measurable corpus to exact gemm (the r9 probes clocked the GEMM face
+4.7x/3.4x faster than the cell join at 10x/30x, with IVF also leaking
+recall -- SCALE_PROBE.md), so the ivf branch's routing and end-to-end
+output are exercised here with the calibration constants OVERRIDDEN
+(documented per test): a uniform corpus above a shrunken budget must
+take the ivf branch and match the exact face set-for-set, while a
+twin-flood corpus (the r8 adversarial regime) must route back to gemm
+via occupancy skew alone even above budget.
 """
 
 from __future__ import annotations
@@ -72,19 +75,40 @@ def _pairset(df):
 
 
 def test_gate_corpus_picks_gemm(spark):
-    # 500 vectors, K=8 cells, 4-probe: even perfectly uniform occupancy
-    # puts the candidate join at 2x all-pairs, so gemm is GUARANTEED here
-    # (sum m(m-1)/2 is minimized at uniform occupancy).
+    # 500 vectors = 125k pairs, five orders under the 2e9 exact budget:
+    # gemm is GUARANTEED by the tractability rule, and the registered
+    # face additionally ASSERTS it in-query for every under-budget corpus.
     from multiagent_form_schema_etl_spark.operators import similarity
 
     assert similarity._emb_dedup_choice(spark, SF_SMOKE) == "gemm"
 
 
+def test_default_rule_needs_deep_ivf_advantage():
+    # The pure rule, at the committed calibration: exact under budget;
+    # above budget the cell join must beat all-pairs by the MEASURED
+    # 25x per-row cost, which uniform K = n/250 cells only reach past
+    # ~120k vectors (probe-measured: gemm faster at 10x/30x).
+    from multiagent_form_schema_etl_spark.operators.similarity import (
+        _GEMM_PAIR_BUDGET, _emb_dedup_choice_from)
+
+    assert _emb_dedup_choice_from(1e6, _GEMM_PAIR_BUDGET) == "gemm"
+    assert _emb_dedup_choice_from(1e9, 1e10) == "gemm"   # 25e9 >= 1e10
+    assert _emb_dedup_choice_from(1e8, 1e10) == "ivf"    # 2.5e9 < 1e10
+
+
 def test_uniform_corpus_picks_ivf_and_matches_exact(
         spark, tmp_path_factory, uniform_dir, monkeypatch):
+    # Calibration OVERRIDDEN to bring the ivf branch into pytest range:
+    # budget shrunk below the 800-vector all-pairs volume and the per-row
+    # ratio set to 1 so the volume rule decides -- what's pinned is the
+    # ROUTING plumbing and the ivf branch's end-to-end set-equality to
+    # the exact face, not the production constants (those are probe-
+    # measured and pinned in test_default_rule_needs_deep_ivf_advantage).
     from multiagent_form_schema_etl_spark.operators import similarity
 
     monkeypatch.setattr(similarity, "_IVF_DEDUP_CELL", _CELL_OVERRIDE)
+    monkeypatch.setattr(similarity, "_GEMM_PAIR_BUDGET", 10_000)
+    monkeypatch.setattr(similarity, "_IVF_ROW_COST", 1.0)
     d = _write_emb_corpus(tmp_path_factory.mktemp("emb"), "uniform",
                           uniform_dir)
     assert similarity._emb_dedup_choice(spark, d) == "ivf"
@@ -94,11 +118,17 @@ def test_uniform_corpus_picks_ivf_and_matches_exact(
     assert len(exact) >= 10  # the planted twins all surfaced
 
 
-def test_twin_flood_picks_gemm(spark, tmp_path_factory, twin_dir_vecs,
-                               monkeypatch):
+def test_twin_flood_picks_gemm_even_above_budget(
+        spark, tmp_path_factory, twin_dir_vecs, monkeypatch):
+    # Same overrides as the uniform test -- but the twin flood's
+    # occupancy skew pushes the candidate estimate past all-pairs, so the
+    # skew rule routes back to gemm even though the corpus is "above
+    # budget": the r8 adversarial regime, decided by measurement alone.
     from multiagent_form_schema_etl_spark.operators import similarity
 
     monkeypatch.setattr(similarity, "_IVF_DEDUP_CELL", _CELL_OVERRIDE)
+    monkeypatch.setattr(similarity, "_GEMM_PAIR_BUDGET", 10_000)
+    monkeypatch.setattr(similarity, "_IVF_ROW_COST", 1.0)
     d = _write_emb_corpus(tmp_path_factory.mktemp("emb"), "twins",
                           twin_dir_vecs)
     assert similarity._emb_dedup_choice(spark, d) == "gemm"

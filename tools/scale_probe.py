@@ -495,6 +495,44 @@ def run_soak_probe(spark, sf_dir: str, n_files: int = 50) -> dict:
     return out
 
 
+def run_emb_auto_probe(spark, sf_dir: str) -> dict:
+    """Validate the embedding auto-selector's cost model at probe scale
+    (VERDICT r8 item 4): report both row-volume estimates, the chosen
+    branch, and the MEASURED wall time of each branch on the same corpus
+    -- the check that the model picks the branch that is actually
+    cheaper, in both the uniform regime (ivf expected above the
+    crossover) and the replicated-twin regime (gemm expected: occupancy
+    skew + the 64%-recall finding)."""
+    from multiagent_form_schema_etl_spark.operators import similarity as S
+
+    emb, cells = S._ivf_dedup_cells(spark, sf_dir)
+    ivf_rows, gemm_pairs = S._emb_dedup_costs(emb, cells)
+    choice = S._emb_dedup_choice_from(ivf_rows, gemm_pairs)
+
+    t0 = time.perf_counter()
+    n_gemm = S.x1_dedup_embedding_cosine(spark, sf_dir).count()
+    t_gemm = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    n_ivf = S._ivf_pairs_from(emb, cells).count()
+    t_ivf = round(time.perf_counter() - t0, 2)
+    out = {
+        "n_vecs": emb.count(),
+        "ivf_rows_est": int(ivf_rows),
+        "gemm_pairs": int(gemm_pairs),
+        "choice": choice,
+        "gemm_s": t_gemm,
+        "ivf_s": t_ivf,
+        "gemm_pairs_found": n_gemm,
+        "ivf_pairs_found": n_ivf,
+        "ivf_recall_vs_exact": (round(n_ivf / n_gemm, 3) if n_gemm else None),
+        "model_picked_faster": ((t_ivf < t_gemm) == (choice == "ivf")
+                                or abs(t_ivf - t_gemm) < 1.0),
+    }
+    for k, v in out.items():
+        print(f"  {k}: {v}", file=sys.stderr)
+    return out
+
+
 def run_semdecon_soak_probe(spark, sf_dir: str, n_files: int = 50) -> dict:
     """Soak for the STATELESS streaming semantic-decontamination face
     (VERDICT r8 item 5): drive ``n_files`` one-file micro-batches of the
@@ -966,6 +1004,12 @@ def main() -> None:
                          "trigger) over the x10 corpus on RocksDB; "
                          "per-batch latency/state-growth series + the "
                          "capped-bucket state bound (VERDICT r7 item 6)")
+    ap.add_argument("--emb-auto", action="store_true",
+                    help="validate the embedding auto-selector's cost "
+                         "model on the replicated-embeddings corpora: "
+                         "row-volume estimates, chosen branch, measured "
+                         "wall time of BOTH branches (use --density for "
+                         "the exact-twin regime)")
     ap.add_argument("--soak-semdecon", type=int, default=0,
                     help="long-stream soak for the STATELESS streaming "
                          "semantic-decontamination face: N one-file "
@@ -1044,6 +1088,17 @@ def main() -> None:
               file=sys.stderr)
         res = run_soak_probe(spark, d, n_files=args.soak)
         print(json.dumps({"mode": "soak", "mult": mult, "metrics": res}))
+        return
+
+    if args.emb_auto:
+        for mult in mults:
+            d = (BASE if mult == 1
+                 else build_ann_dir(spark, mult, args.density))
+            print(f"emb-auto probe x{mult} density={args.density} -> {d}",
+                  file=sys.stderr)
+            res = run_emb_auto_probe(spark, d)
+            print(json.dumps({"mode": "emb_auto", "mult": mult,
+                              "density": args.density, "metrics": res}))
         return
 
     if args.soak_semdecon:
