@@ -170,24 +170,40 @@ _PYUDF_ALLOW: frozenset[str] = frozenset({
     "x3_decode_feature_stub", "x5_decontaminate_semantic",
 })
 _UNPART_WINDOW_ALLOW: frozenset[str] = frozenset({
-    # dimension-sized ntile (customer sample; windows.py docstring states
-    # the bound) and the bucket-table prefix windows (clamp-bounded,
-    # llmprep.py docstring) -- populated from the committed PLANS.md audit
+    # the repo's TWO deliberate unpartitioned windows, each with a
+    # docstring-stated size bound: the dimension-sized ntile
+    # (windows.py -- customer sample) and the clamp-bounded bucket-table
+    # prefix window of the two-phase sharder (llmprep.py -- the window
+    # sees one row per doc_id-range bucket, never the fact relation)
     "w_ntile_acctbal_quartiles",
+    "x5_shard_by_budget",
 })
 
 
 def _unpartitioned_windows(plan: str) -> int:
     """Count Window nodes with an empty partition spec in a formatted
     explain. A Window node's detail reads
-    `Arguments: [funcs], [partition cols], [order]`; an empty middle group
-    leaves the `], [], [` signature."""
+    `Arguments: [funcs], [partition cols], [order cols]` -- but formatted
+    explain OMITS an empty group entirely (verified on Spark 4.1: an
+    unpartitioned running sum prints `[funcs], [id ASC NULLS FIRST]`), so
+    an unpartitioned window is a TWO-group Arguments whose trailing group
+    is an order spec (contains ASC/DESC); two groups with a plain column
+    list are a partitioned-no-order window, which is fine."""
     n = 0
     for block in re.split(r"\n\(\d+\) ", plan):
-        if block.startswith("Window"):
-            m = re.search(r"Arguments: (.*)", block)
-            if m and "], [], [" in m.group(1):
-                n += 1
+        first = block.partition("\n")[0].strip()
+        if first != "Window":
+            continue
+        m = re.search(r"Arguments: (.*)", block)
+        if not m:
+            continue
+        args = m.group(1)
+        groups = args.count("], [") + 1
+        if groups >= 3:
+            continue  # funcs + partition + order: partitioned
+        tail = args.rsplit("], [", 1)[-1]
+        if " ASC" in tail or " DESC" in tail:
+            n += 1
     return n
 
 
