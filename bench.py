@@ -185,6 +185,30 @@ def main() -> None:
                 f"{p.stdout[-500:]}")
         runs.append(rec)
 
+    full, line = build_records(runs)
+    # Full record (medians + every per-run sample) goes to a committed side
+    # artifact; stdout gets ONLY a compact medians line. VERDICT r8 item 1:
+    # the one-line multi-run record (~6-7 KB) overflowed the driver's ~2 KB
+    # stdout-tail capture and BENCH_r08.parsed came back null -- the error
+    # bars live in the file, the driver contract line stays small.
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_LOCAL.json")
+    try:
+        with open(side, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the medians
+    print(line)
+
+
+_LINE_BUDGET = 1900  # hard cap: never overflow the driver's ~2 KB tail
+
+
+def build_records(runs: list[dict]) -> tuple[dict, str]:
+    """(full side-artifact record, compact stdout line) from per-pass
+    records. Pure function so the line-budget contract is unit-testable
+    (tests/test_cli.py)."""
+
     def med(xs):
         return round(statistics.median(xs), 3)
 
@@ -208,26 +232,14 @@ def main() -> None:
                  for r in runs],
         "sf": runs[0]["sf"],
     }
-    # Full record (medians + every per-run sample) goes to a committed side
-    # artifact; stdout gets ONLY a compact medians line. VERDICT r8 item 1:
-    # the one-line multi-run record (~6-7 KB) overflowed the driver's ~2 KB
-    # stdout-tail capture and BENCH_r08.parsed came back null -- the error
-    # bars live in the file, the driver contract line stays small.
-    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_LOCAL.json")
-    try:
-        with open(side, "w") as f:
-            json.dump(full, f, indent=1)
-    except OSError:
-        pass  # read-only checkout: stdout line still carries the medians
     compact = {k: full[k] for k in
                ("metric", "value", "unit", "queries", "queries_warm",
                 "warm_total", "n_runs", "sf")}
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # hard budget: never overflow the tail capture
+    if len(line) > _LINE_BUDGET:
         compact.pop("queries_warm")  # still in BENCH_LOCAL.json
         line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    return full, line
 
 
 if __name__ == "__main__":

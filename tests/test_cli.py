@@ -66,3 +66,35 @@ def test_cli_pipeline_metrics_flag_reports_input_quality(spark, tmp_path, capsys
     m = json.loads(lines[-1])["input_metrics"]
     assert m["n_rows"] > 0
     assert "nulls_text" in m and "nulls_x0" in m and "sum_confidence" in m
+
+
+def test_bench_compact_line_stays_under_tail_budget():
+    """The driver captures only ~2 KB of stdout tail (BENCH_r08 lost its
+    record to this); the compact line must stay under the hard budget even
+    with the full current headliner set -- and degrade deterministically
+    (drop per-query warm medians from the LINE only) rather than overflow
+    if the set ever grows past it."""
+    import bench
+
+    names = bench.HEADLINE + bench.OPTIONAL
+    run = {
+        "value": 50.123, "warm_total": 20.456, "sf": 0.1,
+        "queries": {n: 1.234 for n in names},
+        "queries_warm": {n: 0.567 for n in names},
+        "queries_collect_method": {"w1_running_revenue_per_customer": 2.5,
+                                   "st_session_window": 0.9},
+    }
+    full, line = bench.build_records([run, run, run])
+    assert len(line) <= bench._LINE_BUDGET
+    rec = json.loads(line)
+    assert rec["metric"] == "headline_queries_total_runtime"
+    assert rec["n_runs"] == 3 and rec["queries"] and rec["value"] == 50.123
+    assert full["runs"] and full["queries_collect_method"]
+
+    # a pathologically wide headliner set must shed queries_warm, not grow
+    wide = dict(run)
+    wide["queries"] = {f"q_{i}_{'x'*30}": 1.0 for i in range(40)}
+    wide["queries_warm"] = dict(wide["queries"])
+    _, wline = bench.build_records([wide])
+    assert len(wline) <= bench._LINE_BUDGET
+    assert "queries_warm" not in json.loads(wline)
