@@ -623,17 +623,22 @@ def x1_dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end output are pinned on constructed corpora in
     test_emb_auto.py (with the calibration constants overridden and
     documented there), and both branches + the rule are measured at
-    10x/30x in SCALE_PROBE.md. EAGER AT BUILD: planning pays the
-    quantizer train + one occupancy aggregation (the quantizer is reused
-    by the ivf branch when chosen); the registry memo bounds it to once
-    per (session, sf_dir, snapshot)."""
+    10x/30x in SCALE_PROBE.md. EAGER AT BUILD: an under-budget corpus
+    costs one parquet-metadata count (the tractability rule needs only
+    n, so the quantizer is never trained on the exact path); only
+    above-budget corpora pay the quantizer + occupancy stats, which the
+    ivf branch then reuses. The registry memo bounds the eager work to
+    once per (session, sf_dir, snapshot)."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    if n * (n - 1) / 2.0 <= _GEMM_PAIR_BUDGET:
+        # the choice is structural here: under budget, exact is complete
+        # AND measured faster at every probe point -- and a gate corpus
+        # can never silently route its exact oracle onto the approximate
+        # branch (the drift hazard the in-query rule guards)
+        return x1_dedup_embedding_cosine(spark, sf_dir)
     emb, cells = _ivf_dedup_cells(spark, sf_dir)
     ivf_rows, gemm_pairs = _emb_dedup_costs(emb, cells)
-    choice = _emb_dedup_choice_from(ivf_rows, gemm_pairs)
-    if gemm_pairs <= _GEMM_PAIR_BUDGET and choice != "gemm":
-        raise AssertionError(
-            f"under-budget corpus must select gemm, got {choice}")
-    if choice == "ivf":
+    if _emb_dedup_choice_from(ivf_rows, gemm_pairs) == "ivf":
         return _ivf_pairs_from(emb, cells)
     return x1_dedup_embedding_cosine(spark, sf_dir)
 
