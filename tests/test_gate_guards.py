@@ -81,3 +81,26 @@ def test_boundary_distance_math():
     d = _boundary_dist(0.4500000005 + 1e-12)
     assert abs(d - 1e-12) < 1e-15
     assert math.isfinite(_boundary_dist(-0.123456789))
+
+
+def test_boundary_audit_reports_and_fails_at_flip_proximity(monkeypatch, capsys):
+    """The audit's FAIL path: a compared cell within 5e-15 of a rounding
+    boundary names its face; a comfortable cell passes with a printed min."""
+    import duckdb
+
+    from tools import check
+
+    con = duckdb.connect()
+    monkeypatch.setattr(check, "_BOUNDARY_EXPOSURES", {
+        # ~2 ulp off the bin tie (a bare decimal literal would reach the
+        # auditor as DECIMAL, which real exposures never produce)
+        "danger": "SELECT CAST(0.4500000005 + 1e-16 AS DOUBLE) AS x",
+        "safe": "SELECT CAST(0.45 AS DOUBLE) AS x",      # bin center
+    })
+    monkeypatch.setattr(check, "_BOUNDARY_FACES",
+                        {"face_a": "danger", "face_b": "safe"})
+    failures = check.boundary_audit(con, ["face_a", "face_b"])
+    out = capsys.readouterr().out
+    assert failures == ["face_a"]
+    assert "BOUNDARY face_a" in out and "[FAIL]" in out
+    assert "BOUNDARY face_b" in out and "[ok]" in out
