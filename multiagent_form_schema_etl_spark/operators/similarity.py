@@ -260,6 +260,114 @@ def x2_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rnk") <= _TOP_K))
 
 
+_RERANK_K = 3      # survivors per query after the hybrid rescoring pass
+_RERANK_ALPHA = 0.7  # embedding weight; 1-alpha goes to lexical overlap
+
+# Two-stage retrieval oracle: the exact top-{_TOP_K} candidate stage is
+# the SAME decimal-stated statement as _COS_TOPK_ORACLE; the rescoring
+# stage blends the (already 9-dp-rounded, hence bit-identical across
+# engines) cosine with a token-set Jaccard of the two documents' texts.
+# Every input to the blend is identical on both engines (rounded double +
+# a ratio of two integer set sizes), so the three IEEE ops and the final
+# ROUND cannot diverge -- no fold-order exposure, no boundary audit
+# needed for this face.
+_RERANK_HYBRID_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+             unnest(range(1, length(embedding) + 1)) AS i
+      FROM embeddings),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(CAST(v * v AS {_DEC})) AS DOUBLE)) AS nrm
+      FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+             CAST(SUM(CAST(a.v * b.v AS {_DEC})) AS DOUBLE) AS dot
+      FROM e a JOIN e b ON a.i = b.i
+      WHERE a.vec_id < {_N_QUERIES} AND b.vec_id <> a.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+    cos AS (
+      SELECT d.query_id, d.match_id, ROUND(d.dot / (na.nrm * nb.nrm), 9) AS cosine
+      FROM dots d
+      JOIN norms na ON d.query_id = na.vec_id
+      JOIN norms nb ON d.match_id = nb.vec_id),
+    topk AS (
+      SELECT query_id, match_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, match_id) AS rnk
+        FROM cos)
+      WHERE rnk <= {_TOP_K}),
+    tok AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS toks
+      FROM documents),
+    scored AS (
+      SELECT t.query_id, t.match_id,
+             ROUND({_RERANK_ALPHA} * t.cosine
+                   + {1 - _RERANK_ALPHA} * (
+                     CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0
+                          THEN 0.0
+                          ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                               / len(list_distinct(list_concat(a.toks, b.toks)))
+                     END), 9) AS hybrid
+      FROM topk t
+      JOIN tok a ON t.query_id = a.doc_id
+      JOIN tok b ON t.match_id = b.doc_id)
+    SELECT query_id, match_id, hybrid, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY hybrid DESC, match_id) AS BIGINT) AS rnk
+      FROM scored)
+    WHERE rnk <= {_RERANK_K}
+    """
+
+
+@register("x2_rerank_hybrid", oracle=_RERANK_HYBRID_ORACLE)
+def x2_rerank_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval (r9): exact embedding top-{_TOP_K}
+    candidates per query, RERANKED by a cosine + lexical-overlap blend
+    ({_RERANK_ALPHA} * cosine + {1 - _RERANK_ALPHA} * token-set Jaccard
+    of the two documents' texts), keeping the top {_RERANK_K} -- the
+    candidate-then-rerank shape every production retrieval/dedup stack
+    runs (the second stage is where a cross-encoder would slot in; this
+    face's deterministic lexical scorer is the oracle-checkable default,
+    and swapping in a model scorer is one mapInPandas away, exactly like
+    the strategy slots in operators/strategies.py).
+
+    vec_id keys the documents table (every embedding has its document),
+    so the rescoring join is candidates x texts. Scale shape: the
+    candidate relation is bounded (n_queries x {_TOP_K}), so it
+    BROADCASTS to prune the corpus-sized token relation -- the text of
+    only ~n_queries x {_TOP_K} documents ever moves, never the corpus.
+    Oracle-exact with NO rounding exposure: the blend's inputs (a 9-dp
+    rounded cosine and a ratio of integer set sizes) are bit-identical
+    on both engines, so the three IEEE ops cannot diverge."""
+    cand = x2_cosine_topk(spark, sf_dir).select("query_id", "match_id",
+                                                "cosine")
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.filter(F.split("text", " "),
+                                  lambda w: w != "")).alias("toks"))
+    a = toks.select(F.col("doc_id").alias("query_id"),
+                    F.col("toks").alias("qt"))
+    b = toks.select(F.col("doc_id").alias("match_id"),
+                    F.col("toks").alias("mt"))
+    j = F.broadcast(cand).join(a, "query_id").join(b, "match_id")
+    union = F.size(F.array_union("qt", "mt"))
+    lex = (F.when(union > 0,
+                  F.size(F.array_intersect("qt", "mt"))
+                  .cast("double") / union)
+           .otherwise(F.lit(0.0)))
+    scored = j.select(
+        "query_id", "match_id",
+        F.round(F.lit(_RERANK_ALPHA) * F.col("cosine")
+                + F.lit(1 - _RERANK_ALPHA) * lex, 9).alias("hybrid"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("hybrid"),
+                                               F.asc("match_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= _RERANK_K))
+
+
 @register("x2_cosine_topk_gemm", oracle=_COS_TOPK_ORACLE)
 def x2_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-k via Arrow-batched numpy GEMM -- the kernel a

@@ -205,7 +205,7 @@ PRIORITY: tuple[str, ...] = (
     "x5_pii_pseudonymize",
     "x3_payload_dedup",
     "st_session_window", "st_stateful_threshold_batches",
-    "st_gap_fill_forward", "st_tws_running_totals", "st_anomaly_zscore",
+    "st_gap_fill_forward", "st_tws_running_totals",
     "a_gini_concentration", "a_cube_lineitem_flags",
     "a_hll_sketch_partial_merge",
     "f_udtf_word_explode", "f_variant_semistructured",
@@ -224,7 +224,7 @@ PRIORITY: tuple[str, ...] = (
     "x1_dedup_keep_best_quality",
     # -- new r9 oracle-backed faces --
     "x1_dedup_embedding_auto", "x2_ann_lsh_buckets", "x2_ann_pq_adc",
-    "x2_ann_ivf_kmeans",
+    "x2_ann_ivf_kmeans", "x2_rerank_hybrid",
 )
 
 
