@@ -138,3 +138,32 @@ def test_twin_flood_picks_gemm_even_above_budget(
     per_group = _N // n_groups
     expected_pairs = n_groups * per_group * (per_group - 1) // 2
     assert auto.count() == expected_pairs
+
+
+def test_rerank_hybrid_handles_empty_text(spark, tmp_path_factory):
+    """The lexical term's zero-union guard: a document with empty text
+    must score lex = 0 (hybrid = alpha * cosine), not trip ANSI division
+    by zero. Gate corpora never exercise this branch."""
+    import pandas as pd
+
+    from multiagent_form_schema_etl_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(40, 16))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    v[15] = v[0]  # cosine(0, 15) = 1.0 => guaranteed in query 0's top-k
+    d = _write_emb_corpus(tmp_path_factory.mktemp("emb"), "rerank", v)
+    # overwrite documents with matching doc_ids, two of them EMPTY text
+    docs = pd.DataFrame({
+        "doc_id": range(40),
+        "text": ["" if i in (0, 15) else f"w{i} common tok{i % 5}"
+                 for i in range(40)],
+        "lang": "en", "source": "s", "n_chars": 0,
+    })
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+    out = similarity.x2_rerank_hybrid(spark, d).collect()
+    assert out, "rerank produced no rows"
+    by_pair = {(r["query_id"], r["match_id"]): r["hybrid"] for r in out}
+    # both sides empty => union 0 => lex exactly 0 => hybrid = alpha * cos
+    assert (0, 15) in by_pair
+    assert by_pair[(0, 15)] == round(similarity._RERANK_ALPHA * 1.0, 9)
