@@ -152,6 +152,12 @@ def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet").load(d))
 
 
+_SEMDECON_EVAL_MAX = 1_000_000  # held-out rows the closure may carry: a
+#   1M x 64-dim float64 eval matrix is ~512 MB -- the outer limit of
+#   "benchmark-sized" (real eval benches are thousands of rows); anything
+#   larger indicates a broken split, not a bigger benchmark
+
+
 def streaming_semantic_decon(spark: SparkSession, sf_dir: str,
                              source: DataFrame | None = None,
                              threshold: float = 0.42) -> DataFrame:
@@ -183,6 +189,16 @@ def streaming_semantic_decon(spark: SparkSession, sf_dir: str,
     held_rows = (load_table(spark, sf_dir, "embeddings")
                  .filter(F.col("vec_id") % 10 >= 8)
                  .select("vec_id", "embedding").collect())
+    if len(held_rows) > _SEMDECON_EVAL_MAX:
+        # the driver-side collect is bounded BY CONTRACT (eval benches
+        # are benchmark-sized at any corpus scale); a misconfigured
+        # split that sweeps a corpus-sized relation into the closure
+        # must fail loudly here, not OOM the driver or executors
+        raise ValueError(
+            f"held-out side has {len(held_rows)} rows, exceeding the "
+            f"benchmark-sized bound {_SEMDECON_EVAL_MAX} -- check the "
+            "eval split; streaming_semantic_decon broadcasts the eval "
+            "matrix in the task closure by design")
     h_ids = np.asarray([r["vec_id"] for r in held_rows], dtype=np.int64)
     hm = np.asarray([np.asarray(r["embedding"], dtype=np.float64)
                      for r in held_rows])
