@@ -194,7 +194,7 @@ PRIORITY: tuple[str, ...] = (
     # 30-row core keeps every SURVEY §2 family represented by a
     # recently-green row; every rotated-out query keeps its oracle + the
     # builder gate tools/check.py and the tri-SF sweeps.
-    "doc_p1_blocks_normalize", "doc_a2_clause_sessionize",
+    "doc_p1_blocks_normalize",
     "doc_u7_extraction_cascade", "doc_j1_field_scoring",
     "x1_dedup_exact", "x1_dedup_jaccard_auto_dense",
     "x1_dedup_minhash_lsh_md5", "x1_dedup_incremental",
@@ -224,7 +224,7 @@ PRIORITY: tuple[str, ...] = (
     "x1_dedup_keep_best_quality",
     # -- new r9 oracle-backed faces --
     "x1_dedup_embedding_auto", "x2_ann_lsh_buckets", "x2_ann_pq_adc",
-    "x2_ann_ivf_kmeans", "x2_rerank_hybrid",
+    "x2_ann_ivf_kmeans", "x2_rerank_hybrid", "x1_entity_qgram_join",
 )
 
 

@@ -288,3 +288,44 @@ def test_bucket_prefix_rank_equals_global_window(spark, rows):
             Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))).alias("r"))
         .collect()}
     assert got == want
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.text(alphabet="abc", min_size=0, max_size=14),
+       st.text(alphabet="abc", min_size=0, max_size=14))
+def test_qgram_count_filter_is_necessary(a, b):
+    """The x1_entity_qgram_join blocking theorem, exactly as implemented:
+    any pair within _QGRAM_K edits either (1) falls in the brute-force
+    short bucket (both below q + k*q), or (2) shares at least
+    max(len) - q + 1 - k*q bag q-grams AND at least one gram -- so the
+    gram-join + count filter can never drop a true pair. Small alphabet
+    maximizes repeated grams (the bag-vs-set trap the filter must
+    survive)."""
+    from collections import Counter
+
+    from multiagent_form_schema_etl_spark.operators.functions_queries import (
+        _QGRAM_K, _QGRAM_Q)
+
+    q, k = _QGRAM_Q, _QGRAM_K
+
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (cx != cy)))
+            prev = cur
+        return prev[-1]
+
+    if a == b or lev(a, b) > k:
+        return
+    mx = max(len(a), len(b))
+    if mx < q + k * q:
+        return  # brute-force bucket by construction
+    ga = Counter(a[i:i + q] for i in range(len(a) - q + 1))
+    gb = Counter(b[i:i + q] for i in range(len(b) - q + 1))
+    shared = sum((ga & gb).values())
+    bound = mx - q + 1 - k * q
+    assert shared >= bound, (a, b, shared, bound)
+    assert shared >= 1  # the gram join itself sees the pair
