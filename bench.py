@@ -239,6 +239,14 @@ def build_records(runs: list[dict]) -> tuple[dict, str]:
     if len(line) > _LINE_BUDGET:
         compact.pop("queries_warm")  # still in BENCH_LOCAL.json
         line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > _LINE_BUDGET:
+        # final unconditional fallback (ADVICE r9): if the cold medians
+        # dict alone overflows, drop it too -- the headline value/
+        # warm_total still parse, and the full per-query data is always
+        # in BENCH_LOCAL.json
+        compact.pop("queries")
+        compact["queries_in"] = "BENCH_LOCAL.json"
+        line = json.dumps(compact, separators=(",", ":"))
     return full, line
 
 

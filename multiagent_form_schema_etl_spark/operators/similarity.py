@@ -725,9 +725,12 @@ def x1_dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every gate corpus sits deep inside the exact-tractability budget, so
     the gate exercises the gemm branch under the shared >= 0.45 pair
-    oracle -- ASSERTED below: a gate corpus drifting into the
-    above-budget regime would otherwise silently route this face's EXACT
-    oracle onto the approximate branch. The ivf branch's routing and its
+    oracle -- IMPLIED by corpus size (under budget the rule is
+    structural: gemm always wins), and made diagnosable rather than
+    silent above it: routing onto the approximate ivf branch emits a
+    loud stderr warning naming the budget and the recall hazard, so an
+    oracle-context corpus that drifted above budget surfaces as a clear
+    routing notice next to any hash mismatch (ADVICE r9). The ivf branch's routing and its
     end-to-end output are pinned on constructed corpora in
     test_emb_auto.py (with the calibration constants overridden and
     documented there), and both branches + the rule are measured at
@@ -747,6 +750,14 @@ def x1_dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, cells = _ivf_dedup_cells(spark, sf_dir)
     ivf_rows, gemm_pairs = _emb_dedup_costs(emb, cells)
     if _emb_dedup_choice_from(ivf_rows, gemm_pairs) == "ivf":
+        import sys
+        print(
+            f"x1_dedup_embedding_auto: corpus exceeds the exact-"
+            f"tractability budget ({gemm_pairs:.3g} pairs > "
+            f"{_GEMM_PAIR_BUDGET:.3g}) -- routing to the APPROXIMATE ivf "
+            "branch; an exact-oracle context (gate/check) comparing this "
+            "face should expect a recall-driven mismatch unless measured "
+            "recall is 1.0 on this corpus", file=sys.stderr)
         return _ivf_pairs_from(emb, cells)
     return x1_dedup_embedding_cosine(spark, sf_dir)
 

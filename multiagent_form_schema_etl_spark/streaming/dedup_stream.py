@@ -186,19 +186,25 @@ def streaming_semantic_decon(spark: SparkSession, sf_dir: str,
 
     from ..catalog import load_table
 
-    held_rows = (load_table(spark, sf_dir, "embeddings")
-                 .filter(F.col("vec_id") % 10 >= 8)
-                 .select("vec_id", "embedding").collect())
-    if len(held_rows) > _SEMDECON_EVAL_MAX:
+    held = (load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % 10 >= 8)
+            .select("vec_id", "embedding"))
+    # Size-check BEFORE collecting (ADVICE r9): a count is executor-side
+    # and cheap; collecting first would materialize a corpus-sized
+    # relation on the driver before the guard could fire -- the very OOM
+    # the bound exists to prevent.
+    n_held = held.count()
+    if n_held > _SEMDECON_EVAL_MAX:
         # the driver-side collect is bounded BY CONTRACT (eval benches
         # are benchmark-sized at any corpus scale); a misconfigured
         # split that sweeps a corpus-sized relation into the closure
         # must fail loudly here, not OOM the driver or executors
         raise ValueError(
-            f"held-out side has {len(held_rows)} rows, exceeding the "
+            f"held-out side has {n_held} rows, exceeding the "
             f"benchmark-sized bound {_SEMDECON_EVAL_MAX} -- check the "
             "eval split; streaming_semantic_decon broadcasts the eval "
             "matrix in the task closure by design")
+    held_rows = held.collect()
     h_ids = np.asarray([r["vec_id"] for r in held_rows], dtype=np.int64)
     hm = np.asarray([np.asarray(r["embedding"], dtype=np.float64)
                      for r in held_rows])

@@ -98,3 +98,14 @@ def test_bench_compact_line_stays_under_tail_budget():
     _, wline = bench.build_records([wide])
     assert len(wline) <= bench._LINE_BUDGET
     assert "queries_warm" not in json.loads(wline)
+
+    # and a set so wide the cold medians alone overflow must shed them
+    # too (ADVICE r9 final fallback) -- the line parses unconditionally
+    huge = dict(run)
+    huge["queries"] = {f"q_{i}_{'y'*60}": 1.0 for i in range(60)}
+    huge["queries_warm"] = dict(huge["queries"])
+    _, hline = bench.build_records([huge])
+    assert len(hline) <= bench._LINE_BUDGET
+    hrec = json.loads(hline)
+    assert "queries" not in hrec and hrec["queries_in"] == "BENCH_LOCAL.json"
+    assert hrec["value"] == 50.123 and hrec["warm_total"] == 20.456

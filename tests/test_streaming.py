@@ -916,3 +916,27 @@ def test_streaming_semantic_decon_matches_batch_face(spark, tmp_path):
                             r["first_heldout_id"])
             for r in x5_decontaminate_semantic(spark, SF_SMOKE).collect()}
     assert {k: tuple(v) for k, v in agg.items()} == want
+
+
+def test_streaming_semantic_decon_eval_bound_raises_before_collect(
+        spark, monkeypatch):
+    """The _SEMDECON_EVAL_MAX guard must fire on a cheap executor-side
+    count BEFORE any driver-side collect of the held-out relation
+    (ADVICE r9: a post-collect length check defends against nothing --
+    the OOM would already have happened)."""
+    import pyspark.sql.dataframe as dfmod
+
+    from multiagent_form_schema_etl_spark.streaming import dedup_stream as ds
+
+    monkeypatch.setattr(ds, "_SEMDECON_EVAL_MAX", 0)
+    collected = []
+    orig_collect = dfmod.DataFrame.collect
+    monkeypatch.setattr(
+        dfmod.DataFrame, "collect",
+        lambda self: (collected.append(1), orig_collect(self))[1])
+    try:
+        ds.streaming_semantic_decon(spark, SF_SMOKE)
+        raise AssertionError("expected ValueError from the eval bound")
+    except ValueError as ex:
+        assert "benchmark-sized bound" in str(ex)
+    assert not collected, "held-out relation was collected before the bound"

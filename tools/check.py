@@ -117,6 +117,15 @@ _BOUNDARY_FACES: dict[str, str] = {
 _BOUNDARY_FAIL = 5e-15  # flip imminent: inside 3x the max observed divergence
 _BOUNDARY_WARN = 1e-12  # worth a look on the next corpus regeneration
 
+# Faces registered against an EXACT oracle whose hash match is really a
+# standing recall == 1.0 assertion at the committed knobs (NOTES_r9 item 8,
+# ADVICE r9): on a hash FAIL, say so, so a regenerated/adversarial corpus
+# is diagnosed as a recall shortfall rather than an engine bug.
+_APPROX_FACES = frozenset({
+    "x2_ann_lsh_buckets", "x2_ann_pq_adc", "x2_ann_ivf_kmeans",
+    "x1_dedup_embedding_ivf",
+})
+
 
 def _boundary_dist(x: float) -> float:
     """Distance from x to the nearest odd multiple of 0.5e-9 (the ties of
@@ -214,8 +223,13 @@ def plan_guard(name: str, sdf) -> list[str]:
     try:
         with contextlib.redirect_stdout(buf):
             sdf.explain("formatted")
-    except Exception:
-        return []  # no physical plan (should not happen for batch faces)
+    except Exception as ex:
+        # ADVICE r9: a face whose plan generation breaks must be visibly
+        # unguarded, not silently skip the regression checks
+        print(f"     WARNING {name}: plan_guard could not explain the "
+              f"plan ({type(ex).__name__}: {ex}); Cartesian/Python-eval/"
+              "Window regression checks skipped for this face")
+        return []
     plan = buf.getvalue()
     problems = []
     cart = plan.count("CartesianProduct")
@@ -354,6 +368,16 @@ def main() -> int:
                 diff = [(a, b) for a, b in zip(s, d) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
+            if name in _APPROX_FACES:
+                # ADVICE r9: these faces share an EXACT oracle because
+                # measured recall is 1.0 at the committed knobs -- a hash
+                # FAIL here may be a recall shortfall on a new corpus,
+                # not an engine bug; point the diagnosis the right way
+                problems.append(
+                    "(approximate face: possible recall shortfall at the "
+                    "committed knobs on this corpus -- run "
+                    "tools/scale_probe.py --ann before suspecting the "
+                    "engine)")
             print(f"FAIL {name}: " + "; ".join(problems))
             failed.append(name)
         else:
