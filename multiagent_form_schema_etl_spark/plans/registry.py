@@ -177,42 +177,17 @@ def query_names() -> list[str]:
 
 
 # The driver's correctness gate verifies the FIRST 50 entries of queries().
-# Order the registry so that window carries one green row per SURVEY §2
-# family: the document pipeline (doc_*), each EXT family (x1-x4), the
-# streaming twins (st_*), window functions (w*), and the advanced join /
-# aggregate shapes. Everything else (TPC-H classics etc.) keeps its oracle
-# and the builder's own gate (tools/check.py); rows-only queries register
-# last so they never consume a checked slot.
+# r10 window policy (VERDICT r9 item 2 + NOTES_r9 guidance): the
+# never-driver-checked backlog is ZERO, so the window is now AGE-driven --
+# keep the r9 first-timers for one confirming round, enter the two new
+# engine-vs-engine equivalence faces (VERDICT r9 item 3), and fill the
+# remaining slots with the STALEST cohort from the committed rotation
+# ledger (rotation_ledger.json, regenerated from CORRECTNESS_r*.json by
+# tools/rotation.py). Everything outside the window keeps its oracle + the
+# builder gate tools/check.py + the tri-SF sweeps, and the post-window
+# order is ledger-stalest-first so the next rounds' windows are mechanical.
 PRIORITY: tuple[str, ...] = (
-    # r9 rotation (VERDICT r8 item 2, executing NOTES_r8's committed r9
-    # queue IN FULL): the 17 remaining never-driver-checked oracle-backed
-    # queries all enter the window -- after this round every oracle-backed
-    # query in the registry has had a driver-green row -- plus the three
-    # faces that gained oracles this round (the embedding auto-selector,
-    # VERDICT r8 item 4, and the LSH/PQ ANN faces whose shared exact
-    # top-k oracle doubles as a recall == 1.0 assertion, item 8). A
-    # 30-row core keeps every SURVEY §2 family represented by a
-    # recently-green row; every rotated-out query keeps its oracle + the
-    # builder gate tools/check.py and the tri-SF sweeps.
-    "doc_p1_blocks_normalize",
-    "doc_u7_extraction_cascade", "doc_j1_field_scoring",
-    "x1_dedup_exact", "x1_dedup_jaccard_auto_dense",
-    "x1_dedup_minhash_lsh_md5", "x1_dedup_incremental",
-    "s_pydatasource_formdocs",
-    "x2_cosine_topk", "x2_cosine_topk_gemm",
-    "x4_token_stats", "x4_rank_fusion_rrf",
-    "x5_decontaminate_ngram", "x5_stratified_sample",
-    "x5_pii_pseudonymize",
-    "x3_payload_dedup",
-    "st_session_window", "st_stateful_threshold_batches",
-    "st_gap_fill_forward", "st_tws_running_totals",
-    "a_gini_concentration", "a_cube_lineitem_flags",
-    "a_hll_sketch_partial_merge",
-    "f_udtf_word_explode", "f_variant_semistructured",
-    "j_asof_backward_join",
-    "w_percent_rank_cume",
-    # -- the committed r9 queue: last 17 never-driver-checked
-    # oracle-backed queries (NOTES_r8.md) --
+    # -- the 23 r9 first-timers, kept one confirming round (NOTES_r9) --
     "etl_incremental_agg", "a8_distinct_key_union",
     "a2_minmax_stats_per_nation", "w_ntile_acctbal_quartiles",
     "x2_cosine_topk_bruteforce", "x1_dedup_embedding_ivf",
@@ -222,17 +197,53 @@ PRIORITY: tuple[str, ...] = (
     "x5_decontaminate_semantic", "x5_domain_mixture_sample",
     "x3_payload_chunked", "st_click_purchase_join",
     "x1_dedup_keep_best_quality",
-    # -- new r9 oracle-backed faces --
     "x1_dedup_embedding_auto", "x2_ann_lsh_buckets", "x2_ann_pq_adc",
     "x2_ann_ivf_kmeans", "x2_rerank_hybrid", "x1_entity_qgram_join",
+    # -- new r10 equivalence faces (VERDICT r9 item 3): constant-empty
+    # oracles turning pytest-local engine identities into per-round
+    # driver assertions --
+    "x1_dedup_minhash_fastpath_equiv", "x1_graph_pagerank_rank_equiv",
+    # -- the 25 alphabetically-first of the 47-query stalest cohort
+    # (last driver-green r1); the remaining 22 top the r11 window by the
+    # ledger ordering below --
+    "a_bitwise_aggregates", "a_grouping_sets", "a_percentiles_exact",
+    "a_statistics_moments", "f14_base64_roundtrip", "f5_date_parse_multi",
+    "f6_number_extract", "f7_bool_null_normalize",
+    "f8_email_currency_flags", "f9_events_json_extract",
+    "f_conditional_functions", "f_date_arithmetic", "f_date_functions",
+    "f_levenshtein_fuzzy_match", "f_map_explode_roundtrip",
+    "f_string_functions", "f_unpivot_measures",
+    "j2_containment_theta_join", "j5_anti_join_parts_never_shipped",
+    "j5_semi_join_customers_with_urgent_orders", "j_cross_join_fanout",
+    "p5_preview_truncate", "q01_pricing_summary", "q02_min_cost_supplier",
+    "q03_shipping_priority",
 )
 
 
+@functools.lru_cache(maxsize=1)
+def rotation_ledger() -> dict[str, int]:
+    """Per-query last-driver-green round, from the committed
+    rotation_ledger.json (tools/rotation.py regenerates it from the
+    CORRECTNESS_r*.json records after each round). Names absent from the
+    ledger (new faces, rows-only queries) read as round 0 = stalest."""
+    import json
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "rotation_ledger.json")
+    try:
+        with open(path) as fh:
+            return {str(k): int(v) for k, v in json.load(fh).items()}
+    except (OSError, ValueError):
+        return {}
+
 
 def ordered_query_names() -> list[str]:
-    """All query names: PRIORITY first, then remaining oracle-backed in
-    registration order, then rows-only queries last."""
-    rest = [n for n in QUERIES if n not in PRIORITY]
+    """All query names: PRIORITY (the driver's 50-row checked window)
+    first, then remaining oracle-backed queries STALEST-FIRST by the
+    rotation ledger (ties by name, so the order is deterministic), then
+    rows-only queries last (they never consume a checked slot)."""
+    led = rotation_ledger()
+    rest = sorted((n for n in QUERIES if n not in PRIORITY),
+                  key=lambda n: (led.get(n, 0), n))
     with_oracle = [n for n in rest if n in ORACLES]
     rows_only = [n for n in rest if n not in ORACLES]
     missing = [n for n in PRIORITY if n not in QUERIES]

@@ -136,3 +136,44 @@ def test_registry_eviction_releases_tracked_subrelation_caches(spark, tmp_path):
     # invalidate must release every cache the build registered; if the
     # build persisted nothing (single-form corpus), this still holds.
     assert after <= base, (base, during, after)
+
+
+def test_rotation_ledger_orders_window_and_tail_stalest_first():
+    """VERDICT r9 item 2: the driver-checked window (first 50) must carry
+    the r9 first-timers one confirming round, the two r10 equivalence
+    faces, and ONLY stalest-cohort fillers; the post-window oracle-backed
+    tail must be ordered stalest-first by the committed rotation ledger."""
+    from multiagent_form_schema_etl_spark.plans import registry
+
+    registry.load_all_modules()
+    led = registry.rotation_ledger()
+    assert led, "rotation_ledger.json missing or empty"
+
+    names = registry.ordered_query_names()
+    window = names[:50]
+    assert window == list(registry.PRIORITY)
+    assert len(set(window)) == 50
+
+    # the two new engine-equivalence faces are driver-checked this round
+    assert "x1_dedup_minhash_fastpath_equiv" in window
+    assert "x1_graph_pagerank_rank_equiv" in window
+
+    # every window filler that is not a confirmer/new face comes from the
+    # ledger's STALEST cohort (no filler may be younger than any
+    # non-window oracle-backed query)
+    confirmers = set(registry.PRIORITY[:25])
+    fillers = [n for n in window if n not in confirmers]
+    post_oracle = [n for n in names[50:] if n in registry.ORACLES]
+    filler_rounds = [led.get(n, 0) for n in fillers]
+    post_rounds = [led.get(n, 0) for n in post_oracle]
+    assert max(filler_rounds) <= min(post_rounds), (
+        "window filler younger than a skipped query")
+
+    # post-window oracle-backed tail is stalest-first, deterministic
+    assert post_rounds == sorted(post_rounds)
+    assert post_oracle == sorted(post_oracle,
+                                 key=lambda n: (led.get(n, 0), n))
+
+    # rows-only queries never consume a checked slot
+    rows_only = [n for n in names if n not in registry.ORACLES]
+    assert names[-len(rows_only):] == rows_only

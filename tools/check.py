@@ -174,6 +174,7 @@ _PYUDF_ALLOW: frozenset[str] = frozenset({
     "st_stateful_threshold_batches", "x1_dedup_embedding_auto",
     "x1_dedup_embedding_cosine",
     "x1_dedup_embedding_ivf", "x1_graph_pagerank", "x1_graph_pagerank_star",
+    "x1_graph_pagerank_rank_equiv",
     "x2_ann_ivf_kmeans", "x2_ann_pq_adc", "x2_cosine_topk_gemm",
     "x2_grouped_center_applyinpandas", "x2_knn_graph",
     "x3_decode_feature_stub", "x5_decontaminate_semantic",
