@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..plans.registry import register
+from ..plans.registry import register, track_persist
 
 # --- shared oracle CTEs over documents --------------------------------------
 
@@ -122,8 +122,26 @@ def x1_dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token join's groupBy -- optimal when matches are DENSE, as in this
     corpus (40-word vocabulary => ~1% of all pairs are near-dups, so any
     candidate-pruning scheme still pays full verification). For sparse-match
-    corpora, the lossless pruned variant below is the scale path."""
-    return _jaccard_ngram_from(_tok_d_df(spark, sf_dir))
+    corpora, the lossless pruned variant below is the scale path.
+
+    The result is track_persist'ed: SEVEN graph-composition faces
+    (components x2, pagerank x2, keep-best, keeplist, rank-equiv) consume
+    this pair relation through `_jaccard_pairs` (the memoized registry
+    path), so one build per (session, sf_dir) serves them all -- the r10
+    measurement showed each face re-paying the ~5 s inverted-index build
+    was the real cold cost, not the components fixpoint. The persisted
+    relation is near-dup-sized (pairs, not the corpus), MEMORY_AND_DISK,
+    and released by the registry memo's eviction like every other hoisted
+    sub-relation."""
+    return track_persist(_jaccard_ngram_from(_tok_d_df(spark, sf_dir)))
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHARED near-dup pair relation: routes through the registry's
+    memoized builder so every graph face reuses the same persisted
+    DataFrame instead of rebuilding the pair lineage per face."""
+    from ..plans import registry
+    return registry.QUERIES["x1_dedup_jaccard_ngram"](spark, sf_dir)
 
 
 def _jaccard_ngram_from(tok: DataFrame) -> DataFrame:
@@ -255,7 +273,7 @@ def x1_dedup_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf_dir, snapshot)."""
     if _jaccard_auto_choice(spark, sf_dir) == "blockpairs":
         return x1_dedup_jaccard_blockpairs(spark, sf_dir)
-    return x1_dedup_jaccard_ngram(spark, sf_dir)
+    return _jaccard_pairs(spark, sf_dir)
 
 
 @register(
@@ -624,6 +642,82 @@ def x1_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "jaccard"))
 
 
+_BLOCK_UF_MAX_PAIRS = 5_000_000  # per-block pair bound for the single-task
+#   union-find: ~80 MB of int64 edge arrays per Arrow batch -- comfortably
+#   inside one task; a block above it falls back to the distributed
+#   min-label kernel rather than risking task memory
+
+
+def blocked_components(spark: SparkSession, sf_dir: str,
+                       pairs: DataFrame) -> DataFrame:
+    """Connected components of the near-dup pair graph, exploiting the
+    generator's BLOCKING INVARIANT: `_tok_d_df`'s inverted-index join only
+    ever pairs documents sharing (lang, floor(n_chars/50)), so components
+    can never span blocks -- which turns the O(diameter)-round distributed
+    fixpoint into ONE applyInPandas union-find per block (a single shuffle
+    of the near-dup-sized pair relation on the block key; r10 measured the
+    min-label kernel's 9 checkpoint rounds at ~4.5 s at sf0.1 vs ~1 s for
+    this pass). Labels are the component-minimum doc_id, identical to both
+    iterative kernels, so every downstream oracle is unchanged.
+
+    100 TB: per-task work is bounded by the largest BLOCK's pair count,
+    not the corpus -- blocks are (lang x length-bucket) shards whose pair
+    volume the Jaccard generator already had to materialize. A corpus
+    whose largest block exceeds _BLOCK_UF_MAX_PAIRS (one cheap aggregate
+    over the persisted pair relation decides) falls back to the
+    O(diameter) min-label kernel; the general kernels remain the
+    registered `x1_dedup_components`/`_star` faces -- this shortcut is
+    only valid behind the blocking invariant.
+
+    Returns (node_id, component_id) for EVERY document (singletons label
+    themselves), same contract as the iterative kernels."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    attrs = docs.select(
+        "doc_id", "lang",
+        F.floor(F.col("n_chars") / 50.0).cast("long").alias("bucket"))
+    blocked = pairs.select("doc_a", "doc_b").join(
+        F.broadcast(attrs.select(F.col("doc_id").alias("doc_a"),
+                                 "lang", "bucket")), "doc_a")
+    [mx] = (blocked.groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx")).collect())
+    if (mx["mx"] or 0) > _BLOCK_UF_MAX_PAIRS:
+        return min_label_components(docs.select("doc_id"), pairs)
+
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(np.concatenate([pdf["doc_a"].to_numpy(),
+                                        pdf["doc_b"].to_numpy()]))
+        pos = {int(v): i for i, v in enumerate(ids)}
+        parent = np.arange(len(ids))
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+            ra, rb = find(pos[int(a)]), find(pos[int(b)])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.fromiter((find(i) for i in range(len(ids))),
+                            dtype=np.int64)
+        # ids are sorted ascending, so the root INDEX minimum is the
+        # minimum doc_id of the component -- the oracle's label
+        return pd.DataFrame({"node_id": ids, "component_id": ids[roots]})
+
+    linked = (blocked.groupBy("lang", "bucket")
+              .applyInPandas(uf, "node_id long, component_id long"))
+    return (docs.select(F.col("doc_id").alias("node_id"))
+            .join(linked, "node_id", "left")
+            .select("node_id",
+                    F.coalesce("component_id", "node_id")
+                     .alias("component_id")))
+
+
 def min_label_components(nodes: DataFrame, pairs: DataFrame,
                          max_rounds: int = 15) -> DataFrame:
     """Connected components by iterative min-label propagation, shared by
@@ -709,7 +803,7 @@ def x1_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence check is a scalar aggregate, not a data collect (see
     min_label_components). The DuckDB twin computes the same components via
     recursive reachability + MIN."""
-    pairs = x1_dedup_jaccard_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     comp = min_label_components(docs, pairs)
     return (comp.groupBy("component_id")
@@ -769,19 +863,26 @@ def x1_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     production corpus dedup actually ships: duplicates differ in OCR
     noise, truncation, and boilerplate, and keeping the highest-quality
     member is the whole point of finding the cluster. Composes the
-    Jaccard pair graph + min-label components kernel with the portable
+    Jaccard pair graph + the block-local union-find components kernel
+    (`blocked_components` -- valid here because the pair generator blocks
+    on (lang, length-bucket), so components never span blocks; r10 swap,
+    VERDICT r9 item 4: the min-label fixpoint's 9 checkpoint rounds were
+    ~4.5 s of this face's cold time at sf0.1) with the portable
     saturating quality formula (identical in both engines, rounded at 6
     before ranking).
 
     Scale shape: everything up to components is the proven near-dup
-    lineage; the selection is one quality join (map-side formula, no
-    extra scan beyond documents) and a window PARTITIONED by component --
-    no global sort, no driver loop."""
+    lineage (the pair relation itself persisted once per session via
+    `_jaccard_pairs` and shared across all graph faces); the components
+    pass is ONE shuffle of the pair relation on the block key; the
+    selection is one quality join (map-side formula, no extra scan
+    beyond documents) and a window PARTITIONED by component -- no global
+    sort, no driver loop."""
     from pyspark.sql import Window
 
-    pairs = x1_dedup_jaccard_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents")
-    comp = min_label_components(docs.select("doc_id"), pairs)
+    comp = blocked_components(spark, sf_dir, pairs)
     n_tokens = (F.length("text")
                 - F.length(F.regexp_replace("text", " ", "")) + 1
                 ).cast("long")
@@ -877,7 +978,7 @@ def x1_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy: O(log n) rounds instead of O(diameter), the shape that wins on
     long-chain duplicate graphs at 100 TB. Cross-strategy equality is also
     pinned in pytest (test_corpus_prep.py)."""
-    pairs = x1_dedup_jaccard_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     comp = star_contraction_components(docs, pairs)
     return (comp.groupBy("component_id")
@@ -1084,7 +1185,7 @@ def x1_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of ~48 shuffle rounds. Rows-only: ranks are order-dependent
     float solves; numeric agreement with a dense numpy reference is
     pinned in tests/test_differential.py."""
-    pairs = x1_dedup_jaccard_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pr = pagerank_components(docs, pairs)
     return (pr.select(F.col("node_id").alias("doc_id"),
@@ -1489,9 +1590,9 @@ def x1_dedup_apply_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-list itself (doc_id, component_id, is_keeper) is the obvious
     intermediate to persist at 100 TB; the registered face rolls it up
     so the gate verifies the whole lineage with five numbers per lang."""
-    pairs = x1_dedup_jaccard_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents")
-    comp = min_label_components(docs.select("doc_id"), pairs).select(
+    comp = blocked_components(spark, sf_dir, pairs).select(
         F.col("node_id").alias("doc_id"), "component_id")
     flagged = (docs.select("doc_id", "lang", "n_chars")
                .join(comp, "doc_id"))
@@ -1617,7 +1718,7 @@ def x1_graph_pagerank_rank_equiv(spark: SparkSession,
     the same memoized inputs), two applyInPandas passes shuffled on
     component_id, then a doc_id equi-join; nothing shuffles more than
     the node relation."""
-    pairs = x1_dedup_jaccard_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     dense = pagerank_components(docs, pairs).select(
         F.col("node_id").alias("doc_id"),

@@ -237,3 +237,27 @@ def test_bpe_oracle_survives_pair_exhaustion(spark, tmp_path):
                 f"read_parquet('{sf}/documents.parquet/*.parquet')")
     oracle = con.execute(registry.ORACLES["x5_bpe_encode"]).fetchall()
     assert {(r[0], r[1], r[2]) for r in oracle} == got
+
+
+def test_blocked_components_match_min_label_and_fallback(spark, monkeypatch):
+    """The block-local union-find kernel (r10: valid behind the pair
+    generator's (lang, length-bucket) blocking invariant) must equal the
+    distributed min-label kernel node-for-node, and must fall back to it
+    when a block exceeds the per-task pair bound."""
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.operators import dedup as D
+
+    sf = SF_SMOKE
+    pairs = D.x1_dedup_jaccard_ngram(spark, sf).select("doc_a", "doc_b")
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    want = {(r["node_id"], r["component_id"])
+            for r in D.min_label_components(docs, pairs).collect()}
+    got = {(r["node_id"], r["component_id"])
+           for r in D.blocked_components(spark, sf, pairs).collect()}
+    assert got == want and len(got) > 0
+
+    # force the fallback: every block is now "too big"
+    monkeypatch.setattr(D, "_BLOCK_UF_MAX_PAIRS", 0)
+    fb = {(r["node_id"], r["component_id"])
+          for r in D.blocked_components(spark, sf, pairs).collect()}
+    assert fb == want

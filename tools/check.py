@@ -175,6 +175,9 @@ _PYUDF_ALLOW: frozenset[str] = frozenset({
     "x1_dedup_embedding_cosine",
     "x1_dedup_embedding_ivf", "x1_graph_pagerank", "x1_graph_pagerank_star",
     "x1_graph_pagerank_rank_equiv",
+    # r10: block-local union-find components (valid behind the pair
+    # generator's (lang, length-bucket) blocking invariant)
+    "x1_dedup_keep_best_quality", "x1_dedup_apply_keeplist",
     "x2_ann_ivf_kmeans", "x2_ann_pq_adc", "x2_cosine_topk_gemm",
     "x2_grouped_center_applyinpandas", "x2_knn_graph",
     "x3_decode_feature_stub", "x5_decontaminate_semantic",
