@@ -644,6 +644,264 @@ def run_semdecon_soak_probe(spark, sf_dir: str, n_files: int = 50) -> dict:
     return out
 
 
+def run_tws_soak_probe(spark, sf_dir: str, n_files: int = 50) -> dict:
+    """Long-stream soak for the transformWithState running-totals face
+    (VERDICT r9 item 6): drive ``n_files`` one-file event micro-batches
+    (event-time/event_id arrival order) through
+    ``streaming_running_totals_tws`` on the RocksDB backend and publish
+    the standing-query series: per-batch trigger latency, state-store row
+    growth (per-user ValueState: must track DISTINCT USERS SEEN, never
+    event volume), and exact row-set equality of the drained stream to
+    the batch twin `st_tws_running_totals` at full depth."""
+    import json as _json
+    import tempfile
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.streaming import stateful as stf
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_id", "ts", "value"))
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+
+    stream_dir = os.path.join(
+        OUT, f"twssoak_{n_files}_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.isdir(stream_dir):
+        # event_id-range slices = arrival order (ids and ts co-monotone)
+        (ev.repartitionByRange(n_files, "event_id")
+         .write.mode("overwrite").parquet(stream_dir + ".tmp"))
+        os.rename(stream_dir + ".tmp", stream_dir)
+    parts = sorted(f for f in os.listdir(stream_dir)
+                   if f.endswith(".parquet"))
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(stream_dir, f),
+                 (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (spark.readStream
+           .schema("user_id long, event_id long, ts timestamp, value double")
+           .format("parquet")
+           .option("maxFilesPerTrigger", "1").load(stream_dir))
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    n_prog_key = "spark.sql.streaming.numRecentProgressUpdates"
+    old = spark.conf.get(provider_key, None)
+    old_np = spark.conf.get(n_prog_key, None)
+    spark.conf.set(provider_key, rocks)
+    spark.conf.set(n_prog_key, str(n_files + 20))
+    try:
+        out = stf.streaming_running_totals_tws(spark, sf_dir, source=raw)
+        q = (out.writeStream.format("memory").queryName("t_twssoak")
+             .outputMode("update")
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="twssoak_ckpt_"))
+             .start())
+        try:
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            total = round(time.perf_counter() - t0, 2)
+            prog = [_json.loads(p.json) for p in q.recentProgress]
+        finally:
+            q.stop()
+    finally:
+        for key, val in ((provider_key, old), (n_prog_key, old_np)):
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+
+    batches = [{
+        "ms": p["durationMs"].get("triggerExecution"),
+        "in_rows": p["numInputRows"],
+        "state_rows": sum(s.get("numRowsTotal", 0)
+                          for s in (p.get("stateOperators") or [])),
+    } for p in prog if p["numInputRows"] > 0]
+
+    stream_rows = sorted(
+        (r["user_id"], r["event_id"], r["running_value"], r["n_events"])
+        for r in spark.sql("SELECT user_id, event_id, running_value,"
+                           " n_events FROM t_twssoak").collect())
+    batch_rows = sorted(
+        (r["user_id"], r["event_id"], r["running_value"], r["n_events"])
+        for r in stf.st_tws_running_totals(spark, sf_dir).collect())
+
+    series = [b["ms"] for b in batches if b["ms"] is not None]
+    states = [b["state_rows"] for b in batches]
+
+    def _med(xs):
+        return sorted(xs)[len(xs) // 2]
+
+    half = len(series) // 2
+    out = {
+        "n_events": n_events,
+        "n_users": n_users,
+        "n_files": n_files,
+        "n_batches": len(batches),
+        "drain_s": total,
+        "batch_ms_p50": _med(series) if series else None,
+        "batch_ms_max": max(series) if series else None,
+        "latency_drift": (round(_med(series[half:]) / _med(series[:half]),
+                                2) if len(series) >= 4 else None),
+        "state_rows_final": states[-1] if states else None,
+        # the contract: ValueState rows == distinct users seen, so the
+        # final count equals the corpus's user dimension and growth is
+        # monotone non-decreasing, bounded by n_users
+        "state_equals_users": bool(states and states[-1] == n_users),
+        "state_monotone_bounded": bool(
+            states and all(a <= b for a, b in zip(states, states[1:]))
+            and max(states) <= n_users),
+        "matches_batch_twin": stream_rows == batch_rows,
+        "n_output_rows": len(stream_rows),
+        "state_rows_series": states,
+        "batch_ms_series": [b["ms"] for b in batches],
+    }
+    for k, v in out.items():
+        print(f"  {k}: {v}", file=sys.stderr)
+    return out
+
+
+def _qgram_corpus(spark, mult: int, flood: bool):
+    """Replicated name corpus for the q-gram join probe. linear: each
+    copy's names get a DISJOINT copy prefix (vocabulary grows, near-match
+    structure scales linearly). flood: copies share the base name and
+    differ only in a short numeric suffix -- every name gains mult-1
+    near-twins sharing almost all grams, the adversarial posting-list /
+    candidate regime."""
+    names = (spark.read.parquet(os.path.join(BASE, "part.parquet"))
+             .select("p_name").distinct())
+    copies = spark.range(mult).select(F.col("id").alias("copy"))
+    r = names.crossJoin(copies)
+    if flood:
+        r = r.select(F.concat("p_name", F.lit(" "),
+                              F.col("copy").cast("string"))
+                     .alias("p_name"))
+    else:
+        # copy markers must sit > k edits apart or copies cross-match
+        # (first-cut single-digit prefixes were 1-2 edits apart and made
+        # "linear" a flood): the zero-padded copy id repeated 3x differs
+        # in >= 3 positions between any two distinct copies > _QGRAM_K=2
+        marker = F.lpad(F.col("copy").cast("string"), 2, "0")
+        r = r.select(F.concat(marker, marker, marker, F.lit("_"), "p_name")
+                     .alias("p_name"))
+    return r.select("p_name", F.length("p_name").alias("len"))
+
+
+def run_qgram_probe(spark, mult: int, flood: bool) -> dict:
+    """Depth probe for x1_entity_qgram_join (VERDICT r9 item 5): on a
+    mult-x replicated name corpus, measure the three-stage volumes --
+    gram-index size + max posting list (skew), count-filtered candidates
+    vs all-pairs (the blocking win), verified pairs -- and wall time.
+    The flood mode is the adversarial corpus: every name has mult-1
+    near-twins, so candidates MUST grow ~quadratically in mult there
+    (they are real matches); the linear mode must stay ~linear."""
+    from multiagent_form_schema_etl_spark.operators.functions_queries import (
+        qgram_join_parts)
+
+    names = _qgram_corpus(spark, mult, flood).persist()
+    n = names.count()
+    t0 = time.perf_counter()
+    grams, cand, verified = qgram_join_parts(names)
+    n_verified = verified.count()
+    secs = round(time.perf_counter() - t0, 2)
+    n_cand = cand.count()
+    gram_stats = (grams.groupBy("gram")
+                  .agg(F.count(F.lit(1)).alias("p"))
+                  .agg(F.count(F.lit(1)).alias("n_grams"),
+                       F.max("p").alias("max_posting"),
+                       F.sum(F.col("p") * (F.col("p") - 1) / 2)
+                        .alias("index_pairs")).first())
+    names.unpersist()
+    out = {
+        "mode": "flood" if flood else "linear",
+        "mult": mult,
+        "n_names": n,
+        "all_pairs": n * (n - 1) // 2,
+        "index_pair_volume": int(gram_stats["index_pairs"] or 0),
+        "n_grams": gram_stats["n_grams"],
+        "max_posting": gram_stats["max_posting"],
+        "candidates": n_cand,
+        "verified_pairs": n_verified,
+        "cand_over_allpairs": round(n_cand / max(n * (n - 1) / 2, 1), 6),
+        "seconds": secs,
+    }
+    for k, v in out.items():
+        print(f"  {k}: {v}", file=sys.stderr)
+    return out
+
+
+def run_rerank_probe(spark, sf_dir: str, n_queries_list: list[int]) -> dict:
+    """Depth probe for x2_rerank_hybrid's scale claim (VERDICT r9 item 5):
+    the candidate relation is n_queries x top-k rows and must stay
+    BROADCAST-sized as n_queries grows -- only candidate texts ever move,
+    never the corpus. On the replicated-embeddings corpus, build
+    hash-derived candidate sets (the rerank stage's cost is independent
+    of how stage 1 chose them) at growing n_queries, run the exact rerank
+    join + window, and report wall time, candidate rows, and whether the
+    physical plan still broadcasts the candidate side."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_vecs = emb.count()
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    n_docs = docs.count()
+    # token relation keyed by vec_id (vec_id % n_docs maps every probe
+    # vector onto a real document text, mirroring the face's doc_id key)
+    toks = (emb.select("vec_id")
+            .withColumn("doc_id", F.col("vec_id") % n_docs)
+            .join(docs.select("doc_id", "text"), "doc_id")
+            .select("vec_id",
+                    F.array_distinct(F.filter(F.split("text", " "),
+                                              lambda w: w != ""))
+                     .alias("toks")))
+    runs = []
+    for nq in n_queries_list:
+        top_k = 5
+        cand = (spark.range(nq).select(F.col("id").alias("query_id"))
+                .crossJoin(spark.range(top_k)
+                           .select(F.col("id").alias("slot")))
+                .select("query_id",
+                        (F.abs(F.xxhash64("query_id", "slot")) % n_vecs)
+                         .alias("match_id"),
+                        (F.abs(F.xxhash64("slot", "query_id") % 1000)
+                         .cast("double") / 1000.0).alias("cosine"))
+                .filter(F.col("query_id") != F.col("match_id")))
+        a = toks.select(F.col("vec_id").alias("query_id"),
+                        F.col("toks").alias("qt"))
+        b = toks.select(F.col("vec_id").alias("match_id"),
+                        F.col("toks").alias("mt"))
+        j = F.broadcast(cand).join(a, "query_id").join(b, "match_id")
+        union = F.size(F.array_union("qt", "mt"))
+        lex = (F.when(union > 0, F.size(F.array_intersect("qt", "mt"))
+                      .cast("double") / union).otherwise(F.lit(0.0)))
+        scored = j.select(
+            "query_id", "match_id",
+            F.round(F.lit(0.7) * F.col("cosine") + F.lit(0.3) * lex, 9)
+             .alias("hybrid"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("hybrid"),
+                                                   F.asc("match_id"))
+        out_df = (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= 3))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out_df.explain("formatted")
+        plan = buf.getvalue()
+        t0 = time.perf_counter()
+        n_out = out_df.count()
+        secs = round(time.perf_counter() - t0, 2)
+        runs.append({
+            "n_queries": nq,
+            "cand_rows": nq * top_k,
+            "out_rows": n_out,
+            "seconds": secs,
+            "broadcasts_candidates": "BroadcastHashJoin" in plan,
+        })
+        print(f"  n_queries={nq}: {runs[-1]}", file=sys.stderr)
+    return {"n_vecs": n_vecs, "runs": runs}
+
+
 _SPILL_QUERIES = ("x1_dedup_jaccard_ngram", "x1_dedup_components",
                   "w1_running_revenue_per_customer", "etl_scd2_intervals",
                   "x5_decontaminate_ngram")
@@ -1017,6 +1275,23 @@ def main() -> None:
                          "corpus; per-batch latency series (must be "
                          "flat), zero-state assertion, and set-equality "
                          "to the batch face at depth (VERDICT r8 item 5)")
+    ap.add_argument("--soak-tws", type=int, default=0,
+                    help="long-stream soak for the transformWithState "
+                         "running-totals face: N one-file event "
+                         "micro-batches on RocksDB; per-batch latency + "
+                         "per-user ValueState growth series (must track "
+                         "distinct users, never event volume) + row-set "
+                         "equality to the batch twin (VERDICT r9 item 6)")
+    ap.add_argument("--qgram", action="store_true",
+                    help="depth probe for the q-gram entity join: "
+                         "candidate volume vs all-pairs + gram posting "
+                         "skew on replicated names (--density = the "
+                         "name-flood adversarial corpus)")
+    ap.add_argument("--rerank", action="store_true",
+                    help="depth probe for the two-stage hybrid rerank: "
+                         "candidate relation stays broadcast-sized as "
+                         "n_queries grows (10/100/1000) on the x10 "
+                         "embedding corpus")
     ap.add_argument("--pipe-copies", type=int, default=0,
                     help="run ONLY the scoped document pipeline at N "
                          "fixture copies (4 docs each; 250000 -> 1M docs) "
@@ -1110,6 +1385,34 @@ def main() -> None:
                                       n_files=args.soak_semdecon)
         print(json.dumps({"mode": "soak_semdecon", "mult": mult,
                           "density": args.density, "metrics": res}))
+        return
+
+    if args.soak_tws:
+        mult = mults[0] if mults else 10
+        d = build_dir(spark, mult, False)
+        print(f"tws soak {args.soak_tws} batches x{mult} -> {d}",
+              file=sys.stderr)
+        res = run_tws_soak_probe(spark, d, n_files=args.soak_tws)
+        print(json.dumps({"mode": "soak_tws", "mult": mult,
+                          "metrics": res}))
+        return
+
+    if args.qgram:
+        for mult in mults:
+            print(f"qgram probe x{mult} flood={args.density}",
+                  file=sys.stderr)
+            res = run_qgram_probe(spark, mult, args.density)
+            print(json.dumps({"mode": "qgram", "mult": mult,
+                              "metrics": res}))
+        return
+
+    if args.rerank:
+        mult = mults[0] if mults else 10
+        d = build_ann_dir(spark, mult, False)
+        print(f"rerank probe x{mult} -> {d}", file=sys.stderr)
+        res = run_rerank_probe(spark, d, [10, 100, 1000])
+        print(json.dumps({"mode": "rerank", "mult": mult,
+                          "metrics": res}))
         return
 
     if args.streaming:
