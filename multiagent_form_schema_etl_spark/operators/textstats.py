@@ -657,3 +657,115 @@ def x4_readability_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.select("lang", "source", band.alias("band"))
             .groupBy("lang", "source", "band")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+# Deterministic multi-term query set drawn from the corpus vocabulary --
+# literal strings so the face is self-contained on any corpus sharing the
+# vocabulary (a corpus without these terms degrades to empty per-query
+# hit sets, which both engines agree on).
+_BM25_QUERIES = [(0, "spark join"), (1, "fast table scan"),
+                 (2, "stream window batch")]
+_BM25_Q_SQL = ", ".join(f"({i}, '{t}')" for i, q in _BM25_QUERIES
+                        for t in q.split(" "))
+
+
+@register(
+    "x4_bm25_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    tok_f AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tok_f GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM dlen),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM tok_f GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+           FROM tf GROUP BY token),
+    q(query_id, term) AS (VALUES {_BM25_Q_SQL}),
+    hits AS (
+      SELECT q.query_id, tf.doc_id,
+             ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1}
+                * (1.0 - {_BM25_B} + {_BM25_B} * dlen.dl / s.avgdl))
+               AS part
+      FROM q
+      JOIN tf ON tf.token = q.term
+      JOIN df ON df.token = q.term
+      JOIN dlen ON dlen.doc_id = tf.doc_id
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT query_id, doc_id, ROUND(SUM(part), 9) AS bm25,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM hits GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, bm25, n_terms_hit,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS BIGINT)
+             AS rnk
+    FROM scored
+    """,
+)
+def x4_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring over an inverted index (Robertson/Sparck
+    Jones; k1=1.2, b=0.75) for a fixed multi-term query set --
+    the lexical half of every production retrieval/dedup stack (the other
+    half, embedding top-k + fusion, is x2_cosine_topk / x4_rank_fusion_rrf
+    / x2_rerank_hybrid). Emits EVERY (query, matching doc) with its score
+    and rank-on-rounded-score rather than a top-k truncation, so no
+    rank-boundary cell rides the 9-dp rounding (ranking on the already-
+    rounded value is deterministic in both engines; ties break on doc_id).
+
+    Plan shape for 100 TB: the inverted index (tf) shuffles once on
+    token; df and the corpus stats are tiny aggregates that BROADCAST
+    into the per-term hit join (the query term list is literal, so
+    Catalyst prunes the token scan to matching postings); per-(query,
+    doc) assembly shuffles only the hit relation (query-term postings,
+    not the corpus). The natural-log IDF is evaluated identically in
+    both engines; its last-ulp platform spread (~1e-16 relative) sits
+    five orders below the 0.5e-9 rounding bin.
+
+    Reference parity: the reference has no retrieval layer; this is part
+    of the EXT training-data surface (SURVEY §2.11 X4) alongside TF
+    rarity and RRF fusion."""
+    tok = (load_table(spark, sf_dir, "documents")
+           .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+           .filter(F.col("token") != ""))
+    dlen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl").cast("double")
+         / F.count(F.lit(1))).alias("avgdl"))
+    tf = (tok.groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    q = spark.createDataFrame(
+        [(i, t) for i, qs in _BM25_QUERIES for t in qs.split(" ")],
+        "query_id int, term string")
+    hits = (F.broadcast(q)
+            .join(tf, tf.token == F.col("term"))
+            .join(F.broadcast(df.withColumnRenamed("token", "dftok")),
+                  F.col("dftok") == F.col("term"))
+            .join(dlen, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "query_id", "doc_id",
+                (F.log(1.0 + (F.col("n") - F.col("df") + 0.5)
+                       / (F.col("df") + 0.5))
+                 * F.col("tf") * (_BM25_K1 + 1.0)
+                 / (F.col("tf") + _BM25_K1
+                    * (1.0 - _BM25_B
+                       + _BM25_B * F.col("dl") / F.col("avgdl"))))
+                .alias("part")))
+    scored = (hits.groupBy("query_id", "doc_id")
+              .agg(F.round(F.sum("part"), 9).alias("bm25"),
+                   F.count(F.lit(1)).alias("n_terms_hit")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"),
+                                               F.asc("doc_id"))
+    return scored.select(
+        "query_id", "doc_id", "bm25", "n_terms_hit",
+        F.row_number().over(w).cast("long").alias("rnk"))

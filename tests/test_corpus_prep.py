@@ -261,3 +261,69 @@ def test_blocked_components_match_min_label_and_fallback(spark, monkeypatch):
     fb = {(r["node_id"], r["component_id"])
           for r in D.blocked_components(spark, sf, pairs).collect()}
     assert fb == want
+
+
+def test_bm25_matches_python_reference(spark):
+    """x4_bm25_score against an independent pure-python BM25 over the
+    collected token relation (same k1/b; full double precision before the
+    9-dp round) -- differential confidence beyond the SQL oracle twin."""
+    import math
+    from collections import Counter
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.operators import textstats as TS
+
+    docs = {r["doc_id"]: [t for t in r["text"].split(" ") if t]
+            for r in load_table(spark, SF_SMOKE, "documents").collect()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    tf = {d: Counter(v) for d, v in docs.items()}
+    df = Counter(t for c in tf.values() for t in c)
+    k1, b = TS._BM25_K1, TS._BM25_B
+
+    want = {}
+    for qid, qtext in TS._BM25_QUERIES:
+        for d, c in tf.items():
+            s, hits = 0.0, 0
+            for t in qtext.split(" "):
+                if c[t]:
+                    hits += 1
+                    idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                    s += (idf * c[t] * (k1 + 1.0)
+                          / (c[t] + k1 * (1.0 - b + b * len(docs[d]) / avgdl)))
+            if hits:
+                want[(qid, d)] = (round(s, 9), hits)
+
+    got = {(r["query_id"], r["doc_id"]): (r["bm25"], r["n_terms_hit"])
+           for r in TS.x4_bm25_score(spark, SF_SMOKE).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_sorted_neighborhood_sound_vs_complete_qgram_join(spark):
+    """The SN heuristic must be SOUND against the complete q-gram join
+    (every SN pair is a true <=k pair the lemma-complete join also finds)
+    and must find every qualifying pair within its rank window -- the two
+    directions of its documented contract."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sn = {(r["name_a"], r["name_b"])
+          for r in qs["x1_entity_sorted_neighborhood"](spark, SF_SMOKE)
+          .collect()}
+    complete = {(r["name_a"], r["name_b"])
+                for r in qs["x1_entity_qgram_join"](spark, SF_SMOKE)
+                .collect()}
+    assert sn <= complete and len(sn) > 0
+
+    # in-window completeness: rebuild the rank order and check every
+    # complete pair within _SN_WINDOW ranks was emitted
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.operators import (
+        functions_queries as FQ)
+
+    names = sorted({r["p_name"] for r in load_table(
+        spark, SF_SMOKE, "part").select("p_name").collect()})
+    rank = {nm: i for i, nm in enumerate(names)}
+    in_window = {(a, b) for a, b in complete
+                 if abs(rank[a] - rank[b]) <= FQ._SN_WINDOW}
+    assert sn == in_window

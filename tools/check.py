@@ -190,6 +190,10 @@ _UNPART_WINDOW_ALLOW: frozenset[str] = frozenset({
     # sees one row per doc_id-range bucket, never the fact relation)
     "w_ntile_acctbal_quartiles",
     "x5_shard_by_budget",
+    # r10: sorted-neighborhood rank assignment -- row_number over the
+    # DISTINCT NAME DIMENSION (64 rows at sf0.1), never the fact table
+    # (docstring-stated bound, like the ntile face)
+    "x1_entity_sorted_neighborhood",
 })
 
 
