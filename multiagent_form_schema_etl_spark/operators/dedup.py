@@ -1732,3 +1732,67 @@ def x1_graph_pagerank_rank_equiv(spark: SparkSession,
                     | (F.abs(F.col("rank_closed") - F.col("rank_iter"))
                        > 1e-9))
             .select("doc_id", "rank_closed", "rank_iter"))
+
+
+@register(
+    "x1_graph_triangle_count",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tok_d a JOIN tok_d b
+        ON a.token = b.token AND a.lang = b.lang AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    e AS (
+      SELECT i.doc_a AS a, i.doc_b AS b
+      FROM inter i
+      JOIN tok_sizes sa ON i.doc_a = sa.doc_id
+      JOIN tok_sizes sb ON i.doc_b = sb.doc_id
+      WHERE CAST(i.n_inter AS DOUBLE)
+            / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.8),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    member AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM member GROUP BY doc_id
+    """,
+)
+def x1_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the Jaccard >= 0.8 near-dup graph --
+    the classic clustering-coefficient / cohesion primitive (a doc whose
+    neighborhood is triangle-dense sits inside a duplicate CLIQUE; a
+    triangle-free hub is a chain artifact worth inspecting before
+    canonicalization). Each triangle is enumerated exactly once through
+    the a<b<c ordering of the oriented edge list, then exploded to its
+    three members for the per-node rollup.
+
+    Plan shape for 100 TB: edges come from the SHARED persisted pair
+    relation (one build per session, `_jaccard_pairs`); the enumeration
+    is two self-equi-joins on node keys -- candidate volume is
+    sum-over-nodes of out-degree^2 with the a<b<c orientation already
+    halving every adjacency (the standard oriented-wedge bound; a
+    degree-ordered orientation is the documented upgrade if a corpus
+    ever concentrates degree), and the closing edge join is an equi-join
+    on the (a, c) pair key. No cartesians, no iteration, no collect."""
+    pairs = _jaccard_pairs(spark, sf_dir)
+    e = pairs.select(F.least("doc_a", "doc_b").alias("a"),
+                     F.greatest("doc_a", "doc_b").alias("b")).distinct()
+    e1 = e.select(F.col("a"), F.col("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedge = e1.join(e2, "b")
+    closing = e.select(F.col("a"), F.col("b").alias("c"),
+                       F.lit(True).alias("closed"))
+    tri = (wedge.join(closing, ["a", "c"])
+           .select("a", "b", "c"))
+    member = (tri.select(F.col("a").alias("doc_id"))
+              .unionAll(tri.select(F.col("b").alias("doc_id")))
+              .unionAll(tri.select(F.col("c").alias("doc_id"))))
+    return member.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_triangles"))

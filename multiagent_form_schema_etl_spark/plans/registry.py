@@ -206,8 +206,9 @@ PRIORITY: tuple[str, ...] = (
     # -- new r10 operators (never driver-checked -> window immediately,
     # the r9 precedent) --
     "x4_bm25_score", "x1_entity_sorted_neighborhood",
-    # -- the 23 alphabetically-first of the 47-query stalest cohort
-    # (last driver-green r1); the remaining 24 top the r11 window by the
+    "x1_graph_triangle_count", "a_data_profile_lineitem",
+    # -- the 21 alphabetically-first of the 47-query stalest cohort
+    # (last driver-green r1); the remaining 26 top the r11 window by the
     # ledger ordering below --
     "a_bitwise_aggregates", "a_grouping_sets", "a_percentiles_exact",
     "a_statistics_moments", "f14_base64_roundtrip", "f5_date_parse_multi",
@@ -218,7 +219,6 @@ PRIORITY: tuple[str, ...] = (
     "f_string_functions", "f_unpivot_measures",
     "j2_containment_theta_join", "j5_anti_join_parts_never_shipped",
     "j5_semi_join_customers_with_urgent_orders", "j_cross_join_fanout",
-    "p5_preview_truncate", "q01_pricing_summary",
 )
 
 
