@@ -46,6 +46,8 @@ DOC_QUERIES = [
     "x1_dedup_substring_spans",
     "x1_dedup_apply_keeplist",
     "x1_graph_pagerank",
+    "x1_graph_triangle_count",
+    "x1_dedup_keep_best_quality",
     "x5_shard_by_budget",
     "x5_bpe_vocab_train",
     "x5_bpe_encode",
