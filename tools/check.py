@@ -303,7 +303,13 @@ def main() -> int:
     import __spark_entry__ as e
     from multiagent_form_schema_etl_spark.session import get_spark
 
-    names = sys.argv[1:] or sorted(e.queries())
+    args = sys.argv[1:]
+    if args == ["--window"]:
+        # exactly the driver's checked window (the first 50 of
+        # ordered_query_names) -- the rotation-simulation shorthand
+        names = list(e.queries())[:50]
+    else:
+        names = args or sorted(e.queries())
     qs, oracles = e.queries(), e.oracle_sql()
 
     spark = get_spark("check")
