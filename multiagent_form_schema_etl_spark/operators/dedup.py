@@ -1822,3 +1822,84 @@ def x1_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
               .unionAll(tri.select(F.col("c").alias("doc_id"))))
     return member.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_triangles"))
+
+
+@register(
+    "x1_source_overlap_matrix",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tok_d a JOIN tok_d b
+        ON a.token = b.token AND a.lang = b.lang AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    nd AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN tok_sizes sa ON i.doc_a = sa.doc_id
+      JOIN tok_sizes sb ON i.doc_b = sb.doc_id
+      WHERE CAST(i.n_inter AS DOUBLE)
+            / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.8),
+    pairs_src AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b
+      FROM nd
+      JOIN documents da ON da.doc_id = nd.doc_a
+      JOIN documents db ON db.doc_id = nd.doc_b),
+    sizes AS (SELECT source, COUNT(*) AS n_docs
+              FROM documents GROUP BY source)
+    SELECT p.source_a, p.source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (CASE WHEN p.source_a = p.source_b
+                         THEN sa.n_docs * (sa.n_docs - 1) / 2.0
+                         ELSE sa.n_docs * sb.n_docs END), 9)
+             AS dup_pair_rate
+    FROM pairs_src p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b
+    GROUP BY p.source_a, p.source_b, sa.n_docs, sb.n_docs
+    """,
+)
+def x1_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation overlap matrix: near-dup pair counts and rates per
+    (source, source) cell -- the report that tells a curation pipeline
+    WHICH feeds duplicate each other (a hot off-diagonal cell means two
+    crawls/dumps cover the same content: dedup one against the other or
+    drop the lower-quality feed; a hot diagonal means a feed re-crawls
+    itself). Rates normalize by the cell's pair capacity (n_a*n_b off
+    the diagonal, C(n,2) on it), so cells are comparable across source
+    sizes.
+
+    Plan shape: reuses the SHARED persisted pair relation
+    (`_jaccard_pairs`); sources attach via two broadcast joins against
+    the doc-attribute dim (LEAST/GREATEST canonicalizes the unordered
+    source pair), then one tiny groupBy on the |sources|^2-bounded key
+    space with the capacity dim broadcast back in. Nothing beyond the
+    near-dup-sized pair relation ever shuffles."""
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    p = (pairs
+         .join(F.broadcast(src.select(F.col("doc_id").alias("doc_a"),
+                                      F.col("source").alias("sa"))), "doc_a")
+         .join(F.broadcast(src.select(F.col("doc_id").alias("doc_b"),
+                                      F.col("source").alias("sb"))), "doc_b")
+         .select(F.least("sa", "sb").alias("source_a"),
+                 F.greatest("sa", "sb").alias("source_b")))
+    agg = (p.groupBy("source_a", "source_b")
+           .agg(F.count(F.lit(1)).alias("n_dup_pairs")))
+    na = sizes.select(F.col("source").alias("source_a"),
+                      F.col("n_docs").alias("na"))
+    nb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("n_docs").alias("nb"))
+    cap = F.when(F.col("source_a") == F.col("source_b"),
+                 F.col("na") * (F.col("na") - 1) / 2.0
+                 ).otherwise(F.col("na") * F.col("nb"))
+    return (agg.join(F.broadcast(na), "source_a")
+            .join(F.broadcast(nb), "source_b")
+            .select("source_a", "source_b", "n_dup_pairs",
+                    F.round(F.col("n_dup_pairs").cast("double") / cap, 9)
+                     .alias("dup_pair_rate")))

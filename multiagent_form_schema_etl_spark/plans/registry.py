@@ -207,8 +207,9 @@ PRIORITY: tuple[str, ...] = (
     # the r9 precedent) --
     "x4_bm25_score", "x1_entity_sorted_neighborhood",
     "x1_graph_triangle_count", "a_data_profile_lineitem",
-    # -- the 21 alphabetically-first of the 47-query stalest cohort
-    # (last driver-green r1); the remaining 26 top the r11 window by the
+    "x1_source_overlap_matrix",
+    # -- the 20 alphabetically-first of the 47-query stalest cohort
+    # (last driver-green r1); the remaining 27 top the r11 window by the
     # ledger ordering below --
     "a_bitwise_aggregates", "a_grouping_sets", "a_percentiles_exact",
     "a_statistics_moments", "f14_base64_roundtrip", "f5_date_parse_multi",
@@ -218,7 +219,7 @@ PRIORITY: tuple[str, ...] = (
     "f_levenshtein_fuzzy_match", "f_map_explode_roundtrip",
     "f_string_functions", "f_unpivot_measures",
     "j2_containment_theta_join", "j5_anti_join_parts_never_shipped",
-    "j5_semi_join_customers_with_urgent_orders", "j_cross_join_fanout",
+    "j5_semi_join_customers_with_urgent_orders",
 )
 
 
