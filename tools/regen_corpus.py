@@ -63,6 +63,7 @@ PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 ADJS = ["red", "cold", "hot", "blue", "small", "old", "new"]
 NOUNS = ["bolt", "widget", "gear", "anvil", "ring", "plate", "rod"]
 ETYPES = ["click", "error", "purchase", "signup", "view"]
+MAX_WORDS = 99  # doc length upper bound; --max-words overrides
 
 
 def _write(out_dir: str, name: str, df: pd.DataFrame) -> None:
@@ -159,7 +160,7 @@ def generate(sf: float, seed: int, out_dir: str) -> dict:
         "props": [json.dumps({"k": int(v)})
                   for v in rng.integers(0, 100, n_ev)]}))
 
-    texts = [" ".join(rng.choice(VOCAB, rng.integers(10, 100)))
+    texts = [" ".join(rng.choice(VOCAB, rng.integers(10, MAX_WORDS + 1)))
              for _ in range(n_doc)]
     _write(out_dir, "documents", pd.DataFrame({
         "doc_id": np.arange(n_doc, dtype=np.int64),
@@ -184,7 +185,19 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=4242)
     ap.add_argument("--sfs", default="0.001,0.01")
     ap.add_argument("--out", default="fresh_seed_data")
+    ap.add_argument("--en-weight", type=int, default=8,
+                    help="en slots out of 20 in the lang mix (default 8 "
+                         "matches seed-42; 18 = a 90%%-en skew-shift drill)")
+    ap.add_argument("--max-words", type=int, default=99,
+                    help="doc length upper bound in words (default 99 "
+                         "matches seed-42; raise for a length-shift drill)")
     a = ap.parse_args()
+    global LANGS, MAX_WORDS
+    MAX_WORDS = a.max_words
+    others = ["es", "fr", "zh", "de"]
+    rest = max(20 - a.en_weight, len(others))
+    LANGS = (["en"] * a.en_weight
+             + [others[i % len(others)] for i in range(rest)])
     for sf in (float(s) for s in a.sfs.split(",")):
         d = os.path.join(a.out, f"sf{sf:g}")
         print(json.dumps(generate(sf, a.seed, d)))
