@@ -104,3 +104,53 @@ def footer_stats(spark: SparkSession, path: str,
             + plan[:2000])
     [row] = df.collect()
     return row.asDict()
+
+
+# --- size-gated broadcast hints (VERDICT r10) --------------------------------
+#
+# A forced F.broadcast() hint on a relation that grows with the corpus is
+# measured-right at gate scale and OOM-certain at 100x: unlike AQE's
+# size-gated choice, the hint broadcasts regardless of runtime size. Every
+# hint on a corpus-derived relation (documents / customer / embeddings
+# attribute dims, per-vector norms, per-doc token sets) therefore goes
+# through gated_broadcast(): hint only while the METADATA row count (parquet
+# footer statistics -- no row scan) is under BROADCAST_MAX_ROWS; above it the
+# hint is dropped and AQE picks the join strategy from measured sizes.
+
+BROADCAST_MAX_ROWS = 1_000_000
+# Sizing: the gated relations are narrow attribute dims (2-3 ints / a short
+# string per row, ~50 B each), so the cap bounds a forced broadcast at
+# ~50 MB -- comfortable per-executor; the gate-scale corpora are 1e3-1e5
+# rows, so every sf0.001-sf0.1 plan keeps its measured-right broadcast.
+
+_rowcount_cache: dict[tuple[str, float], int] = {}
+
+
+def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of a catalog table answered from parquet FOOTER statistics
+    (footer_stats count-only pushdown -- a metadata read, no row scan),
+    cached on (path, mtime) so repeated plan builds in one process pay one
+    collect per table. This is the cheap measured input to
+    gated_broadcast() -- at 100 TB it costs a footer read, not a scan."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events carries a nanos-typed ts in some testdata generations that
+        # the stats clone is not configured for; no gated hint needs it.
+        raise KeyError("table_rowcount does not support 'events'")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (path, mtime)
+    if key not in _rowcount_cache:
+        _rowcount_cache[key] = int(footer_stats(spark, path, [])["count"])
+    return _rowcount_cache[key]
+
+
+def gated_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    """F.broadcast(df) while n_rows <= BROADCAST_MAX_ROWS, else df unhinted
+    (AQE chooses). Callers pass a metadata row count (table_rowcount) or an
+    already-computed count that upper-bounds the relation."""
+    return F.broadcast(df) if n_rows <= BROADCAST_MAX_ROWS else df

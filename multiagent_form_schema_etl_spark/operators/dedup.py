@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import gated_broadcast, load_table, table_rowcount
 from ..plans.registry import register, track_persist
 
 # --- shared oracle CTEs over documents --------------------------------------
@@ -56,15 +56,21 @@ def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _tok_d_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, token) pairs with blocking attributes. The distinct
     shuffles ONLY (doc_id, token); lang/bucket are functionally dependent on
-    doc_id and re-join afterwards from a broadcast doc-attribute dim --
-    halves the bytes through the dedup shuffle (2x at sf0.1)."""
+    doc_id and re-join afterwards from the doc-attribute relation -- halves
+    the bytes through the dedup shuffle (2x at sf0.1). The attribute side is
+    one row PER DOCUMENT (corpus-growing, not a dim), so its broadcast hint
+    is size-gated on the footer row count (VERDICT r10): under the gate it
+    broadcasts as measured-right; above it the hint drops and the join runs
+    as a doc_id shuffle-hash join against the already doc_id-shuffled
+    post-distinct relation."""
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = table_rowcount(spark, sf_dir, "documents")
     attrs = docs.select(
         "doc_id", "lang",
         F.floor(F.col("n_chars") / 50.0).cast("long").alias("bucket"))
     tok = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
            .filter(F.col("token") != "").distinct())
-    return tok.join(F.broadcast(attrs), "doc_id")
+    return tok.join(gated_broadcast(attrs, n_docs), "doc_id")
 
 
 @register(
@@ -678,9 +684,11 @@ def blocked_components(spark: SparkSession, sf_dir: str,
     attrs = docs.select(
         "doc_id", "lang",
         F.floor(F.col("n_chars") / 50.0).cast("long").alias("bucket"))
+    # per-document attribute relation: size-gated hint, same as _tok_d_df
     blocked = pairs.select("doc_a", "doc_b").join(
-        F.broadcast(attrs.select(F.col("doc_id").alias("doc_a"),
-                                 "lang", "bucket")), "doc_a")
+        gated_broadcast(attrs.select(F.col("doc_id").alias("doc_a"),
+                                     "lang", "bucket"),
+                        table_rowcount(spark, sf_dir, "documents")), "doc_a")
     [mx] = (blocked.groupBy("lang", "bucket")
             .agg(F.count(F.lit(1)).alias("n"))
             .agg(F.max("n").alias("mx")).collect())
@@ -1417,20 +1425,26 @@ def x1_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("source") == _BATCH_SOURCE)
     ref = docs.filter(F.col("source") != _BATCH_SOURCE)
 
+    # bh/exact/near below are BATCH-bounded (one ingestion micro-batch by
+    # contract, not corpus-growing), so their broadcast hints stay unGated
     bh = batch.select("doc_id", F.sha2("text", 256).alias("h"))
     rh = ref.select(F.sha2("text", 256).alias("h")).distinct()
     exact = (F.broadcast(bh).join(rh, "h", "left_semi")
              .select("doc_id").distinct()
              .withColumn("is_exact", F.lit(True)))
 
+    n_docs = table_rowcount(spark, sf_dir, "documents")
+
     def tokd(side: DataFrame) -> DataFrame:
+        # the reference side is corpus-sized; gate its attr hint on the
+        # parent table's footer count (upper bound for both sides)
         attrs = side.select(
             "doc_id", "lang",
             F.floor(F.col("n_chars") / 50.0).cast("long").alias("bucket"))
         tok = (side.select("doc_id",
                            F.explode(F.split("text", " ")).alias("token"))
                .filter(F.col("token") != "").distinct())
-        return tok.join(F.broadcast(attrs), "doc_id")
+        return tok.join(gated_broadcast(attrs, n_docs), "doc_id")
 
     ta, tb = tokd(batch), tokd(ref)
     sa = ta.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
@@ -1882,11 +1896,14 @@ def x1_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     src = docs.select("doc_id", "source")
     sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # the doc->source projection is corpus-sized: no broadcast hint (AQE
+    # picks the strategy from measured sizes; at gate scale it still
+    # broadcasts, at 100x it shuffle-joins on doc_id) -- VERDICT r10
     p = (pairs
-         .join(F.broadcast(src.select(F.col("doc_id").alias("doc_a"),
-                                      F.col("source").alias("sa"))), "doc_a")
-         .join(F.broadcast(src.select(F.col("doc_id").alias("doc_b"),
-                                      F.col("source").alias("sb"))), "doc_b")
+         .join(src.select(F.col("doc_id").alias("doc_a"),
+                          F.col("source").alias("sa")), "doc_a")
+         .join(src.select(F.col("doc_id").alias("doc_b"),
+                          F.col("source").alias("sb")), "doc_b")
          .select(F.least("sa", "sb").alias("source_a"),
                  F.greatest("sa", "sb").alias("source_b")))
     agg = (p.groupBy("source_a", "source_b")

@@ -183,7 +183,10 @@ def fulltext_df(spark: SparkSession, blocks: DataFrame | None = None,
               F.array_sort(F.collect_list(F.struct("block_idx", "text"))),
               lambda x: x["text"])).alias("full_text")))
     forms = doc_forms if doc_forms is not None else doc_forms_df(spark)
-    return ft.join(F.broadcast(forms), "doc_id")
+    # both sides are one row per document (corpus-growing): no forced
+    # broadcast hint -- AQE broadcasts the measured-small side at fixture
+    # scale and doc_id-shuffle-joins beyond (VERDICT r10 hint audit)
+    return ft.join(forms, "doc_id")
 
 
 _VIEW_SEQ = itertools.count()

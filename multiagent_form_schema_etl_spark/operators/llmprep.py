@@ -1065,11 +1065,11 @@ def x5_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     x5_bpe_vocab_train).
 
     Distributed shape: merges apply on the word-TYPE table (Zipf-small),
-    never the corpus -- the corpus only pays one explode plus a BROADCAST
-    join from word to its encoded symbol count. At 100 TB the type table
-    for a web corpus still fits broadcast (tens of millions of types x
-    short strings); if it didn't, the join key is uniform so a shuffle
-    join degrades gracefully."""
+    never the corpus -- the corpus only pays one explode plus one join
+    from word to its encoded symbol count. The type table grows with the
+    corpus (Heaps' law), so the join carries NO forced broadcast hint:
+    AQE broadcasts it while measured-small and shuffle-joins on the
+    uniform word key beyond (VERDICT r10 hint audit)."""
     merges = _learn_bpe_merges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     toks = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
@@ -1082,7 +1082,10 @@ def x5_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                              .alias("syms"))
     types = types.select(
         "word", F.size(F.split("syms", " ")).cast("long").alias("n_toks"))
-    return (toks.join(F.broadcast(types), "word")
+    # the types relation is VOCABULARY-sized (corpus-growing): no forced
+    # hint -- AQE broadcasts it while measured-small and falls back to a
+    # shuffle join on the uniform word key beyond (VERDICT r10 hint audit)
+    return (toks.join(types, "word")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("n_toks").alias("n_bpe_tokens")))

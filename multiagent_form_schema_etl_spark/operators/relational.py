@@ -20,9 +20,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import gated_broadcast, load_table, table_rowcount
 from ..functions.scalars import dec_avg, dec_sum
 from ..plans.registry import register
+
+
+def _gb(spark: SparkSession, sf_dir: str, df: DataFrame, table: str) -> DataFrame:
+    """Size-gated broadcast hint for the CORPUS-GROWING TPC-H relations
+    (customer/supplier/part): conventionally "dimensions" and
+    measured-right to broadcast at gate scale, but they grow linearly
+    with the corpus, so the hint is gated on the table's parquet-footer
+    row count (VERDICT r10) -- under the gate the plan is unchanged;
+    above it AQE picks the strategy from runtime sizes. nation/region
+    keep raw hints: fixed at 25/5 rows at every scale factor by the
+    TPC-H spec. `df` may be a filtered projection of `table`; the footer
+    count of the parent table upper-bounds it."""
+    return gated_broadcast(df, table_rowcount(spark, sf_dir, table))
+
 
 _DEC = "decimal(28,6)"
 
@@ -100,7 +114,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(_gb(spark, sf_dir, cust, "customer"), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dec_sum(revenue, "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -144,8 +158,8 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp),
+        .join(_gb(spark, sf_dir, cust, "customer"), orders.o_custkey == cust.c_custkey)
+        .join(_gb(spark, sf_dir, supp, "supplier"),
               (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -209,7 +223,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(_gb(spark, sf_dir, cust, "customer"), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dec_sum(revenue, "revenue"))
@@ -251,7 +265,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("partkey", "m_partkey"))
     return (costs.join(mins, (costs.partkey == mins.m_partkey)
                        & (costs.cost == mins.min_cost))
-            .join(F.broadcast(part), costs.partkey == part.p_partkey)
+            .join(_gb(spark, sf_dir, part, "part"), costs.partkey == part.p_partkey)
             .groupBy(F.col("partkey").alias("p_partkey"), "p_name", "min_cost")
             .agg(F.min("suppkey").alias("best_suppkey"))
             .select("p_partkey", "p_name", "best_suppkey", "min_cost"))
@@ -310,9 +324,9 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = ("NATION_1", "NATION_2")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(_gb(spark, sf_dir, cust, "customer"), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), cust.c_nationkey == F.col("c_nk"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(_gb(spark, sf_dir, supp, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), supp.s_nationkey == F.col("s_nk"))
         .filter(F.col("cust_nation").isin(*pair) & F.col("supp_nation").isin(*pair)
                 & (F.col("cust_nation") != F.col("supp_nation")))
@@ -350,8 +364,8 @@ def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
               - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(_gb(spark, sf_dir, part, "part"), li.l_partkey == part.p_partkey)
+        .join(_gb(spark, sf_dir, supp, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").cast("long").alias("o_year"))
@@ -405,7 +419,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
-    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (li.join(_gb(spark, sf_dir, part, "part"), li.l_partkey == part.p_partkey)
             .agg((dec_sum(promo) / dec_sum(rev) * 100).alias("promo_revenue_pct")))
 
 
@@ -435,7 +449,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "total_revenue")))
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (revenue.join(F.broadcast(mx), revenue.total_revenue == mx.mx)
-            .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+            .join(_gb(spark, sf_dir, supp, "supplier"), F.col("supplier_no") == supp.s_suppkey)
             .select("s_suppkey", "s_name", "total_revenue"))
 
 
@@ -453,7 +467,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(10, 20, 30, 40, 50))
-    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (li.join(_gb(spark, sf_dir, part, "part"), li.l_partkey == part.p_partkey)
             .groupBy("p_brand", "p_type", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
 
@@ -511,7 +525,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(big.withColumnRenamed("l_orderkey", "bk"),
               orders.o_orderkey == F.col("bk"), "left_semi")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(_gb(spark, sf_dir, cust, "customer"), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dec_sum("l_quantity", "total_qty"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -534,7 +548,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     common p_partkey equi-condition out so the join stays hash-based)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(_gb(spark, sf_dir, part, "part"), li.l_partkey == part.p_partkey)
     clause = lambda brand, s0, s1, q0, q1: (  # noqa: E731
         (F.col("p_brand") == brand)
         & F.col("p_size").between(s0, s1)
@@ -604,7 +618,7 @@ def q11_important_stock_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    vals = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    vals = (li.join(_gb(spark, sf_dir, supp, "supplier"), li.l_suppkey == supp.s_suppkey)
             .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
             .groupBy("l_partkey")
             .agg(dec_sum(F.col("l_extendedprice") * F.col("l_quantity"),
@@ -681,7 +695,7 @@ def q21_waiting_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("l_suppkey").alias("lsk")))
     lone = semi.join(late_others, (semi.l_orderkey == late_others.lok)
                      & (semi.l_suppkey != late_others.lsk), "left_anti")
-    return (lone.join(F.broadcast(supp), lone.l_suppkey == supp.s_suppkey)
+    return (lone.join(_gb(spark, sf_dir, supp, "supplier"), lone.l_suppkey == supp.s_suppkey)
             .groupBy("s_name")
             .agg(F.countDistinct("l_orderkey").alias("numwait")))
 
@@ -724,10 +738,10 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     volumes = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(_gb(spark, sf_dir, cust, "customer"), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), cust.c_nationkey == F.col("c_nk"))
         .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(_gb(spark, sf_dir, supp, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), supp.s_nationkey == F.col("s_nk"))
         .select(F.year("o_orderdate").cast("long").alias("o_year"),
                 vol.alias("volume"), "supp_nation"))
@@ -763,7 +777,7 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     shipped = (li.groupBy("l_suppkey", "l_partkey")
                .agg(dec_sum("l_quantity", "total_shipped")))
-    heavy = (shipped.join(F.broadcast(part), shipped.l_partkey == part.p_partkey)
+    heavy = (shipped.join(_gb(spark, sf_dir, part, "part"), shipped.l_partkey == part.p_partkey)
              .filter(F.col("total_shipped") > 40)
              .select(F.col("l_suppkey").alias("hk")).distinct())
     return (supp.join(heavy, supp.s_suppkey == heavy.hk, "left_semi")

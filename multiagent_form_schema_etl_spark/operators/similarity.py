@@ -21,7 +21,7 @@ import pandas as pd  # module-level: pandas_udf type-hint resolution needs
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import gated_broadcast, load_table, table_rowcount
 from ..plans.registry import register
 
 _N_QUERIES = 10  # bounded query set for the exact-oracle variant
@@ -108,7 +108,10 @@ def x2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "match_id", _dec_dot("qv", "mv").alias("dot")))
     na = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("vec_id").alias("match_id"), F.col("nrm").alias("nb"))
-    cos = (dots.join(F.broadcast(na), "query_id").join(F.broadcast(nb), "match_id")
+    # per-vector norms are corpus-sized: size-gated hints (VERDICT r10)
+    n_emb = table_rowcount(spark, sf_dir, "embeddings")
+    cos = (dots.join(gated_broadcast(na, n_emb), "query_id")
+           .join(gated_broadcast(nb, n_emb), "match_id")
            .select("query_id", "match_id",
                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
                     .alias("cosine")))
@@ -518,7 +521,10 @@ def x1_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots = pairs.select("vec_a", "vec_b", _dec_dot("va", "vb").alias("dot"))
     na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
-    return (dots.join(F.broadcast(na), "vec_a").join(F.broadcast(nb), "vec_b")
+    # corpus-sized per-vector norms: size-gated hints (VERDICT r10)
+    n_emb = table_rowcount(spark, sf_dir, "embeddings")
+    return (dots.join(gated_broadcast(na, n_emb), "vec_a")
+            .join(gated_broadcast(nb, n_emb), "vec_b")
             .select("vec_a", "vec_b",
                     F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
                      .alias("cosine"))
@@ -1354,7 +1360,10 @@ def x2_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "dst", _dec_dot("va", "vb").alias("dot")))
     na = norms.select(F.col("vec_id").alias("src"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("vec_id").alias("dst"), F.col("nrm").alias("nb"))
-    cos = (dots.join(F.broadcast(na), "src").join(F.broadcast(nb), "dst")
+    # corpus-sized per-vector norms: size-gated hints (VERDICT r10)
+    n_emb = table_rowcount(spark, sf_dir, "embeddings")
+    cos = (dots.join(gated_broadcast(na, n_emb), "src")
+           .join(gated_broadcast(nb, n_emb), "dst")
            .select("src", "dst",
                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
                     .alias("cosine")))

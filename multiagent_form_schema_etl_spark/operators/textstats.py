@@ -99,14 +99,16 @@ def x4_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x4_tf_rarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF-shaped ranking with a log-free rarity weight (tf * N/df) so
     the oracle is bit-exact (libm log differs across engines); top-3 terms
-    per document for a 20-doc slice. The df side is corpus-wide and
-    broadcast."""
+    per document for a 20-doc slice. The df side is VOCABULARY-sized
+    (grows with the corpus), so the broadcast hint goes on the OTHER side:
+    tf is a fixed 20-doc slice, bounded by construction -- the vocabulary
+    relation never moves and the hint cannot OOM at 100x (VERDICT r10)."""
     t = _tokens_df(spark, sf_dir)
     n_docs = t.select("doc_id").distinct().count()
     tf = (t.filter(F.col("doc_id") < 20)
           .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
     df = t.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (tf.join(F.broadcast(df), "token")
+    scored = (df.join(F.broadcast(tf), "token")
               .withColumn("score",
                           F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
@@ -605,6 +607,77 @@ def x4_tfidf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x4_tfidf_mllib_equiv",
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS nnz,
+           CAST(NULL AS DOUBLE) AS max_weight, CAST(NULL AS VARCHAR) AS only_in
+    WHERE FALSE
+    """,
+)
+def x4_tfidf_mllib_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE equivalence twin for the rows-only MLlib TF-IDF face
+    (VERDICT r10 item 4, the r10 equivalence-face recipe): HashingTF's
+    bucket ids are implementation-defined, so no DuckDB oracle can see
+    them -- but they ARE reproducible inside the engine, because
+    ml.feature.HashingTF's murmur3 term hash (seed 42 over the UTF-8
+    bytes) is the same Murmur3Hash expression `F.hash` evaluates, and
+    IDF's weighting is ln((N+1)/(df+1)) in plain JVM doubles. This face
+    re-derives x4_tfidf_mllib's exact output (per-doc nnz + 6-dp max
+    weight) from first principles with pure DataFrame ops -- explode,
+    pmod(hash(token), 4096), two groupBys -- and emits the symmetric
+    difference against a CONSTANT EMPTY oracle, promoting the rows-only
+    face to a standing per-round driver assertion (rows-only residue:
+    8 -> 7).
+
+    Bit-exactness argument: bucket ids are equal by the shared murmur3;
+    tf counts are equal integers; idf operands ((N+1), (df+1)) are equal
+    doubles through java.lang.Math.log on both paths; each weight is one
+    double multiply of identical operands -- so the 6-dp round compares
+    identical doubles, not merely close ones. Zero-token docs surface as
+    (nnz=0, max_weight=0.0) on both sides (dense-vector array_max on the
+    MLlib side; the left-join coalesce here).
+
+    Vacuity canary (the minhash-face precedent): if the MLlib side is
+    empty on a non-empty corpus, a marker row ('EMPTY_MLLIB_OUTPUT')
+    is emitted and fails the gate rather than passing vacuously.
+
+    Plan shape: both sides are linear in the corpus -- one explode, token
+    shuffles on (doc_id, bucket) then bucket; no pair joins; the df
+    relation is 4096-bounded by construction (numFeatures)."""
+    mllib = x4_tfidf_mllib(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # IDF's numDocs counts every row, even empty
+    tok = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+           .filter(F.col("token") != ""))
+    b = F.pmod(F.hash("token"), F.lit(1 << 12))
+    tf = (tok.select("doc_id", b.alias("b"))
+          .groupBy("doc_id", "b")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    df = tf.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    w = tf.join(df, "b").select(
+        "doc_id",
+        (F.col("tf")
+         * F.log((float(n_docs) + 1.0) / (F.col("df") + 1.0))).alias("w"))
+    agg = w.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("w") > 0, 1).otherwise(0)).cast("int").alias("nnz"),
+        F.round(F.greatest(F.max("w"), F.lit(0.0)), 6).alias("max_weight"))
+    twin = (docs.select("doc_id").join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("nnz", F.lit(0)).alias("nnz"),
+                    F.coalesce("max_weight", F.lit(0.0)).alias("max_weight")))
+    diff = (mllib.exceptAll(twin).withColumn("only_in", F.lit("mllib"))
+            .unionByName(twin.exceptAll(mllib)
+                         .withColumn("only_in", F.lit("twin"))))
+    canary = (mllib.agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") == 0)
+              .select(F.lit(-1).cast("long").alias("doc_id"),
+                      F.lit(-1).cast("int").alias("nnz"),
+                      F.lit(-1.0).alias("max_weight"),
+                      F.lit("EMPTY_MLLIB_OUTPUT").alias("only_in")))
+    return diff.unionByName(canary)
+
+
+@register(
     "x4_readability_bands",
     oracle="""
     WITH per_doc AS (
@@ -671,9 +744,10 @@ _BM25_Q_SQL = ", ".join(f"({i}, '{t}')" for i, q in _BM25_QUERIES
                         for t in q.split(" "))
 
 
-@register(
-    "x4_bm25_score",
-    oracle=f"""
+# Shared BM25 scored-relation CTE (un-truncated per-(query, doc) rounded
+# scores) -- the full-ranking face, the top-k face, and check.py's
+# rank-boundary exposure all derive from this one statement.
+_BM25_SCORED_CTE = f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token
       FROM documents),
@@ -703,13 +777,18 @@ _BM25_Q_SQL = ", ".join(f"({i}, '{t}')" for i, q in _BM25_QUERIES
       SELECT query_id, doc_id, ROUND(SUM(part), 9) AS bm25,
              CAST(COUNT(*) AS BIGINT) AS n_terms_hit
       FROM hits GROUP BY query_id, doc_id)
+"""
+
+_BM25_RANKED_SQL = _BM25_SCORED_CTE + """
     SELECT query_id, doc_id, bm25, n_terms_hit,
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY bm25 DESC, doc_id) AS BIGINT)
              AS rnk
     FROM scored
-    """,
-)
+    """
+
+
+@register("x4_bm25_score", oracle=_BM25_RANKED_SQL)
 def x4_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval scoring over an inverted index (Robertson/Sparck
     Jones; k1=1.2, b=0.75) for a fixed multi-term query set --
@@ -720,18 +799,32 @@ def x4_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-boundary cell rides the 9-dp rounding (ranking on the already-
     rounded value is deterministic in both engines; ties break on doc_id).
 
-    Plan shape for 100 TB: the inverted index (tf) shuffles once on
-    token; df and the corpus stats are tiny aggregates that BROADCAST
-    into the per-term hit join (the query term list is literal, so
-    Catalyst prunes the token scan to matching postings); per-(query,
-    doc) assembly shuffles only the hit relation (query-term postings,
-    not the corpus). The natural-log IDF is evaluated identically in
-    both engines; its last-ulp platform spread (~1e-16 relative) sits
-    five orders below the 0.5e-9 rounding bin.
+    Plan shape for 100 TB: the literal query-term filter is applied to
+    the token stream BEFORE the tf/df aggregates (df restricted to the
+    query terms is still each term's true document frequency), so the
+    inverted-index shuffle carries only query-term postings and the df
+    broadcast is |terms|-bounded BY CONSTRUCTION -- not a full-vocabulary
+    broadcast, which grows with the corpus and would OOM under a forced
+    hint at 100x (VERDICT r10). Only dlen/avgdl still aggregate the full
+    token stream (document length needs every token); per-(query, doc)
+    assembly shuffles only the hit relation. The natural-log IDF is
+    evaluated identically in both engines; its last-ulp platform spread
+    (~1e-16 relative) sits five orders below the 0.5e-9 rounding bin.
 
     Reference parity: the reference has no retrieval layer; this is part
     of the EXT training-data surface (SURVEY §2.11 X4) alongside TF
     rarity and RRF fusion."""
+    scored = _bm25_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"),
+                                               F.asc("doc_id"))
+    return scored.select(
+        "query_id", "doc_id", "bm25", "n_terms_hit",
+        F.row_number().over(w).cast("long").alias("rnk"))
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-truncated per-(query, doc) rounded BM25 scores -- the Spark twin
+    of `_BM25_SCORED_CTE`, shared by the full-ranking and top-k faces."""
     tok = (load_table(spark, sf_dir, "documents")
            .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
            .filter(F.col("token") != ""))
@@ -740,7 +833,9 @@ def x4_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n"),
         (F.sum("dl").cast("double")
          / F.count(F.lit(1))).alias("avgdl"))
-    tf = (tok.groupBy("doc_id", "token")
+    terms = sorted({t for _, qs in _BM25_QUERIES for t in qs.split(" ")})
+    tok_q = tok.filter(F.col("token").isin(terms))
+    tf = (tok_q.groupBy("doc_id", "token")
           .agg(F.count(F.lit(1)).cast("double").alias("tf")))
     df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
     q = spark.createDataFrame(
@@ -761,11 +856,52 @@ def x4_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (1.0 - _BM25_B
                        + _BM25_B * F.col("dl") / F.col("avgdl"))))
                 .alias("part")))
-    scored = (hits.groupBy("query_id", "doc_id")
-              .agg(F.round(F.sum("part"), 9).alias("bm25"),
-                   F.count(F.lit(1)).alias("n_terms_hit")))
+    return (hits.groupBy("query_id", "doc_id")
+            .agg(F.round(F.sum("part"), 9).alias("bm25"),
+                 F.count(F.lit(1)).alias("n_terms_hit")))
+
+
+_BM25_TOPK = 10
+
+
+@register(
+    "x4_bm25_topk",
+    oracle=_BM25_RANKED_SQL.replace(
+        "FROM scored", "FROM scored QUALIFY rnk <= 10"),
+)
+def x4_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 per-query TOP-K -- the production retrieval shape (VERDICT r10
+    item 3). The full-ranking sibling (`x4_bm25_score`) emits every
+    matching doc, which makes its final window per-query-partitioned over
+    a potentially corpus-sized relation (3 partitions, each unbounded);
+    this face truncates to k={_BM25_TOPK} with the two-phase top-k idiom
+    (`x2_cosine_topk_gemm`'s local-winners shape, expressed JVM-side):
+
+    1. LOCAL top-k: a window over (query_id, spark_partition_id()) keeps
+       at most k rows per (query, partition). The shuffle key carries the
+       partition id, so the sort parallelism is the cluster's, not
+       |queries|; any global top-k row has local rank <= k in whichever
+       partition holds it, so the prune is lossless regardless of row
+       placement.
+    2. GLOBAL top-k: the final per-query window runs over <= k x
+       n_partitions surviving rows -- bounded, never corpus-sized. No
+       single-partition global sort anywhere in the plan.
+
+    Determinism at the rank-k boundary: ranking orders by the ALREADY
+    9-dp-ROUNDED score with doc_id tie-break (both engines agree on the
+    rounded value; the pre-round platform spread is ~1e-16 relative), and
+    check.py's boundary audit exposes the rank-(k+1) inclusion cells
+    (`bm25_topk_cells`) so a corpus that parks a score on a rounding-bin
+    edge is pre-detected rather than a surprise hash FAIL."""
+    scored = _bm25_scored(spark, sf_dir).withColumn(
+        "pid", F.spark_partition_id())
+    wl = Window.partitionBy("query_id", "pid") \
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+    pruned = (scored.withColumn("lrnk", F.row_number().over(wl))
+              .filter(F.col("lrnk") <= _BM25_TOPK).drop("lrnk", "pid"))
     w = Window.partitionBy("query_id").orderBy(F.desc("bm25"),
                                                F.asc("doc_id"))
-    return scored.select(
-        "query_id", "doc_id", "bm25", "n_terms_hit",
-        F.row_number().over(w).cast("long").alias("rnk"))
+    return (pruned.withColumn("rnk",
+                              F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= _BM25_TOPK)
+            .select("query_id", "doc_id", "bm25", "n_terms_hit", "rnk"))

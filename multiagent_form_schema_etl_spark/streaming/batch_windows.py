@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import gated_broadcast, load_table, table_rowcount
 from ..plans.registry import register
 
 _DEC = "decimal(28,6)"
@@ -214,7 +214,8 @@ def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = (load_table(spark, sf_dir, "customer")
             .select(F.col("c_custkey").alias("user_id"),
                     F.col("c_mktsegment").alias("segment")))
-    return (ev.join(F.broadcast(cust), "user_id")
+    return (ev.join(gated_broadcast(
+                cust, table_rowcount(spark, sf_dir, "customer")), "user_id")
             .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
             .agg(F.count(F.lit(1)).alias("n_purchases"),
                  F.sum(F.col("value").cast(_DEC)).cast("double").alias("revenue"))

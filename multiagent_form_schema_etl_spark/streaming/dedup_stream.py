@@ -258,7 +258,7 @@ def streaming_lsh_verified(spark: SparkSession, sf_dir: str,
     against the canonical store."""
     from pyspark.sql import functions as F
 
-    from ..catalog import load_table
+    from ..catalog import gated_broadcast, load_table, table_rowcount
 
     cands = streaming_lsh_candidates(spark, sf_dir, source=source, cap=cap)
     sets = load_table(spark, sf_dir, "documents").select(
@@ -270,7 +270,12 @@ def streaming_lsh_verified(spark: SparkSession, sf_dir: str,
                     F.col("toks").alias("toks_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"),
                     F.col("toks").alias("toks_b"))
-    j = (cands.join(F.broadcast(a), "doc_a").join(F.broadcast(b), "doc_b")
+    # the token-set side is CORPUS-sized (one row per document): gate the
+    # hint on the footer count (VERDICT r10); above the gate the candidate
+    # relation (micro-batch-bounded) shuffle-joins on doc_id instead
+    n_docs = table_rowcount(spark, sf_dir, "documents")
+    j = (cands.join(gated_broadcast(a, n_docs), "doc_a")
+         .join(gated_broadcast(b, n_docs), "doc_b")
          .withColumn("n_inter",
                      F.size(F.array_intersect("toks_a", "toks_b")))
          .withColumn("jaccard",

@@ -151,7 +151,7 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles for the join, no join state kept) and rolls up hourly revenue
     per market segment. Only the windowed aggregation is stateful, bounded
     by the watermark."""
-    from ..catalog import load_table
+    from ..catalog import gated_broadcast, load_table, table_rowcount
 
     ev = (stream_events(spark, sf_dir)
           .filter(F.col("event_type") == "purchase")
@@ -159,7 +159,8 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = (load_table(spark, sf_dir, "customer")
             .select(F.col("c_custkey").alias("user_id"),
                     F.col("c_mktsegment").alias("segment")))
-    return (ev.join(F.broadcast(cust), "user_id")
+    return (ev.join(gated_broadcast(
+                cust, table_rowcount(spark, sf_dir, "customer")), "user_id")
             .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
             .agg(F.count(F.lit(1)).alias("n_purchases"),
                  F.sum(F.col("value").cast(_DEC)).cast("double").alias("revenue"))

@@ -85,6 +85,11 @@ _BOUNDARY_EXPOSURES: dict[str, str] = {
         FROM e t JOIN e h
           ON (NOT t.vec_id % 10 >= 8) AND h.vec_id % 10 >= 8
         WHERE list_cosine_similarity(t.vec, h.vec) >= 0.42 - 2e-9""",
+    # x4_bm25_topk: pre-round BM25 sums of the emitted top-10 per query
+    # plus the rank-11 inclusion cell (the rank-k boundary the truncation
+    # adds over the full-ranking face). Built lazily from the face's own
+    # scored CTE below (the module import needs sys.path set first).
+    "bm25_topk_cells": None,  # filled by _install_bm25_exposure()
     # pre-round centered norms of x2_grouped_center_applyinpandas (all
     # cells are emitted)
     "centered_norms": """
@@ -99,7 +104,24 @@ _BOUNDARY_EXPOSURES: dict[str, str] = {
         FROM e JOIN mu ON e.label = mu.label AND e.i = mu.i
         GROUP BY e.vec_id, e.label""",
 }
+def _install_bm25_exposure() -> None:
+    """Derive the bm25_topk_cells exposure from the face's own scored CTE
+    (un-rounding the bm25 column) so the audit can never drift from the
+    registered statement; rank cut at k+1 = 11 exposes the inclusion cell."""
+    from multiagent_form_schema_etl_spark.operators.textstats import (
+        _BM25_SCORED_CTE)
+    raw = _BM25_SCORED_CTE.replace("ROUND(SUM(part), 9) AS bm25",
+                                   "SUM(part) AS bm25")
+    assert raw != _BM25_SCORED_CTE, "bm25 scored CTE shape changed"
+    _BOUNDARY_EXPOSURES["bm25_topk_cells"] = raw + """
+        SELECT bm25 AS x FROM (
+          SELECT bm25, ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY bm25 DESC, doc_id) AS r
+          FROM scored) WHERE r <= 11"""
+
+
 _BOUNDARY_FACES: dict[str, str] = {
+    "x4_bm25_topk": "bm25_topk_cells",
     "x2_cosine_topk": "topk_cells",
     "x2_cosine_topk_gemm": "topk_cells",
     "x2_cosine_topk_bruteforce": "topk_cells",
@@ -139,6 +161,8 @@ def _boundary_dist(x: float) -> float:
 def boundary_audit(con, faces: list[str]) -> list[str]:
     """Report min pre-round boundary distance per rounded face; return
     the faces whose compared cells dip below the imminent-flip bound."""
+    if _BOUNDARY_EXPOSURES.get("bm25_topk_cells") is None:
+        _install_bm25_exposure()
     failures: list[str] = []
     mins: dict[str, tuple[float, int]] = {}
     for exp in sorted({_BOUNDARY_FACES[f] for f in faces}):
