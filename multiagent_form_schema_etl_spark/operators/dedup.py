@@ -668,12 +668,14 @@ def blocked_components(spark: SparkSession, sf_dir: str,
 
     100 TB: per-task work is bounded by the largest BLOCK's pair count,
     not the corpus -- blocks are (lang x length-bucket) shards whose pair
-    volume the Jaccard generator already had to materialize. A corpus
-    whose largest block exceeds _BLOCK_UF_MAX_PAIRS (one cheap aggregate
-    over the persisted pair relation decides) falls back to the
-    O(diameter) min-label kernel; the general kernels remain the
-    registered `x1_dedup_components`/`_star` faces -- this shortcut is
-    only valid behind the blocking invariant.
+    volume the Jaccard generator already had to materialize. One cheap
+    pre-check aggregate over the pair relation decides BOTH guards
+    (ADVICE r10): a corpus whose largest block exceeds
+    _BLOCK_UF_MAX_PAIRS, or a caller-passed pair graph with ANY
+    cross-block edge (i.e. the blocking invariant this shortcut needs
+    does not actually hold -- embedding/semantic pairs, say), falls back
+    to the O(diameter) min-label kernel; the general kernels remain the
+    registered `x1_dedup_components`/`_star` faces.
 
     Returns (node_id, component_id) for EVERY document (singletons label
     themselves), same contract as the iterative kernels."""
@@ -684,16 +686,34 @@ def blocked_components(spark: SparkSession, sf_dir: str,
     attrs = docs.select(
         "doc_id", "lang",
         F.floor(F.col("n_chars") / 50.0).cast("long").alias("bucket"))
-    # per-document attribute relation: size-gated hint, same as _tok_d_df
-    blocked = pairs.select("doc_a", "doc_b").join(
-        gated_broadcast(attrs.select(F.col("doc_id").alias("doc_a"),
-                                     "lang", "bucket"),
-                        table_rowcount(spark, sf_dir, "documents")), "doc_a")
-    [mx] = (blocked.groupBy("lang", "bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(F.max("n").alias("mx")).collect())
-    if (mx["mx"] or 0) > _BLOCK_UF_MAX_PAIRS:
+    # per-document attribute relation: size-gated hints, same as _tok_d_df
+    n_docs = table_rowcount(spark, sf_dir, "documents")
+    blocked = (pairs.select("doc_a", "doc_b")
+               .join(gated_broadcast(
+                   attrs.select(F.col("doc_id").alias("doc_a"),
+                                "lang", "bucket"), n_docs), "doc_a")
+               .join(gated_broadcast(
+                   attrs.select(F.col("doc_id").alias("doc_b"),
+                                F.col("lang").alias("lang_b"),
+                                F.col("bucket").alias("bucket_b")),
+                   n_docs), "doc_b"))
+    # One pre-check aggregate decides BOTH guards (ADVICE r10: the block-
+    # size bound alone does not validate the blocking INVARIANT this
+    # kernel depends on -- a caller passing a non-blocked pair graph, e.g.
+    # embedding/semantic pairs, would get silently split cross-block
+    # components). Cross-block endpoints or an over-bound block both fall
+    # back to the general distributed kernel; the doc_b attr join rides
+    # the shuffle the size check already paid.
+    cross = ((F.col("lang") != F.col("lang_b"))
+             | (F.col("bucket") != F.col("bucket_b"))).cast("long")
+    [g] = (blocked.groupBy("lang", "bucket")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(cross).alias("x"))
+           .agg(F.max("n").alias("mx"), F.sum("x").alias("n_cross"))
+           .collect())
+    if (g["n_cross"] or 0) > 0 or (g["mx"] or 0) > _BLOCK_UF_MAX_PAIRS:
         return min_label_components(docs.select("doc_id"), pairs)
+    blocked = blocked.select("doc_a", "doc_b", "lang", "bucket")
 
     def uf(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(np.concatenate([pdf["doc_a"].to_numpy(),
@@ -1733,6 +1753,15 @@ def x1_graph_pagerank_rank_equiv(spark: SparkSession,
     (tests/test_differential.py) while this face pins the solver pair
     that genuinely converges.
 
+    Vacuity canaries (ADVICE r10): (a) an empty linked-node relation on a
+    non-empty corpus makes the diff trivially empty, so it emits a marker
+    row (doc_id -1, ranks -1.0) that fails the gate -- the minhash face's
+    EMPTY_SIGNATURES precedent; (b) a component LARGER than the solver's
+    dense_limit (4096) would take the identical in-memory iteration
+    branch on BOTH sides -- a solver compared to itself -- so a marker
+    row (doc_id -2) fails the gate if the max component size exceeds it
+    (the size aggregate rides the shared components pass).
+
     Plan shape: ONE pair-graph + components build shared by both sides
     (the quantizer cost is paid once -- pagerank_components is called on
     the same memoized inputs), two applyInPandas passes shuffled on
@@ -1759,12 +1788,25 @@ def x1_graph_pagerank_rank_equiv(spark: SparkSession,
     it = pagerank_components(docs, pairs, dense_limit=0, comp=comp).select(
         F.col("node_id").alias("doc_id"),
         F.col("rank").alias("rank_iter"))
-    return (dense.join(it, "doc_id", "full")
+    diff = (dense.join(it, "doc_id", "full")
             .filter(F.col("rank_closed").isNull()
                     | F.col("rank_iter").isNull()
                     | (F.abs(F.col("rank_closed") - F.col("rank_iter"))
                        > 1e-9))
             .select("doc_id", "rank_closed", "rank_iter"))
+    empty_graph = (linked.agg(F.count(F.lit(1)).alias("n"))
+                   .filter(F.col("n") == 0)
+                   .select(F.lit(-1).cast("long").alias("doc_id"),
+                           F.lit(-1.0).alias("rank_closed"),
+                           F.lit(-1.0).alias("rank_iter")))
+    oversized = (comp.groupBy("component_id")
+                 .agg(F.count(F.lit(1)).alias("sz"))
+                 .agg(F.max("sz").alias("mx"))
+                 .filter(F.col("mx") > 4096)
+                 .select(F.lit(-2).cast("long").alias("doc_id"),
+                         F.lit(-1.0).alias("rank_closed"),
+                         F.lit(-1.0).alias("rank_iter")))
+    return diff.unionByName(empty_graph).unionByName(oversized)
 
 
 @register(
@@ -1812,30 +1854,120 @@ def x1_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     halving every adjacency, and the closing edge is an equi-join on the
     (a, c) pair key. No cartesians, no iteration, no collect.
 
-    Orientation choice, MEASURED (r10, 10x/30x replicated corpora): the
-    degree-ordered compact-forward orientation (wedges at the lowest-
-    degree corner, out-degree bounded O(sqrt(m))) was implemented and
-    probed at 46/80 s vs this id-orientation's 10.5/41 s -- on near-dup
-    graphs (block-bounded, near-regular degree) the orientation's two
-    extra degree joins cost more than the hub fan-out they prevent, so
-    the simple orientation is the registered kernel and degree ordering
-    remains the documented swap for a corpus whose pair graph actually
-    concentrates degree (the probe's growth rates: 1.7x vs 3.9x per 3x
-    data -- the crossover needs skew these corpora don't have)."""
+    Orientation choice, MEASURED then AUTO-SELECTED (r10 probe, r11
+    selector -- VERDICT r10 item 5, the `_jaccard_auto_choice` pattern):
+    the degree-ordered compact-forward orientation (wedges at the lowest-
+    degree corner, out-degree bounded O(sqrt(m))) was probed at 46/80 s
+    vs the id-orientation's 10.5/41 s at 10x/30x -- on near-dup graphs
+    (block-bounded, near-regular degree) its two extra degree joins cost
+    more than the hub fan-out they prevent (growth rates 1.7x vs 3.9x
+    per 3x data). Instead of a static choice, one cheap degree aggregate
+    over the shared pair relation now estimates both orientations' wedge
+    volumes and flips to degree ordering only when it removes at least
+    `_TRI_ORIENT_FACTOR`x the wedges (covering its fixed join overhead);
+    on the gate corpora the selector picks "id", keeping every committed
+    hash, and a skew-flood pytest exercises the "deg" branch + pins the
+    two kernels row-identical."""
     pairs = _jaccard_pairs(spark, sf_dir)
     e = pairs.select(F.least("doc_a", "doc_b").alias("a"),
                      F.greatest("doc_a", "doc_b").alias("b")).distinct()
-    e1 = e.select(F.col("a"), F.col("b"))
-    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedge = e1.join(e2, "b")
-    closing = e.select(F.col("a"), F.col("b").alias("c"))
-    tri = (wedge.join(closing, ["a", "c"])
-           .select("a", "b", "c"))
+    kern = (_triangles_deg if _triangle_orient_choice_over(e) == "deg"
+            else _triangles_id)
+    tri = kern(e)
     member = (tri.select(F.col("a").alias("doc_id"))
               .unionAll(tri.select(F.col("b").alias("doc_id")))
               .unionAll(tri.select(F.col("c").alias("doc_id"))))
     return member.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_triangles"))
+
+
+_TRI_ORIENT_FACTOR = 4.0
+# Calibration (r10 probe, committed in the x1_graph_triangle_count
+# docstring): at roughly EQUAL wedge volume the degree-ordered kernel ran
+# 2-4x slower than the id kernel (46/80 s vs 10.5/41 s at 10x/30x) -- its
+# two degree-attach joins and wider shuffle rows are pure overhead when
+# degree is near-regular. Degree ordering therefore has to remove >= 4x
+# the wedges before it can win wall-clock; below that the id kernel keeps
+# the crown even on moderately skewed graphs.
+
+
+def _triangle_orient_choice_over(e: DataFrame) -> str:
+    """One aggregate pass over the canonical a<b edge relation estimates
+    the wedge volume each orientation would enumerate: "id" explores
+    lo(v)*hi(v) wedges per node (neighbors below x above by id); "deg"
+    explores C(out_deg(v), 2) per node under (degree, id) ordering.
+    Returns "deg" only when the id volume exceeds _TRI_ORIENT_FACTOR
+    times the deg volume. The aggregate shuffles only the near-dup-sized
+    edge relation -- the same order of work as one round of the
+    enumeration it is steering."""
+    ends = (e.select(F.col("a").alias("v"), F.lit(1).alias("hi"),
+                     F.lit(0).alias("lo"))
+            .unionAll(e.select(F.col("b").alias("v"), F.lit(0).alias("hi"),
+                               F.lit(1).alias("lo"))))
+    deg = ends.groupBy("v").agg(F.sum("hi").alias("hi"),
+                                F.sum("lo").alias("lo"),
+                                F.count(F.lit(1)).alias("d"))
+    # deg-orientation out-degree of v = # neighbors u with (d_u, u) > (d_v, v)
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
+    ed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b")))
+    out = (ed.select(F.when(a_first, F.col("a")).otherwise(F.col("b"))
+                     .alias("src"))
+           .groupBy("src").agg(F.count(F.lit(1)).alias("od")))
+    [r] = (deg.agg(F.sum(F.col("lo") * F.col("hi")).alias("w_id"))
+           .crossJoin(out.agg(F.sum(F.col("od") * (F.col("od") - 1) / 2)
+                              .alias("w_deg")))
+           .collect())
+    w_id = float(r["w_id"] or 0.0)
+    w_deg = float(r["w_deg"] or 0.0)
+    return "deg" if w_id > _TRI_ORIENT_FACTOR * w_deg else "id"
+
+
+def _triangles_id(e: DataFrame) -> DataFrame:
+    """a<b<c id-oriented enumeration (the near-regular-graph winner):
+    each triangle appears exactly once with a < b < c."""
+    e1 = e.select(F.col("a"), F.col("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedge = e1.join(e2, "b")
+    closing = e.select(F.col("a"), F.col("b").alias("c"))
+    return wedge.join(closing, ["a", "c"]).select("a", "b", "c")
+
+
+def _triangles_deg(e: DataFrame) -> DataFrame:
+    """Degree-ordered compact-forward enumeration: edges orient from the
+    (degree, id)-smaller endpoint, wedges form at each vertex's out-
+    neighborhood (bounded O(sqrt(m)) on any graph), and the closing edge
+    is the directed (u, w) lookup. Same (a, b, c) output contract as
+    `_triangles_id` (id-canonical triangle corners), so the two kernels
+    are row-identical and the member rollup is shared."""
+    deg = (e.select(F.col("a").alias("v"))
+           .unionAll(e.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
+    ed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b")))
+    fwd = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("d_dst"))
+    f1 = fwd.select("src", F.col("dst").alias("u"), F.col("d_dst").alias("du"))
+    f2 = fwd.select("src", F.col("dst").alias("w"), F.col("d_dst").alias("dw"))
+    wedge = (f1.join(f2, "src")
+             .filter((F.col("du") < F.col("dw"))
+                     | ((F.col("du") == F.col("dw"))
+                        & (F.col("u") < F.col("w")))))
+    close = fwd.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = wedge.join(close, ["u", "w"]).select("src", "u", "w")
+    # emit id-canonical corners so both kernels share one output contract
+    return tri.select(
+        F.least(F.least("src", "u"), "w").alias("a"),
+        F.greatest(F.least("src", "u"),
+                   F.least(F.greatest("src", "u"), "w")).alias("b"),
+        F.greatest(F.greatest("src", "u"), "w").alias("c"))
 
 
 @register(

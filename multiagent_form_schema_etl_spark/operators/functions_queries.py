@@ -995,6 +995,11 @@ def f_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SN_WINDOW = 8  # sorted-neighborhood width: pairs within this rank gap
+_SN_NAME_DIM_MAX = 1_000_000  # distinct-name rows the unpartitioned rank
+#   window may sort in one task (~50 MB of short strings -- the outer
+#   limit of "dimension-sized"); a corpus whose name relation grows
+#   fact-sized must fail loudly here (the _SEMDECON_EVAL_MAX idiom,
+#   VERDICT r10 item 7), not silently single-task the window
 
 
 @register(
@@ -1036,16 +1041,25 @@ def x1_entity_sorted_neighborhood(spark: SparkSession,
     runs on the DISTINCT NAME DIMENSION (64 rows at sf0.1; name
     vocabularies are dimension-sized by nature), never the fact table,
     and the face is allowlisted in the gate's unpartitioned-window guard
-    with this stated bound. The successor join is an equi-join on
+    with this stated bound -- now ENFORCED: a distinct-name relation over
+    _SN_NAME_DIM_MAX rows raises before the window is built (a corpus
+    where names become fact-sized needs ranged/partitioned SN, not a
+    silent single-task sort). The successor join is an equi-join on
     rank + offset (the offsets explode to {_SN_WINDOW} rows per name, a
     constant), so no range-join or cross product appears at any scale;
     levenshtein runs on exactly n x {_SN_WINDOW} candidate pairs."""
     from pyspark.sql import Window
 
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    n_names = names.count()
+    if n_names > _SN_NAME_DIM_MAX:
+        raise ValueError(
+            f"distinct-name relation has {n_names} rows, exceeding the "
+            f"dimension bound {_SN_NAME_DIM_MAX} the unpartitioned SN "
+            "rank window is allowlisted under -- partition the sort key "
+            "(e.g. rank within name prefix blocks) before using SN here")
     w = Window.orderBy("p_name")
-    ranked = (load_table(spark, sf_dir, "part")
-              .select("p_name").distinct()
-              .select("p_name", F.row_number().over(w).alias("rnk")))
+    ranked = names.select("p_name", F.row_number().over(w).alias("rnk"))
     offs = spark.range(1, _SN_WINDOW + 1).select(
         F.col("id").cast("int").alias("off"))
     a = ranked.select(F.col("p_name").alias("name_a"),

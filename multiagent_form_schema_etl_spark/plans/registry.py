@@ -177,61 +177,68 @@ def query_names() -> list[str]:
 
 
 # The driver's correctness gate verifies the FIRST 50 entries of queries().
-# r10 window policy (VERDICT r9 item 2 + NOTES_r9 guidance): the
-# never-driver-checked backlog is ZERO, so the window is now AGE-driven --
-# keep the r9 first-timers for one confirming round, enter the two new
-# engine-vs-engine equivalence faces (VERDICT r9 item 3), and fill the
-# remaining slots with the STALEST cohort from the committed rotation
-# ledger (rotation_ledger.json, regenerated from CORRECTNESS_r*.json by
-# tools/rotation.py). Everything outside the window keeps its oracle + the
-# builder gate tools/check.py + the tri-SF sweeps, and the post-window
-# order is ledger-stalest-first so the next rounds' windows are mechanical.
+# r11 window policy (VERDICT r10 item 2 / the committed ledger): keep the 7
+# r10 first-timers one confirming round, enter the 2 new r11 faces (the BM25
+# top-k sibling and the MLlib TF-IDF equivalence twin), drain the ENTIRE
+# remaining r1-stale cohort (27 queries -- after this window no query's last
+# driver-green is older than r2), and fill the tail with the next-stalest
+# cohorts (r2, r3, r5, then the alphabetically-first of r6). Everything
+# outside the window keeps its oracle + the builder gate tools/check.py +
+# the tri-SF sweeps, and the post-window order is ledger-stalest-first so
+# the next rounds' windows are mechanical.
 PRIORITY: tuple[str, ...] = (
-    # -- the 23 r9 first-timers, kept one confirming round (NOTES_r9) --
-    "etl_incremental_agg", "a8_distinct_key_union",
-    "a2_minmax_stats_per_nation", "w_ntile_acctbal_quartiles",
-    "x2_cosine_topk_bruteforce", "x1_dedup_embedding_ivf",
-    "x2_grouped_center_applyinpandas", "x2_knn_graph",
-    "x1_dedup_semantic_clusters", "x4_tf_rarity_topk",
-    "x4_doc_rolling_hash", "x4_heavy_hitters_cms",
-    "x5_decontaminate_semantic", "x5_domain_mixture_sample",
-    "x3_payload_chunked", "st_click_purchase_join",
-    "x1_dedup_keep_best_quality",
-    "x1_dedup_embedding_auto", "x2_ann_lsh_buckets", "x2_ann_pq_adc",
-    "x2_ann_ivf_kmeans", "x2_rerank_hybrid", "x1_entity_qgram_join",
-    # -- new r10 equivalence faces (VERDICT r9 item 3): constant-empty
-    # oracles turning pytest-local engine identities into per-round
-    # driver assertions --
+    # -- the 7 r10 first-timers, kept one confirming round --
     "x1_dedup_minhash_fastpath_equiv", "x1_graph_pagerank_rank_equiv",
-    # -- new r10 operators (never driver-checked -> window immediately,
-    # the r9 precedent) --
     "x4_bm25_score", "x1_entity_sorted_neighborhood",
     "x1_graph_triangle_count", "a_data_profile_lineitem",
     "x1_source_overlap_matrix",
-    # -- the 20 alphabetically-first of the 47-query stalest cohort
-    # (last driver-green r1); the remaining 27 top the r11 window by the
-    # ledger ordering below --
-    "a_bitwise_aggregates", "a_grouping_sets", "a_percentiles_exact",
-    "a_statistics_moments", "f14_base64_roundtrip", "f5_date_parse_multi",
-    "f6_number_extract", "f7_bool_null_normalize",
-    "f8_email_currency_flags", "f9_events_json_extract",
-    "f_conditional_functions", "f_date_arithmetic", "f_date_functions",
-    "f_levenshtein_fuzzy_match", "f_map_explode_roundtrip",
-    "f_string_functions", "f_unpivot_measures",
-    "j2_containment_theta_join", "j5_anti_join_parts_never_shipped",
-    "j5_semi_join_customers_with_urgent_orders",
+    # -- new r11 faces (never driver-checked -> window immediately) --
+    "x4_bm25_topk", "x4_tfidf_mllib_equiv",
+    # -- the full remaining r1-stale cohort (27; ledger round 1) --
+    "j_cross_join_fanout", "p5_preview_truncate",
+    "q01_pricing_summary", "q02_min_cost_supplier",
+    "q03_shipping_priority", "q04_order_priority_checking",
+    "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q07_volume_shipping", "q08_market_share",
+    "q09_product_type_profit", "q10_returned_items",
+    "q11_important_stock_share", "q12_priority_shipping_classes",
+    "q13_customer_order_distribution", "q14_promo_revenue_share",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_predicates", "q20_excess_stock_suppliers",
+    "q21_waiting_supplier_orders", "q22_inactive_customer_balance",
+    "set_ops_customer_cohorts", "sql_correlated_exists_subquery",
+    "sql_scalar_subquery",
+    # -- next-stalest cohorts: r2 (3), r3 (3), r5 (3), r6 first-5 --
+    "st_sliding_window", "x4_doc_fingerprint", "x5_chunk_overlap",
+    "x4_lang_id_char_ngram", "x4_quality_score", "x5_shard_by_budget",
+    "a_approx_percentile", "st_latest_event_per_user",
+    "x1_dedup_jaccard_auto",
+    "a4_conditional_aggregation", "a7_bool_and_completeness",
+    "a_approx_count_distinct", "doc_a3_full_text", "doc_a5_eval_metrics",
 )
 
 
-@functools.lru_cache(maxsize=1)
 def rotation_ledger() -> dict[str, int]:
     """Per-query last-driver-green round, from the committed
     rotation_ledger.json (tools/rotation.py regenerates it from the
     CORRECTNESS_r*.json records after each round). Names absent from the
-    ledger (new faces, rows-only queries) read as round 0 = stalest."""
-    import json
+    ledger (new faces, rows-only queries) read as round 0 = stalest.
+    Cached on the ledger file's MTIME (the _snapshot idiom; ADVICE r10):
+    a rewrite by tools/rotation.py mid-process is picked up on the next
+    call instead of serving a stale ordering for the session's life."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "rotation_ledger.json")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    return _rotation_ledger_at(path, mtime)
+
+
+@functools.lru_cache(maxsize=2)
+def _rotation_ledger_at(path: str, mtime: float) -> dict[str, int]:
+    import json
     try:
         with open(path) as fh:
             return {str(k): int(v) for k, v in json.load(fh).items()}

@@ -261,6 +261,30 @@ def test_blocked_components_match_min_label_and_fallback(spark, monkeypatch):
     fb = {(r["node_id"], r["component_id"])
           for r in D.blocked_components(spark, sf, pairs).collect()}
     assert fb == want
+    monkeypatch.undo()
+
+    # INVARIANT guard (ADVICE r10): a pair graph with a cross-block edge
+    # (here: two docs from different (lang, bucket) blocks, the shape an
+    # embedding/semantic pair relation would have) must route to the
+    # distributed kernel and still be node-for-node correct -- not
+    # silently split the cross-block component.
+    from pyspark.sql import functions as F
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", F.floor(F.col("n_chars") / 50.0).alias("bucket"))
+    rows = d.orderBy("doc_id").collect()
+    a = rows[0]
+    b = next(r for r in rows
+             if (r["lang"], r["bucket"]) != (a["lang"], a["bucket"]))
+    cross = pairs.unionByName(spark.createDataFrame(
+        [(a["doc_id"], b["doc_id"])], "doc_a long, doc_b long"))
+    want_x = {(r["node_id"], r["component_id"])
+              for r in D.min_label_components(docs, cross).collect()}
+    got_x = {(r["node_id"], r["component_id"])
+             for r in D.blocked_components(spark, sf, cross).collect()}
+    assert got_x == want_x
+    # and the cross-block doc pair really is in one component now
+    comp = dict(got_x)
+    assert comp[a["doc_id"]] == comp[b["doc_id"]]
 
 
 def test_bm25_matches_python_reference(spark):
@@ -327,3 +351,36 @@ def test_sorted_neighborhood_sound_vs_complete_qgram_join(spark):
     in_window = {(a, b) for a, b in complete
                  if abs(rank[a] - rank[b]) <= FQ._SN_WINDOW}
     assert sn == in_window
+
+
+def test_triangle_orientation_kernels_agree_and_selector_flips(spark):
+    """VERDICT r10 item 5: both triangle-enumeration orientations must be
+    row-identical on a real near-dup graph; the measured-cost selector
+    must pick "id" on the gate corpora (keeping every committed hash) and
+    flip to "deg" on a hub-flood graph where degree ordering removes the
+    quadratic hub fan-out."""
+    from pyspark.sql import functions as F
+
+    from multiagent_form_schema_etl_spark.operators import dedup as D
+
+    pairs = D.x1_dedup_jaccard_ngram(spark, SF_SMOKE).select("doc_a", "doc_b")
+    e = pairs.select(F.least("doc_a", "doc_b").alias("a"),
+                     F.greatest("doc_a", "doc_b").alias("b")).distinct()
+    got_id = {tuple(r) for r in D._triangles_id(e).collect()}
+    got_deg = {tuple(r) for r in D._triangles_deg(e).collect()}
+    assert got_id == got_deg and len(got_id) > 0
+    assert D._triangle_orient_choice_over(e) == "id"
+
+    # hub flood: one center (id 100 -- mid-RANGE id, so the id orientation
+    # wedges lo*hi ~ 100*100 at the hub) joined to 200 spokes, plus two
+    # spoke-spoke chords closing two triangles. Degree ordering points
+    # every spoke edge AT the hub (spoke out-degree <= 2), so its wedge
+    # volume collapses to ~2 and the selector must flip.
+    hub_edges = ([(min(i, 100), max(i, 100))
+                  for i in list(range(100)) + list(range(101, 201))]
+                 + [(0, 1), (2, 3)])
+    he = spark.createDataFrame(hub_edges, "a long, b long")
+    assert D._triangle_orient_choice_over(he) == "deg"
+    hid = {tuple(r) for r in D._triangles_id(he).collect()}
+    hdeg = {tuple(r) for r in D._triangles_deg(he).collect()}
+    assert hid == hdeg and len(hid) > 0

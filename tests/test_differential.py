@@ -535,3 +535,24 @@ def test_star_closed_form_matches_dense_solve():
         assert abs(total - 1.0) < 1e-9
 
     check()
+
+
+def test_sn_name_dimension_guard(spark, monkeypatch):
+    """VERDICT r10 item 7: the sorted-neighborhood face's unpartitioned
+    rank window is allowlisted under a DIMENSION bound -- a corpus whose
+    distinct-name relation grows past _SN_NAME_DIM_MAX must raise before
+    the single-task sort, not silently run it."""
+    import pytest
+
+    from conftest import SF_SMOKE
+    from multiagent_form_schema_etl_spark.operators import (
+        functions_queries as FQ)
+    from multiagent_form_schema_etl_spark.plans import registry
+
+    registry.load_all_modules()
+    monkeypatch.setattr(FQ, "_SN_NAME_DIM_MAX", 0)
+    with pytest.raises(ValueError, match="dimension bound"):
+        FQ.x1_entity_sorted_neighborhood(spark, SF_SMOKE)
+    monkeypatch.undo()
+    # under the bound the face still runs
+    assert FQ.x1_entity_sorted_neighborhood(spark, SF_SMOKE).count() > 0

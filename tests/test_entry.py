@@ -139,10 +139,11 @@ def test_registry_eviction_releases_tracked_subrelation_caches(spark, tmp_path):
 
 
 def test_rotation_ledger_orders_window_and_tail_stalest_first():
-    """VERDICT r9 item 2: the driver-checked window (first 50) must carry
-    the r9 first-timers one confirming round, the two r10 equivalence
-    faces, and ONLY stalest-cohort fillers; the post-window oracle-backed
-    tail must be ordered stalest-first by the committed rotation ledger."""
+    """VERDICT r9 item 2 / r10 item 2: the driver-checked window (first
+    50) must carry the prior round's first-timers one confirming round,
+    the new r11 faces, and ONLY stalest-cohort fillers; the post-window
+    oracle-backed tail must be ordered stalest-first by the committed
+    rotation ledger."""
     from multiagent_form_schema_etl_spark.plans import registry
 
     registry.load_all_modules()
@@ -154,14 +155,18 @@ def test_rotation_ledger_orders_window_and_tail_stalest_first():
     assert window == list(registry.PRIORITY)
     assert len(set(window)) == 50
 
-    # the two new engine-equivalence faces are driver-checked this round
-    assert "x1_dedup_minhash_fastpath_equiv" in window
-    assert "x1_graph_pagerank_rank_equiv" in window
+    # the new r11 faces are driver-checked this round
+    assert "x4_bm25_topk" in window
+    assert "x4_tfidf_mllib_equiv" in window
+
+    # the r11 window drains the whole r1-stale cohort: nothing in the
+    # post-window tail may still be at ledger round 1
+    assert all(led.get(n, 0) >= 2 for n in names[50:] if n in led)
 
     # every window filler that is not a confirmer/new face comes from the
     # ledger's STALEST cohort (no filler may be younger than any
     # non-window oracle-backed query)
-    confirmers = set(registry.PRIORITY[:25])
+    confirmers = set(registry.PRIORITY[:9])
     fillers = [n for n in window if n not in confirmers]
     post_oracle = [n for n in names[50:] if n in registry.ORACLES]
     filler_rounds = [led.get(n, 0) for n in fillers]

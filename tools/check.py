@@ -215,8 +215,11 @@ _UNPART_WINDOW_ALLOW: frozenset[str] = frozenset({
     "w_ntile_acctbal_quartiles",
     "x5_shard_by_budget",
     # r10: sorted-neighborhood rank assignment -- row_number over the
-    # DISTINCT NAME DIMENSION (64 rows at sf0.1), never the fact table
-    # (docstring-stated bound, like the ntile face)
+    # DISTINCT NAME DIMENSION (64 rows at sf0.1), never the fact table.
+    # r11: the bound is now ENFORCED in the face itself (it raises if the
+    # name relation exceeds _SN_NAME_DIM_MAX = 1M rows; pinned in
+    # tests/test_differential.py::test_sn_name_dimension_guard), so this
+    # allowlist entry rides a guard, not just a docstring claim
     "x1_entity_sorted_neighborhood",
 })
 
@@ -327,14 +330,24 @@ def main() -> int:
     import __spark_entry__ as e
     from multiagent_form_schema_etl_spark.session import get_spark
 
-    args = sys.argv[1:]
-    if args == ["--window"]:
-        # exactly the driver's checked window (the first 50 of
-        # ordered_query_names) -- the rotation-simulation shorthand
-        names = list(e.queries())[:50]
-    else:
-        names = args or sorted(e.queries())
+    # argparse instead of positional sniffing (ADVICE r10: `--window extra`
+    # used to treat '--window' as a query name and KeyError mid-run)
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="oracle gate replica (driver CORRECTNESS twin)")
+    ap.add_argument("--window", action="store_true",
+                    help="run exactly the driver's checked window (the "
+                         "first 50 of ordered_query_names); combines with "
+                         "extra query names")
+    ap.add_argument("names", nargs="*", metavar="query_name")
+    a = ap.parse_args()
     qs, oracles = e.queries(), e.oracle_sql()
+    names = (list(qs)[:50] if a.window else []) + list(a.names)
+    if not names:
+        names = sorted(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        ap.error(f"unknown query names (not in queries()): {unknown}")
 
     spark = get_spark("check")
     con = duckdb.connect()

@@ -186,8 +186,13 @@ def main() -> None:
     ap.add_argument("--sfs", default="0.001,0.01")
     ap.add_argument("--out", default="fresh_seed_data")
     ap.add_argument("--en-weight", type=int, default=8,
-                    help="en slots out of 20 in the lang mix (default 8 "
-                         "matches seed-42; 18 = a 90%%-en skew-shift drill)")
+                    help="en fraction = exactly en-weight/20 of the lang "
+                         "mix (default 8 matches seed-42; 18 = a 90%%-en "
+                         "skew drill). NOTE: before r11 a max() floor "
+                         "kept all 4 other langs in the mix, so "
+                         "--en-weight 18 actually ran 18/22 = 81.8%% en "
+                         "-- the r10 'shape-shift 90%%-en' record is "
+                         "really an 81.8%%-en run (ADVICE r10).")
     ap.add_argument("--max-words", type=int, default=99,
                     help="doc length upper bound in words (default 99 "
                          "matches seed-42; raise for a length-shift drill)")
@@ -195,7 +200,15 @@ def main() -> None:
     global LANGS, MAX_WORDS
     MAX_WORDS = a.max_words
     others = ["es", "fr", "zh", "de"]
-    rest = max(20 - a.en_weight, len(others))
+    # en fraction is exactly en_weight/20 (ADVICE r10: the old
+    # max(20-en_weight, 4) floor silently diluted high skews -- the r10
+    # "90%-en" drill actually ran 18/22 = 81.8% en). At en-weight > 16
+    # the tail langs drop out of the mix; that is the documented cost of
+    # an exact high skew. The 20-slot layout keeps the default
+    # (en-weight 8) bit-identical to the r10 drill corpora.
+    rest = 20 - a.en_weight
+    if rest < 0:
+        ap.error("--en-weight must be <= 20")
     LANGS = (["en"] * a.en_weight
              + [others[i % len(others)] for i in range(rest)])
     for sf in (float(s) for s in a.sfs.split(",")):
