@@ -1550,3 +1550,70 @@ def x2_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_centers = [list(c["vecn"]) for c in batch]
     return spark.createDataFrame(
         picked, "rank int, vec_id bigint, min_dist double")
+
+
+@register(
+    "x2_coreset_radius_bound",
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS violation,
+           CAST(NULL AS DOUBLE) AS radius_batched,
+           CAST(NULL AS DOUBLE) AS radius_greedy
+    WHERE FALSE
+    """,
+)
+def x2_coreset_radius_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE approximation-bound assertion for the rows-only
+    k-center faces (the r10/r11 equivalence-face recipe, applied to an
+    INEQUALITY invariant): the batched face's selections are float
+    traversals no SQL oracle can restate, but its documented contract --
+    the R/2-separation batch filter keeps the covering radius within 2x
+    of the greedy 2-approximation reference -- is checkable IN-ENGINE on
+    every sweep corpus. This face computes both coresets, measures each
+    one's covering radius with one narrow distributed fold (min cosine
+    distance over the k=16 literal centers per vector, max over the
+    corpus), and emits a violation row against a CONSTANT EMPTY oracle
+    when radius_batched > 2 * radius_greedy + 1e-9. Promotes the
+    pytest-local pin (tests/test_ann_recall.py::
+    test_coreset_kcenter_batched_mirror_and_radius, which only ever runs
+    at sf0.01 seed-42) to a standing per-corpus driver assertion;
+    rows-only residue drops another notch.
+
+    Vacuity canary: either selection coming back with the wrong
+    cardinality (!= k on a corpus with >= k vectors) emits a WRONG_K
+    marker row that fails the gate rather than passing vacuously.
+
+    Plan shape: the two selection loops are the registered faces' own
+    (bounded driver rounds, corpus never collected); each radius is one
+    projection with 16 literal-vector dot products under F.least + one
+    max -- linear, no joins, no pairs."""
+    emb = _normalized_embeddings(spark, sf_dir)
+    n = emb.count()
+    k = min(_CORESET_K, n)
+    batched = x2_coreset_kcenter(spark, sf_dir)
+    greedy = coreset_kcenter_greedy(spark, sf_dir)
+
+    def radius(sel: DataFrame) -> tuple[float | None, int]:
+        centers = (emb.join(sel.select("vec_id"), "vec_id")
+                   .select("vecn").collect())
+        if not centers:
+            return None, 0
+        dists = [
+            1.0 - F.aggregate(
+                F.zip_with("vecn",
+                           F.array(*[F.lit(float(x)) for x in r["vecn"]]),
+                           lambda a, c: a * c),
+                F.lit(0.0), lambda acc, x: acc + x)
+            for r in centers]
+        d = dists[0] if len(dists) == 1 else F.least(*dists)
+        [row] = emb.select(d.alias("d")).agg(F.max("d").alias("r")).collect()
+        return float(row["r"]), len(centers)
+
+    rb, nb = radius(batched)
+    rg, ng = radius(greedy)
+    rows = []
+    if n >= _CORESET_K and (nb != k or ng != k):
+        rows.append(("WRONG_K", float(nb), float(ng)))
+    if rb is not None and rg is not None and rb > 2.0 * rg + 1e-9:
+        rows.append(("RADIUS_BOUND_EXCEEDED", rb, rg))
+    return spark.createDataFrame(
+        rows, "violation string, radius_batched double, radius_greedy double")

@@ -158,6 +158,7 @@ def test_rotation_ledger_orders_window_and_tail_stalest_first():
     # the new r11 faces are driver-checked this round
     assert "x4_bm25_topk" in window
     assert "x4_tfidf_mllib_equiv" in window
+    assert "x2_coreset_radius_bound" in window
 
     # the r11 window drains the whole r1-stale cohort: nothing in the
     # post-window tail may still be at ledger round 1
@@ -166,7 +167,7 @@ def test_rotation_ledger_orders_window_and_tail_stalest_first():
     # every window filler that is not a confirmer/new face comes from the
     # ledger's STALEST cohort (no filler may be younger than any
     # non-window oracle-backed query)
-    confirmers = set(registry.PRIORITY[:9])
+    confirmers = set(registry.PRIORITY[:10])
     fillers = [n for n in window if n not in confirmers]
     post_oracle = [n for n in names[50:] if n in registry.ORACLES]
     filler_rounds = [led.get(n, 0) for n in fillers]

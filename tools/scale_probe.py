@@ -52,6 +52,8 @@ DOC_QUERIES = [
     "x5_bpe_vocab_train",
     "x5_bpe_encode",
     "x4_token_stats",
+    "x4_bm25_score",
+    "x4_bm25_topk",
 ]
 EVENT_QUERIES = [
     "st_session_window",
