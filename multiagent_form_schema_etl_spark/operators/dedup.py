@@ -1869,6 +1869,12 @@ def x1_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, and a skew-flood pytest exercises the "deg" branch + pins the
     two kernels row-identical."""
     pairs = _jaccard_pairs(spark, sf_dir)
+    # NOT persisted: within the enumeration query Catalyst already reuses
+    # the distinct's exchange across the wedge/closing scans
+    # (ReusedExchange), so a persist only adds the cache write -- measured
+    # at 10x: persist 19.4 s vs unpersisted 12.3 s for the same kernel.
+    # The selector's stage-1 aggregate re-executes the distinct once from
+    # the PERSISTED pair relation (~1-2 s at 10x).
     e = pairs.select(F.least("doc_a", "doc_b").alias("a"),
                      F.greatest("doc_a", "doc_b").alias("b")).distinct()
     kern = (_triangles_deg if _triangle_orient_choice_over(e) == "deg"
@@ -1892,14 +1898,24 @@ _TRI_ORIENT_FACTOR = 4.0
 
 
 def _triangle_orient_choice_over(e: DataFrame) -> str:
-    """One aggregate pass over the canonical a<b edge relation estimates
-    the wedge volume each orientation would enumerate: "id" explores
-    lo(v)*hi(v) wedges per node (neighbors below x above by id); "deg"
-    explores C(out_deg(v), 2) per node under (degree, id) ordering.
-    Returns "deg" only when the id volume exceeds _TRI_ORIENT_FACTOR
-    times the deg volume. The aggregate shuffles only the near-dup-sized
-    edge relation -- the same order of work as one round of the
-    enumeration it is steering."""
+    """Two-stage orientation selector over the canonical a<b edge
+    relation. "id" explores lo(v)*hi(v) wedges per node (neighbors below
+    x above by id); "deg" explores C(out_deg(v), 2) per node under
+    (degree, id) ordering. Returns "deg" only when the id volume exceeds
+    _TRI_ORIENT_FACTOR times the deg volume.
+
+    Stage 1 (the common case, ONE join-free aggregate over the edge
+    ends): w_deg is bounded above by m*sqrt(2m)/2 on ANY graph (each
+    deg-oriented out-degree is <= sqrt(2m): a vertex with out-degree t
+    has t successors of degree >= its own, so t(t+1) <= 2m). If w_id
+    cannot beat FACTOR times even that ceiling, "id" wins outright --
+    near-regular corpora (every gate corpus) short-circuit here, so the
+    selector costs one degree aggregate, not an edge-degree join
+    (measured at 10x: ~1 s vs ~5 s for the exact estimate).
+
+    Stage 2 (possible skew only): attach endpoint degrees and count the
+    exact deg-oriented out-degrees; flip only on a measured
+    FACTOR-x wedge reduction."""
     ends = (e.select(F.col("a").alias("v"), F.lit(1).alias("hi"),
                      F.lit(0).alias("lo"))
             .unionAll(e.select(F.col("b").alias("v"), F.lit(0).alias("hi"),
@@ -1907,6 +1923,13 @@ def _triangle_orient_choice_over(e: DataFrame) -> str:
     deg = ends.groupBy("v").agg(F.sum("hi").alias("hi"),
                                 F.sum("lo").alias("lo"),
                                 F.count(F.lit(1)).alias("d"))
+    [s1] = deg.agg(F.sum(F.col("lo") * F.col("hi")).alias("w_id"),
+                   (F.sum("d") / 2).alias("m")).collect()
+    w_id = float(s1["w_id"] or 0.0)
+    m = float(s1["m"] or 0.0)
+    w_deg_ceiling = m * (2.0 * m) ** 0.5 / 2.0
+    if w_id <= _TRI_ORIENT_FACTOR * w_deg_ceiling:
+        return "id"
     # deg-orientation out-degree of v = # neighbors u with (d_u, u) > (d_v, v)
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
@@ -1916,11 +1939,8 @@ def _triangle_orient_choice_over(e: DataFrame) -> str:
     out = (ed.select(F.when(a_first, F.col("a")).otherwise(F.col("b"))
                      .alias("src"))
            .groupBy("src").agg(F.count(F.lit(1)).alias("od")))
-    [r] = (deg.agg(F.sum(F.col("lo") * F.col("hi")).alias("w_id"))
-           .crossJoin(out.agg(F.sum(F.col("od") * (F.col("od") - 1) / 2)
-                              .alias("w_deg")))
-           .collect())
-    w_id = float(r["w_id"] or 0.0)
+    [r] = out.agg(F.sum(F.col("od") * (F.col("od") - 1) / 2)
+                  .alias("w_deg")).collect()
     w_deg = float(r["w_deg"] or 0.0)
     return "deg" if w_id > _TRI_ORIENT_FACTOR * w_deg else "id"
 
