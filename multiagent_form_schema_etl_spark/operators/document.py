@@ -1295,6 +1295,56 @@ def doc_u1_model_labeled_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "section_key", "clause_text"))
 
 
+@register(
+    "doc_u1_label_scaffold_equiv",
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS pos,
+           CAST(NULL AS VARCHAR) AS word, CAST(NULL AS VARCHAR) AS label,
+           CAST(NULL AS VARCHAR) AS only_in
+    WHERE FALSE
+    """,
+)
+def doc_u1_label_scaffold_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE equivalence twin for the rows-only U1 inference
+    scaffold (the r10/r11 equivalence-face recipe): the mapInPandas
+    classification path cannot carry a SQL oracle (Python-side model
+    slot), but its DEFAULT strategy is the deterministic rule
+    `heading iff any SECNUM pattern re.match-es (IGNORECASE)` -- and the
+    repo's Py→Java regex dialect layer claims `is_secnum_sql` evaluates
+    the SAME predicate JVM-side. This face labels the identical word
+    relation both ways -- the Arrow-batched mapInPandas scaffold vs one
+    RLIKE expression -- and emits the symmetric difference of the full
+    labeled relations against a CONSTANT EMPTY oracle. What it asserts
+    every round: (a) Python re.match == the dialect-translated Spark
+    RLIKE on every corpus word (the claim every sectionization oracle
+    leans on), and (b) the scaffold's row fidelity -- schema mapping,
+    batching, no dropped/duplicated rows. Sharper than diffing the
+    downstream clauses: `key_words` ORs the secnum predicate into its
+    trigger anyway, so label errors would partially mask at clause
+    level. Vacuity canary: EMPTY_SCAFFOLD marker if the mapInPandas
+    side returns zero rows while the input has words."""
+    from .strategies import classify_words
+
+    w = words_df(spark).select("doc_id", "block_idx", "pos", "word")
+    py = classify_words(w).select("doc_id", "pos", "word", "label")
+    jvm = w.select(
+        "doc_id", "pos", "word",
+        F.when(F.expr(G.is_secnum_sql("word", SPARK)), "heading")
+        .otherwise("paragraph").alias("label"))
+    diff = (py.exceptAll(jvm).withColumn("only_in", F.lit("mapinpandas"))
+            .unionByName(jvm.exceptAll(py)
+                         .withColumn("only_in", F.lit("jvm"))))
+    canary = (py.agg(F.count(F.lit(1)).alias("n"))
+              .crossJoin(w.agg(F.count(F.lit(1)).alias("nw")))
+              .filter((F.col("n") == 0) & (F.col("nw") > 0))
+              .select(F.lit(-1).cast("long").alias("doc_id"),
+                      F.lit(-1).cast("long").alias("pos"),
+                      F.lit("").alias("word"),
+                      F.lit("").alias("label"),
+                      F.lit("EMPTY_SCAFFOLD").alias("only_in")))
+    return diff.unionByName(canary)
+
+
 _NDA_FIELDS = [r[1] for r in SCHEMA_ROWS if r[0] == "NDA_Form"]
 
 

@@ -178,9 +178,10 @@ def query_names() -> list[str]:
 
 # The driver's correctness gate verifies the FIRST 50 entries of queries().
 # r11 window policy (VERDICT r10 item 2 / the committed ledger): keep the 7
-# r10 first-timers one confirming round, enter the 3 new r11 faces (the BM25
-# top-k sibling, the MLlib TF-IDF equivalence twin, and the k-center
-# radius-bound assertion), drain the ENTIRE
+# r10 first-timers one confirming round, enter the 4 new r11 faces (the BM25
+# top-k sibling, the MLlib TF-IDF equivalence twin, the k-center
+# radius-bound assertion, and the U1 label-scaffold equivalence), drain the
+# ENTIRE
 # remaining r1-stale cohort (27 queries -- after this window no query's last
 # driver-green is older than r2), and fill the tail with the next-stalest
 # cohorts (r2, r3, r5, then the alphabetically-first of r6). Everything
@@ -195,6 +196,7 @@ PRIORITY: tuple[str, ...] = (
     "x1_source_overlap_matrix",
     # -- new r11 faces (never driver-checked -> window immediately) --
     "x4_bm25_topk", "x4_tfidf_mllib_equiv", "x2_coreset_radius_bound",
+    "doc_u1_label_scaffold_equiv",
     # -- the full remaining r1-stale cohort (27; ledger round 1) --
     "j_cross_join_fanout", "p5_preview_truncate",
     "q01_pricing_summary", "q02_min_cost_supplier",
@@ -216,7 +218,7 @@ PRIORITY: tuple[str, ...] = (
     "a_approx_percentile", "st_latest_event_per_user",
     "x1_dedup_jaccard_auto",
     "a4_conditional_aggregation", "a7_bool_and_completeness",
-    "a_approx_count_distinct", "doc_a3_full_text",
+    "doc_a3_full_text",
 )
 
 

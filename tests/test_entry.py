@@ -159,6 +159,7 @@ def test_rotation_ledger_orders_window_and_tail_stalest_first():
     assert "x4_bm25_topk" in window
     assert "x4_tfidf_mllib_equiv" in window
     assert "x2_coreset_radius_bound" in window
+    assert "doc_u1_label_scaffold_equiv" in window
 
     # the r11 window drains the whole r1-stale cohort: nothing in the
     # post-window tail may still be at ledger round 1
@@ -167,7 +168,7 @@ def test_rotation_ledger_orders_window_and_tail_stalest_first():
     # every window filler that is not a confirmer/new face comes from the
     # ledger's STALEST cohort (no filler may be younger than any
     # non-window oracle-backed query)
-    confirmers = set(registry.PRIORITY[:10])
+    confirmers = set(registry.PRIORITY[:11])
     fillers = [n for n in window if n not in confirmers]
     post_oracle = [n for n in names[50:] if n in registry.ORACLES]
     filler_rounds = [led.get(n, 0) for n in fillers]

@@ -194,7 +194,8 @@ _CART_ALLOW: frozenset[str] = frozenset()  # intentional tiny cross joins
 _PYUDF_ALLOW: frozenset[str] = frozenset({
     # declared Arrow-batched faces (mapInPandas / applyInPandas / UDTF /
     # pandas UDAF) -- each docstring states why built-ins can't express it
-    "doc_u1_model_labeled_clauses", "f_udtf_word_explode",
+    "doc_u1_model_labeled_clauses", "doc_u1_label_scaffold_equiv",
+    "f_udtf_word_explode",
     "st_stateful_threshold_batches", "x1_dedup_embedding_auto",
     "x1_dedup_embedding_cosine",
     "x1_dedup_embedding_ivf", "x1_graph_pagerank", "x1_graph_pagerank_star",
