@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..fixtures import values_sql
-from ..plans.registry import register
+from ..plans.registry import register, track_persist
 from . import sqlgen as G
 from .dedup import _md5_int_sql
 from .textstats import _LANG_PROFILE_COLS, _LANG_PROFILE_ROWS, _TOKENS
@@ -116,10 +116,9 @@ def x5_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_N = 4          # n-gram order for contamination checks
 _DECON_MAX_DF = 100   # drop boilerplate grams seen in more train docs
 
-
-@register(
-    "x5_decontaminate_ngram",
-    oracle=f"""
+# Shared by the exact and bloom-prefiltered decontamination faces: both
+# compute the IDENTICAL relation, so they register the same oracle.
+_DECON_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, {_md5_int_sql('text', 'duck')} % 100 AS bucket,
              list_filter(string_split(text, ' '), x -> x <> '') AS l
@@ -139,8 +138,28 @@ _DECON_MAX_DF = 100   # drop boilerplate grams seen in more train docs
     FROM grams g JOIN train_grams t ON g.gram = t.gram
     WHERE g.heldout
     GROUP BY g.doc_id
-    """,
-)
+    """
+
+
+def _decon_gram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-distinct (doc_id, heldout, gram) word-shingle rows -- the common
+    front of both decontamination faces. Callers place their own
+    ``.distinct()`` so the bloom face can prefilter BEFORE the distinct's
+    shuffle (the whole point of the bloom at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.expr(_md5_int_sql("text", "spark")) % 100 >= 80).alias("heldout"),
+        F.filter(F.split("text", " "), lambda x: x != "").alias("l"))
+    return (toks.filter(F.size("l") >= _DECON_N)
+            .select("doc_id", "heldout",
+                    F.explode(F.expr(
+                        f"transform(sequence(1, size(l) - {_DECON_N - 1}),"
+                        f" i -> concat_ws(' ', slice(l, i, {_DECON_N})))"))
+                     .alias("gram")))
+
+
+@register("x5_decontaminate_ngram", oracle=_DECON_ORACLE)
 def x5_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/held-out contamination scan: a held-out (validation/test) doc is
     contaminated when it shares a word n-gram (n=4) with any train doc --
@@ -153,23 +172,97 @@ def x5_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than _DECON_MAX_DF train docs are dropped as boilerplate before
     the join (df-pruning), which both matches decontamination practice and
     bounds the worst-case join fan-out per gram."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        (F.expr(_md5_int_sql("text", "spark")) % 100 >= 80).alias("heldout"),
-        F.filter(F.split("text", " "), lambda x: x != "").alias("l"))
-    grams = (toks.filter(F.size("l") >= _DECON_N)
-             .select("doc_id", "heldout",
-                     F.explode(F.expr(
-                         f"transform(sequence(1, size(l) - {_DECON_N - 1}),"
-                         f" i -> concat_ws(' ', slice(l, i, {_DECON_N})))"))
-                      .alias("gram"))
-             .distinct())
+    grams = _decon_gram_rows(spark, sf_dir).distinct()
     train_grams = (grams.filter(~F.col("heldout"))
                    .groupBy("gram")
                    .agg(F.count(F.lit(1)).alias("train_df"))
                    .filter(F.col("train_df") <= _DECON_MAX_DF))
     held = grams.filter(F.col("heldout"))
+    return (held.join(train_grams, "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_grams"),
+                 F.sum("train_df").cast("long").alias("n_train_hits")))
+
+
+_BLOOM_M = 1 << 20    # bloom bits (128 KiB packed); FIXED, not corpus-sized
+_BLOOM_K = 3          # hash probes per gram
+# Beyond this many held-out grams the bloom saturates (k*n > m/2 => per-bit
+# load > 0.5, FP rate > ~12% and climbing) and prefiltering stops paying:
+# fall back LOUDLY to the exact kernel instead of shipping a useless filter.
+_BLOOM_MAX_KEYS = _BLOOM_M // (2 * _BLOOM_K)
+
+
+@register("x5_decontaminate_bloom", oracle=_DECON_ORACLE)
+def x5_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-PREFILTERED exact n-gram decontamination -- identical output to
+    `x5_decontaminate_ngram` (same oracle), restructured the way a 100 TB
+    run wants it. There the bottleneck is the TRAIN side: the exact face
+    shuffles every distinct train (doc, gram) shingle to count df and feed
+    the inverted-index join, even though only the vanishing fraction that
+    collides with a held-out gram can ever contribute. This face builds a
+    bloom filter over the held-out grams (the eval side -- small and FIXED
+    in a real pipeline, where the eval suite doesn't grow with the corpus)
+    and drops non-colliding train shingles MAP-SIDE, before any train-side
+    shuffle.
+
+    Engineering shape, all JVM (no UDF):
+    - bits: the {_BLOOM_K} xxhash64 probe positions of each held-out gram,
+      packed into <= {_BLOOM_M}/64 = 16,384 (word, bits) longs via
+      ``bit_or`` -- bounded by the CONSTANT m, never the corpus, so the
+      raw broadcast hint is safe by construction.
+    - membership: {_BLOOM_K} successive broadcast-hash joins on the bit
+      word, each followed by a bitmask filter -- map-side only, no
+      exchange, and a gram whose word holds no set bit exits at the join
+      itself. A surviving (doc, gram) either truly collides or is one of
+      the ~(k*n/m)^k false positives (~0.3% at the saturation guard, ~2%
+      at sf0.1's ~1e5 held-out grams).
+    - the exact tail: distinct + df-count + HAVING <= {_DECON_MAX_DF} +
+      inner join against the held-out grams runs UNCHANGED on the
+      survivors. False positives die in that inner join; per-gram train_df
+      is unaffected because the bloom predicate depends only on the gram,
+      so a gram keeps all of its (doc, gram) rows or none. Output is
+      therefore exactly the exact face's relation.
+
+    Guard: if the held-out gram count exceeds _BLOOM_MAX_KEYS the filter
+    is saturated -- print a loud notice and return the exact kernel (the
+    `_jaccard_auto_choice` loud-fallback idiom). The count is an action on
+    the eval-bounded side only (the `_SEMDECON_EVAL_MAX` precedent)."""
+    rows = _decon_gram_rows(spark, sf_dir)
+    held = track_persist(
+        rows.filter(F.col("heldout")).select("doc_id", "gram").distinct())
+    held_grams = held.select("gram").distinct()
+    n_held = held_grams.count()
+    if n_held > _BLOOM_MAX_KEYS:
+        import sys
+        print(
+            f"x5_decontaminate_bloom: {n_held} held-out grams saturate the "
+            f"m={_BLOOM_M} bloom (guard {_BLOOM_MAX_KEYS}) -- prefiltering "
+            "would pass most shingles; routing to the exact kernel.",
+            file=sys.stderr)
+        return x5_decontaminate_ngram(spark, sf_dir)
+    probes = [F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(_BLOOM_M))
+              for i in range(_BLOOM_K)]
+    bits = (held_grams.select(F.explode(F.array(*probes)).alias("pos"))
+            .distinct()
+            .select(F.expr("pos DIV 64").alias("_w"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT),"
+                           " CAST(pos % 64 AS INT))").alias("mask"))
+            .groupBy("_w").agg(F.expr("bit_or(mask)").alias("_bits")))
+    bw = bits  # constant-bounded (<= m/64 rows): raw hint is correct
+    cand = rows.filter(~F.col("heldout")).select("doc_id", "gram")
+    for i in range(_BLOOM_K):
+        cand = (cand.withColumn("_pos", F.pmod(F.xxhash64("gram", F.lit(i)),
+                                               F.lit(_BLOOM_M)))
+                .withColumn("_w", F.expr("_pos DIV 64"))
+                .withColumn("_m", F.expr("shiftleft(CAST(1 AS BIGINT),"
+                                         " CAST(_pos % 64 AS INT))"))
+                .join(F.broadcast(bw), "_w")
+                .filter(F.col("_bits").bitwiseAND(F.col("_m")) != 0)
+                .drop("_pos", "_w", "_m", "_bits"))
+    train_grams = (cand.distinct()
+                   .groupBy("gram")
+                   .agg(F.count(F.lit(1)).alias("train_df"))
+                   .filter(F.col("train_df") <= _DECON_MAX_DF))
     return (held.join(train_grams, "gram")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_shared_grams"),
@@ -487,6 +580,69 @@ def x5_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("long").alias("n_kept"),
                  F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
                   .cast("long").alias("kept_chars")))
+
+
+_WS_K = 25            # per-language sample budget
+_WS_MOD = 1 << 30     # uniform-draw modulus (md5-derived)
+
+
+def _es_key_sql(engine: str, rounded: bool = True) -> str:
+    """Efraimidis-Spirakis sampling key, portable across engines:
+    ``ln(u) / w`` with u a (0,1) uniform derived from md5(text||salt) and
+    w = n_chars -- taking the per-group TOP-k by this key samples exactly k
+    rows WITHOUT REPLACEMENT with probability proportional to w (the
+    classic one-pass weighted reservoir key, u^(1/w) in log space).
+    Rounded to 9 dp before ranking per engine-parity policy; check.py's
+    ``ws_topk_cells`` exposure audits the rank-(k+1) boundary cells."""
+    h = _md5_int_sql("text || ':ws'", engine)
+    raw = (f"(ln(CAST({h} % {_WS_MOD} + 1 AS DOUBLE) / {float(_WS_MOD + 1)})"
+           f" / GREATEST(n_chars, 1))")
+    return f"ROUND({raw}, 9)" if rounded else raw
+
+
+_WS_ORACLE = f"""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars, {_es_key_sql('duck')} AS es_key
+      FROM documents),
+    ranked AS (
+      SELECT lang, doc_id, n_chars, es_key,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY es_key DESC, doc_id) AS rnk
+      FROM keyed)
+    SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, es_key
+    FROM ranked WHERE rnk <= {_WS_K}
+    """
+
+
+@register("x5_weighted_sample_topk", oracle=_WS_ORACLE)
+def x5_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-BUDGET weighted sampling: exactly {_WS_K} docs per language,
+    inclusion probability proportional to n_chars, via the one-pass
+    Efraimidis-Spirakis top-k key (`_es_key_sql`). Complements
+    `x5_domain_mixture_sample` (Bernoulli keep at a target RATE, output
+    size binomial) where a curation step needs an exact quota -- e.g.
+    "sample 10k docs per language for human eval, long docs
+    proportionally more often". Deterministic: the draw is a pure
+    function of document text, so the sample is stable under re-runs,
+    re-partitioning, and engine (same md5-uniform in DuckDB).
+
+    Scale shape: the per-language window never sees the corpus -- the
+    two-phase local-winners idiom (`x4_bm25_topk`): a window keyed by
+    (lang, physical partition) keeps <= k rows per partition with the
+    cluster's parallelism, then the per-language window ranks <= k x
+    n_partitions survivors. One narrow scan, no corpus-sized shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = (docs.select("lang", "doc_id", "n_chars",
+                         F.expr(_es_key_sql("spark")).alias("es_key"))
+             .withColumn("pid", F.spark_partition_id()))
+    wl = Window.partitionBy("lang", "pid").orderBy(F.desc("es_key"),
+                                                   F.asc("doc_id"))
+    pruned = (keyed.withColumn("lrnk", F.row_number().over(wl))
+              .filter(F.col("lrnk") <= _WS_K).drop("lrnk", "pid"))
+    w = Window.partitionBy("lang").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (pruned.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= _WS_K)
+            .select("lang", "rnk", "doc_id", "n_chars", "es_key"))
 
 
 _CHUNK_SIZE = 32      # tokens per chunk (context-window slice)

@@ -212,13 +212,16 @@ PRIORITY: tuple[str, ...] = (
     "q21_waiting_supplier_orders", "q22_inactive_customer_balance",
     "set_ops_customer_cohorts", "sql_correlated_exists_subquery",
     "sql_scalar_subquery",
-    # -- next-stalest cohorts: r2 (3), r3 (3), r5 (3), r6 first-5 --
+    # -- next-stalest cohorts: r2 (3), r3 (3), r5 (3) --
     "st_sliding_window", "x4_doc_fingerprint", "x5_chunk_overlap",
     "x4_lang_id_char_ngram", "x4_quality_score", "x5_shard_by_budget",
     "a_approx_percentile", "st_latest_event_per_user",
     "x1_dedup_jaccard_auto",
-    "a4_conditional_aggregation", "a7_bool_and_completeness",
-    "doc_a3_full_text",
+    # -- mid-r11 additions (never driver-checked -> window immediately,
+    #    displacing the three r6-cohort refresh fillers, which stay
+    #    covered by check.py sweeps and re-enter by staleness next round)
+    "x5_decontaminate_bloom", "x5_weighted_sample_topk",
+    "st_interval_coalesce",
 )
 
 

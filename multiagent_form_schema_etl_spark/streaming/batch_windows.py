@@ -610,3 +610,78 @@ def st_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("from_type", "to_type", "n",
                     F.round(F.col("n").cast("double") / F.col("n_from"), 6)
                     .alias("p_transition")))
+
+
+@register(
+    "st_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + (60 + event_id % 540) * 1000000 AS e
+      FROM events),
+    marked AS (
+      SELECT user_id, event_id, value, s, e,
+             CASE WHEN s <= MAX(e) OVER (
+                      PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS new_island
+      FROM iv),
+    islands AS (
+      SELECT user_id, value, s, e,
+             SUM(new_island) OVER (
+                 PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked)
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           MIN(s) AS start_us, MAX(e) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def st_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge OVERLAPPING per-user intervals -- the interval-coalesce
+    primitive behind concurrency accounting, reservation/booking overlap,
+    and redaction-span merging, distinct from `st_session_window`'s
+    gap-based islands: here each event carries its own DURATION (a
+    deterministic 60s + event_id % 540 so both engines derive identical
+    integer bounds in epoch MICROseconds -- no float time arithmetic),
+    and two intervals merge when they overlap (closed ends: s <= running
+    max end), not when they are merely close.
+
+    Classic gaps-and-islands on intervals: one per-user window computes
+    the running MAX(end) over all PRIOR intervals (frame ends at 1
+    PRECEDING -- a plain lag(end) is WRONG when a long interval spans
+    several short ones), a new island starts where start exceeds it, a
+    running SUM numbers the islands, and a final groupBy emits each
+    merged interval's bounds and totals. Scale shape: a single user_id
+    shuffle shared by both windows and the aggregate (the same
+    partitioning every per-user sequence face here reuses); per-user
+    state is one running max -- the streaming twin would be an
+    applyInPandasWithState keyed on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id", "event_id", "value",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts"))
+         + (F.lit(60) + F.col("event_id") % 540) * F.lit(1000000))
+        .alias("e"))
+    order = [F.asc("s"), F.asc("event_id")]
+    prior = (Window.partitionBy("user_id").orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, -1))
+    upto = (Window.partitionBy("user_id").orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    marked = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") <= F.max("e").over(prior), 0).otherwise(1))
+    islands = marked.withColumn("island",
+                                F.sum("new_island").over(upto))
+    return (islands.groupBy("user_id",
+                            F.col("island").cast("long").alias("island"))
+            .agg(F.min("s").alias("start_us"),
+                 F.max("e").alias("end_us"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast(_DEC)).cast("double")
+                  .alias("total_value")))

@@ -4,7 +4,8 @@ token stream, and the cleaning funnel is monotone."""
 
 from __future__ import annotations
 
-from conftest import SF_SMOKE
+from conftest import SF_CHECK, SF_SMOKE
+from pyspark.sql import functions as F
 
 
 def _queries():
@@ -384,3 +385,70 @@ def test_triangle_orientation_kernels_agree_and_selector_flips(spark):
     hid = {tuple(r) for r in D._triangles_id(he).collect()}
     hdeg = {tuple(r) for r in D._triangles_deg(he).collect()}
     assert hid == hdeg and len(hid) > 0
+
+
+def test_bloom_decon_matches_exact_and_saturation_fallback(
+        spark, monkeypatch, capsys):
+    """x5_decontaminate_bloom is the exact face's relation (the bloom only
+    prefilters; false positives die in the inner join), and a saturated
+    bloom routes LOUDLY to the exact kernel instead of shipping a filter
+    that passes everything."""
+    from multiagent_form_schema_etl_spark.operators import llmprep as L
+
+    key = lambda r: (r["doc_id"],)
+    exact = sorted(L.x5_decontaminate_ngram(spark, SF_SMOKE).collect(),
+                   key=key)
+    bloom = sorted(L.x5_decontaminate_bloom(spark, SF_SMOKE).collect(),
+                   key=key)
+    assert exact == bloom and len(exact) > 0
+    # saturation guard: with a 0-key budget every corpus overflows
+    monkeypatch.setattr(L, "_BLOOM_MAX_KEYS", 0)
+    fell_back = sorted(L.x5_decontaminate_bloom(spark, SF_SMOKE).collect(),
+                       key=key)
+    assert fell_back == exact
+    assert "saturate" in capsys.readouterr().err
+
+
+def test_weighted_sample_topk_budget_and_length_bias(spark):
+    """Exactly _WS_K rows per language with contiguous ranks and distinct
+    docs; the n_chars-proportional key must bias the sample long (its
+    whole point): sampled mean length exceeds the population mean per
+    language on both pinned corpora (a deterministic draw -- the md5 key
+    is a pure function of text -- so this is a constant, not a flake)."""
+    from multiagent_form_schema_etl_spark.operators.llmprep import (
+        _WS_K, x5_weighted_sample_topk)
+
+    for sf in (SF_SMOKE, SF_CHECK):
+        rows = x5_weighted_sample_topk(spark, sf).collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append(r)
+        docs = {(r["lang"], r["doc_id"]) for r in rows}
+        assert len(docs) == len(rows)
+        pop = {r["lang"]: r["mu"] for r in
+               (spark.read.parquet(f"{sf}/documents.parquet")
+                .groupBy("lang").agg(F.avg("n_chars").alias("mu"))
+                .collect())}
+        for lang, lr in by_lang.items():
+            assert sorted(r["rnk"] for r in lr) == list(range(1, _WS_K + 1))
+            assert (sum(r["n_chars"] for r in lr) / len(lr)) > pop[lang]
+
+
+def test_interval_coalesce_islands_are_disjoint_and_conserve(spark):
+    """Merged intervals per user are strictly disjoint (coalescing left
+    no mergeable pair behind) and conserve the event count."""
+    from multiagent_form_schema_etl_spark.streaming.batch_windows import (
+        st_interval_coalesce)
+
+    rows = st_interval_coalesce(spark, SF_SMOKE).collect()
+    n_events = (spark.read.parquet(f"{SF_SMOKE}/events.parquet").count())
+    assert sum(r["n_events"] for r in rows) == n_events
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for ivs in by_user.values():
+        ivs.sort(key=lambda r: r["start_us"])
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["end_us"] < b["start_us"]  # a gap, else they'd merge
+            assert a["island"] < b["island"]
+        assert all(r["start_us"] <= r["end_us"] for r in ivs)

@@ -90,6 +90,10 @@ _BOUNDARY_EXPOSURES: dict[str, str] = {
     # adds over the full-ranking face). Built lazily from the face's own
     # scored CTE below (the module import needs sys.path set first).
     "bm25_topk_cells": None,  # filled by _install_bm25_exposure()
+    # x5_weighted_sample_topk: pre-round Efraimidis-Spirakis keys of the
+    # emitted top-25 per language plus the rank-26 inclusion cell. Built
+    # lazily from the face's own key SQL below.
+    "ws_topk_cells": None,  # filled by _install_ws_exposure()
     # pre-round centered norms of x2_grouped_center_applyinpandas (all
     # cells are emitted)
     "centered_norms": """
@@ -120,8 +124,26 @@ def _install_bm25_exposure() -> None:
           FROM scored) WHERE r <= 11"""
 
 
+def _install_ws_exposure() -> None:
+    """Derive the ws_topk_cells exposure from the weighted-sample face's
+    own key expression (un-rounded) so the audit cannot drift from the
+    registered statement; rank cut at k+1 = 26 exposes the inclusion
+    cell each language's budget boundary sits on."""
+    from multiagent_form_schema_etl_spark.operators.llmprep import (
+        _WS_K, _es_key_sql)
+    _BOUNDARY_EXPOSURES["ws_topk_cells"] = f"""
+        WITH keyed AS (
+          SELECT lang, doc_id, {_es_key_sql('duck', rounded=False)} AS x
+          FROM documents)
+        SELECT x FROM (
+          SELECT x, ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY x DESC, doc_id) AS r
+          FROM keyed) WHERE r <= {_WS_K + 1}"""
+
+
 _BOUNDARY_FACES: dict[str, str] = {
     "x4_bm25_topk": "bm25_topk_cells",
+    "x5_weighted_sample_topk": "ws_topk_cells",
     "x2_cosine_topk": "topk_cells",
     "x2_cosine_topk_gemm": "topk_cells",
     "x2_cosine_topk_bruteforce": "topk_cells",
@@ -163,6 +185,8 @@ def boundary_audit(con, faces: list[str]) -> list[str]:
     the faces whose compared cells dip below the imminent-flip bound."""
     if _BOUNDARY_EXPOSURES.get("bm25_topk_cells") is None:
         _install_bm25_exposure()
+    if _BOUNDARY_EXPOSURES.get("ws_topk_cells") is None:
+        _install_ws_exposure()
     failures: list[str] = []
     mins: dict[str, tuple[float, int]] = {}
     for exp in sorted({_BOUNDARY_FACES[f] for f in faces}):

@@ -54,10 +54,14 @@ DOC_QUERIES = [
     "x4_token_stats",
     "x4_bm25_score",
     "x4_bm25_topk",
+    "x5_decontaminate_ngram",
+    "x5_decontaminate_bloom",
+    "x5_weighted_sample_topk",
 ]
 EVENT_QUERIES = [
     "st_session_window",
     "st_max_concurrency",
+    "st_interval_coalesce",
 ]
 
 
