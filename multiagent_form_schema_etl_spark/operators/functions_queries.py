@@ -1074,3 +1074,126 @@ def x1_entity_sorted_neighborhood(spark: SparkSession,
     return (cand.withColumn("edit_dist",
                             F.levenshtein("name_a", "name_b").cast("long"))
             .filter(F.col("edit_dist") <= _QGRAM_K))
+
+
+# Fellegi-Sunter field comparison model: per-field (m, u) probabilities --
+# P(agree | same entity) and P(agree | different entities). In production
+# these are EM-estimated from the candidate set; here they are FIXED
+# literals (the estimation step is orthogonal to the scoring operator, and
+# literals keep the oracle exact: both engines sum the identical 4-dp
+# doubles in the identical expression order, so no float divergence can
+# exist). Weights are the classic log2 likelihood ratios, precomputed at
+# import time.
+_FS_MU = {
+    "brand_eq": (0.95, 0.04),
+    "type_eq": (0.90, 0.0067),
+    "size_close": (0.85, 0.02),
+    "price_close": (0.80, 0.05),
+}
+
+
+def _fs_weights() -> dict[str, tuple[float, float]]:
+    import math
+    return {f: (round(math.log2(m / u), 4),
+                round(math.log2((1.0 - m) / (1.0 - u)), 4))
+            for f, (m, u) in _FS_MU.items()}
+
+
+_FS_LINK_THR = 10.0     # total log-odds above which the pair is a link
+_FS_NONLINK_THR = 0.0   # and below which it is a non-link
+_FS_FIELDS = {  # agreement predicate per field, per engine side (a_/b_)
+    "brand_eq": "a_brand = b_brand",
+    "type_eq": "a_type = b_type",
+    "size_close": "abs(a_size - b_size) <= 1",
+    "price_close": "abs(a_price - b_price) <= 100.0",
+}
+
+
+def _fs_score_sql() -> str:
+    """The summed field-comparison score: CASE per field, fixed order."""
+    w = _fs_weights()
+    return " + ".join(
+        f"(CASE WHEN {pred} THEN {w[f][0]} ELSE {w[f][1]} END)"
+        for f, pred in sorted(_FS_FIELDS.items()))
+
+
+_FS_DECISION_SQL = f"""CASE WHEN fs_score >= {_FS_LINK_THR} THEN 'link'
+         WHEN fs_score <= {_FS_NONLINK_THR} THEN 'non_link'
+         ELSE 'possible' END"""
+
+
+@register(
+    "x1_linkage_fellegi_sunter",
+    oracle=f"""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    pairs AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             levenshtein(a.p_name, b.p_name) AS edit_dist
+      FROM names a JOIN names b ON a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= {_QGRAM_K}),
+    reps AS (
+      SELECT p.p_name, p.p_brand, p.p_type, p.p_size, p.p_retailprice
+      FROM part p
+      JOIN (SELECT p_name, MIN(p_partkey) AS pk FROM part GROUP BY p_name) r
+        ON p.p_name = r.p_name AND p.p_partkey = r.pk),
+    scored AS (
+      SELECT name_a, name_b, edit_dist,
+             {_fs_score_sql()} AS fs_score
+      FROM pairs
+      JOIN (SELECT p_name, p_brand AS a_brand, p_type AS a_type,
+                   p_size AS a_size, p_retailprice AS a_price FROM reps) ra
+        ON name_a = ra.p_name
+      JOIN (SELECT p_name, p_brand AS b_brand, p_type AS b_type,
+                   p_size AS b_size, p_retailprice AS b_price FROM reps) rb
+        ON name_b = rb.p_name)
+    SELECT name_a, name_b, edit_dist, ROUND(fs_score, 6) AS fs_score,
+           {_FS_DECISION_SQL} AS decision
+    FROM scored
+    """,
+)
+def x1_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROBABILISTIC record linkage (Fellegi & Sunter 1969): score each
+    blocked candidate pair by the summed per-field log-likelihood ratios
+    -- log2(m/u) when the field agrees, log2((1-m)/(1-u)) when it
+    disagrees -- and classify link / possible / non-link against the two
+    decision thresholds. This is the scoring layer the entity-join family
+    was missing: the q-gram join (`x1_entity_qgram_join`) finds WHICH
+    pairs are plausibly the same entity from the name alone; this face
+    decides, from four field comparisons (brand, type, size within 1,
+    retail price within 100) with calibrated evidence weights, whether
+    they ARE.
+
+    Scale shape: candidate generation reuses the q-gram count-filtered
+    join (inverted gram index, never all-pairs); record attributes attach
+    via two joins against a one-row-per-name representative projection
+    (min-partkey rep -- deterministic under name collisions); scoring is
+    a single narrow CASE expression, no shuffle beyond the attach. The
+    (m, u) table is fixed literals by design -- estimation (EM over the
+    comparison-vector frequencies) is a separate fitting step in practice,
+    and literal weights make the score a sum of identical doubles in
+    identical order on both engines: bit-exact, no boundary exposure
+    needed (the thresholds sit on values no weight sum can approach)."""
+    names = (load_table(spark, sf_dir, "part")
+             .select("p_name").distinct()
+             .select("p_name", F.length("p_name").alias("len")))
+    _grams, _cand, pairs = qgram_join_parts(names)
+    part = load_table(spark, sf_dir, "part")
+    reps = (part.groupBy("p_name").agg(F.min("p_partkey").alias("pk"))
+            .join(part, ["p_name"])
+            .filter(F.col("p_partkey") == F.col("pk")))
+    ra = reps.select(F.col("p_name").alias("name_a"),
+                     F.col("p_brand").alias("a_brand"),
+                     F.col("p_type").alias("a_type"),
+                     F.col("p_size").alias("a_size"),
+                     F.col("p_retailprice").alias("a_price"))
+    rb = reps.select(F.col("p_name").alias("name_b"),
+                     F.col("p_brand").alias("b_brand"),
+                     F.col("p_type").alias("b_type"),
+                     F.col("p_size").alias("b_size"),
+                     F.col("p_retailprice").alias("b_price"))
+    scored = (pairs.join(ra, "name_a").join(rb, "name_b")
+              .withColumn("fs_score", F.expr(_fs_score_sql())))
+    return scored.select(
+        "name_a", "name_b", "edit_dist",
+        F.round("fs_score", 6).alias("fs_score"),
+        F.expr(_FS_DECISION_SQL).alias("decision"))

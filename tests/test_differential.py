@@ -556,3 +556,41 @@ def test_sn_name_dimension_guard(spark, monkeypatch):
     monkeypatch.undo()
     # under the bound the face still runs
     assert FQ.x1_entity_sorted_neighborhood(spark, SF_SMOKE).count() > 0
+
+
+def test_fellegi_sunter_decision_classes_and_threshold_gap(spark, tmp_path):
+    """All three Fellegi-Sunter decision classes fire on records
+    constructed to land in them, and NO achievable weight sum (all 2^4
+    agreement patterns) comes within 1e-6 of either decision threshold --
+    the face's stated reason it needs no boundary-audit exposure."""
+    import itertools
+
+    from multiagent_form_schema_etl_spark.operators.functions_queries import (
+        _FS_LINK_THR, _FS_NONLINK_THR, _fs_weights,
+        x1_linkage_fellegi_sunter)
+
+    w = _fs_weights()
+    for pattern in itertools.product([0, 1], repeat=len(w)):
+        s = sum(w[f][1 - p] for f, p in zip(sorted(w), pattern))
+        assert abs(s - _FS_LINK_THR) > 1e-6
+        assert abs(s - _FS_NONLINK_THR) > 1e-6
+    rows = [
+        # near-dup record pair: 1 name edit, every field agrees -> link
+        (1, "widget alpha", "B1", "T1", 10, 500.0),
+        (2, "widget alphb", "B1", "T1", 10, 510.0),
+        # name-similar, every field disagrees -> non_link
+        (3, "gadget beta", "B1", "T1", 5, 100.0),
+        (4, "gadget betz", "B2", "T2", 20, 900.0),
+        # brand+size agree, type+price disagree -> mid log-odds: possible
+        (5, "copper rose", "B3", "T3", 7, 100.0),
+        (6, "copper rosy", "B3", "T4", 7, 900.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string,"
+              " p_type string, p_size int, p_retailprice double")
+    df.write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    got = {(r["name_a"], r["name_b"]): r["decision"]
+           for r in x1_linkage_fellegi_sunter(spark, str(tmp_path)).collect()}
+    assert got[("widget alpha", "widget alphb")] == "link"
+    assert got[("gadget beta", "gadget betz")] == "non_link"
+    assert got[("copper rose", "copper rosy")] == "possible"
