@@ -659,8 +659,11 @@ def st_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged interval's bounds and totals. Scale shape: a single user_id
     shuffle shared by both windows and the aggregate (the same
     partitioning every per-user sequence face here reuses); per-user
-    state is one running max -- the streaming twin would be an
-    applyInPandasWithState keyed on user_id."""
+    state is one running max -- and the LIVE twin is exactly that:
+    `stateful.streaming_interval_coalesce` keeps the open interval in
+    applyInPandasWithState state and is pinned row- and bit-identical to
+    this face's closed islands across micro-batch boundaries
+    (tests/test_streaming.py)."""
     ev = load_table(spark, sf_dir, "events")
     iv = ev.select(
         "user_id", "event_id", "value",

@@ -650,3 +650,81 @@ def threshold_sql_full_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = s2.sql(_THRESHOLD_RECURSIVE_SQL.format(v=name, cap=1 << 30))
     out._sg_cached_input = ev
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of streaming.batch_windows.st_interval_coalesce: per-user
+# overlapping-interval merge as an applyInPandasWithState operator. The open
+# interval (the one the next event might still extend) lives in state; an
+# interval row is emitted the moment an arriving event's start passes the
+# running max end (append semantics). Matching the batch face bit-for-bit
+# needs one care: the batch twin routes the value sum through DECIMAL(28,6)
+# -- so the kernel accumulates value in exact integer MICRO-UNITS (the cast
+# double->decimal(28,6) is a HALF_UP round to 6 dp, i.e. an integer number
+# of micro-units) and converts once at emission; float(total_micros / 1e6)
+# is the same nearest-double the decimal->double cast produces.
+
+_IC_OUT_SCHEMA = ("user_id long, island long, start_us long, end_us long,"
+                  " n_events long, total_value double")
+
+
+def _value_micros(v: float):
+    from decimal import ROUND_HALF_UP, Decimal
+    return int((Decimal(float(v)) * 1_000_000)
+               .quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def streaming_interval_coalesce(spark: SparkSession, sf_dir: str,
+                                source: DataFrame | None = None) -> DataFrame:
+    """Live interval-coalesce plan. State per user = the OPEN interval
+    (start_us, end_us, island, n_events, total_micros); within a
+    micro-batch rows process in (ts, event_id) order, so with an in-order
+    source (the same contract as streaming_threshold_batches) the emitted
+    CLOSED intervals are exactly the batch twin's islands minus each
+    user's final (still-open) one."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .structured import stream_events
+
+    def step(key, pdfs, state: GroupState):
+        uid = int(key[0])
+        cur = list(state.get) if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            s_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+                    ).to_numpy()
+            eid = pdf["event_id"].astype("int64").to_numpy()
+            e_us = s_us + (60 + eid % 540) * 1_000_000
+            vals = pdf["value"].astype("float64").to_numpy()
+            for s, e, v in zip(s_us, e_us, vals):
+                vm = _value_micros(v)
+                if cur is not None and int(s) <= cur[1]:
+                    cur[1] = max(cur[1], int(e))
+                    cur[3] += 1
+                    cur[4] += vm
+                else:
+                    if cur is not None:
+                        out.append((uid, cur[2], cur[0], cur[1], cur[3],
+                                    float(cur[4] / 1e6)))
+                        nxt = cur[2] + 1
+                    else:
+                        nxt = 1
+                    cur = [int(s), int(e), nxt, 1, vm]
+        if cur is not None:  # guard: an all-empty pdf iterator leaves none
+            state.update(tuple(cur))
+        yield pd.DataFrame(
+            out, columns=["user_id", "island", "start_us", "end_us",
+                          "n_events", "total_value"])
+
+    ev = (source if source is not None
+          else stream_events(spark, sf_dir)).select(
+        "user_id", "event_id", "ts", "value")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=_IC_OUT_SCHEMA,
+        stateStructType=("start_us long, end_us long, island long,"
+                         " n_events long, total_micros long"),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)

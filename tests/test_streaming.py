@@ -940,3 +940,53 @@ def test_streaming_semantic_decon_eval_bound_raises_before_collect(
     except ValueError as ex:
         assert "benchmark-sized bound" in str(ex)
     assert not collected, "held-out relation was collected before the bound"
+
+
+def test_streaming_interval_coalesce_state_survives_microbatches(
+        spark, tmp_path):
+    """applyInPandasWithState interval coalescing: stream the events table
+    as TWO ts-ordered files with maxFilesPerTrigger=1 (every user's open
+    interval must cross the micro-batch boundary); the emitted CLOSED
+    intervals must equal the oracle-backed batch twin's islands minus each
+    user's final (still-open) one, total_value bit-for-bit (the kernel's
+    integer micro-unit accumulation IS the batch face's DECIMAL(28,6)
+    routing)."""
+    import os
+    import shutil
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.streaming import stateful as stf
+    from multiagent_form_schema_etl_spark.streaming.batch_windows import (
+        st_interval_coalesce)
+
+    ev = (load_table(spark, SF_SMOKE, "events")
+          .select("user_id", "event_id", "ts", "value"))
+    split = ev.orderBy("ts", "event_id").collect()[ev.count() // 2]
+    first_half = ((F.col("ts") < split["ts"]) |
+                  ((F.col("ts") == split["ts"]) &
+                   (F.col("event_id") <= split["event_id"])))
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (name, part) in enumerate(
+            [("a.parquet", ev.filter(first_half)),
+             ("b.parquet", ev.filter(~first_half))]):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        [pf] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.copy(stage / pf, src / name)
+        os.utime(src / name, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (spark.readStream
+           .schema("user_id long, event_id long, ts timestamp, value double")
+           .format("parquet").option("maxFilesPerTrigger", "1")
+           .load(str(src)))
+    st.run_append_to_memory(
+        stf.streaming_interval_coalesce(spark, SF_SMOKE, source=raw),
+        "t_icoalesce")
+    got = _rows(spark.sql("SELECT * FROM t_icoalesce"))
+    batch = st_interval_coalesce(spark, SF_SMOKE)
+    last = batch.groupBy("user_id").agg(F.max("island").alias("last_island"))
+    want = _rows(batch.join(last, "user_id")
+                 .filter(F.col("island") < F.col("last_island"))
+                 .drop("last_island"))
+    assert got == want and len(got) > 0
