@@ -184,12 +184,17 @@ def x5_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("train_df").cast("long").alias("n_train_hits")))
 
 
-_BLOOM_M = 1 << 20    # bloom bits (128 KiB packed); FIXED, not corpus-sized
-_BLOOM_K = 3          # hash probes per gram
-# Beyond this many held-out grams the bloom saturates (k*n > m/2 => per-bit
-# load > 0.5, FP rate > ~12% and climbing) and prefiltering stops paying:
-# fall back LOUDLY to the exact kernel instead of shipping a useless filter.
-_BLOOM_MAX_KEYS = _BLOOM_M // (2 * _BLOOM_K)
+_BLOOM_M_MIN = 1 << 20       # bloom bits floor (128 KiB packed)
+_BLOOM_M_MAX = 1 << 27       # bloom bits cap (16 MiB packed, 2M longs --
+#                              comfortably broadcastable; beyond it, the
+#                              "eval side" is no longer eval-sized)
+_BLOOM_K = 3                 # hash probes per gram
+_BLOOM_BITS_PER_KEY = 16     # m sizing: per-bit load k/16 => FP ~0.5%
+# Past this many held-out grams even the capped m saturates: prefiltering
+# stops paying -- fall back LOUDLY to the exact tail (which reuses the
+# already-persisted held-out relation, so the fallback costs one wasted
+# count, not a recompute).
+_BLOOM_MAX_KEYS = _BLOOM_M_MAX // _BLOOM_BITS_PER_KEY
 
 
 @register("x5_decontaminate_bloom", oracle=_DECON_ORACLE)
@@ -207,15 +212,20 @@ def x5_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engineering shape, all JVM (no UDF):
     - bits: the {_BLOOM_K} xxhash64 probe positions of each held-out gram,
-      packed into <= {_BLOOM_M}/64 = 16,384 (word, bits) longs via
-      ``bit_or`` -- bounded by the CONSTANT m, never the corpus, so the
-      raw broadcast hint is safe by construction.
+      packed into (word, bits) longs via ``bit_or``. m is auto-sized to
+      {_BLOOM_BITS_PER_KEY} bits per MEASURED held-out gram (the count is
+      an action on the eval side only -- the `_SEMDECON_EVAL_MAX`
+      precedent), floor 2^20, cap 2^27 (16 MiB packed, <= 2M longs) -- so
+      the broadcast is bounded by the CAP, never the corpus, and the raw
+      hint is safe by construction. Calibration: the 10x/30x probe of the
+      first FIXED-m cut saturated on the replicated corpus (held-out
+      grows with it there) and measured the fallback at 2.6x exact --
+      auto-sizing keeps the per-bit load at k/{_BLOOM_BITS_PER_KEY}
+      regardless (FP ~0.5%).
     - membership: {_BLOOM_K} successive broadcast-hash joins on the bit
       word, each followed by a bitmask filter -- map-side only, no
       exchange, and a gram whose word holds no set bit exits at the join
-      itself. A surviving (doc, gram) either truly collides or is one of
-      the ~(k*n/m)^k false positives (~0.3% at the saturation guard, ~2%
-      at sf0.1's ~1e5 held-out grams).
+      itself.
     - the exact tail: distinct + df-count + HAVING <= {_DECON_MAX_DF} +
       inner join against the held-out grams runs UNCHANGED on the
       survivors. False positives die in that inner join; per-gram train_df
@@ -223,42 +233,49 @@ def x5_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
       so a gram keeps all of its (doc, gram) rows or none. Output is
       therefore exactly the exact face's relation.
 
-    Guard: if the held-out gram count exceeds _BLOOM_MAX_KEYS the filter
-    is saturated -- print a loud notice and return the exact kernel (the
-    `_jaccard_auto_choice` loud-fallback idiom). The count is an action on
-    the eval-bounded side only (the `_SEMDECON_EVAL_MAX` precedent)."""
+    Guard: past _BLOOM_MAX_KEYS held-out grams even the capped m is
+    saturated -- print a loud notice (the `_jaccard_auto_choice`
+    loud-fallback idiom) and run the SAME exact tail with no prefilter,
+    reusing the persisted held-out relation, so the detour costs one
+    wasted count rather than a recompute of the exact face."""
     rows = _decon_gram_rows(spark, sf_dir)
     held = track_persist(
         rows.filter(F.col("heldout")).select("doc_id", "gram").distinct())
     held_grams = held.select("gram").distinct()
     n_held = held_grams.count()
+    cand = rows.filter(~F.col("heldout")).select("doc_id", "gram")
     if n_held > _BLOOM_MAX_KEYS:
         import sys
         print(
-            f"x5_decontaminate_bloom: {n_held} held-out grams saturate the "
-            f"m={_BLOOM_M} bloom (guard {_BLOOM_MAX_KEYS}) -- prefiltering "
-            "would pass most shingles; routing to the exact kernel.",
-            file=sys.stderr)
-        return x5_decontaminate_ngram(spark, sf_dir)
-    probes = [F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(_BLOOM_M))
-              for i in range(_BLOOM_K)]
-    bits = (held_grams.select(F.explode(F.array(*probes)).alias("pos"))
-            .distinct()
-            .select(F.expr("pos DIV 64").alias("_w"),
-                    F.expr("shiftleft(CAST(1 AS BIGINT),"
-                           " CAST(pos % 64 AS INT))").alias("mask"))
-            .groupBy("_w").agg(F.expr("bit_or(mask)").alias("_bits")))
-    bw = bits  # constant-bounded (<= m/64 rows): raw hint is correct
-    cand = rows.filter(~F.col("heldout")).select("doc_id", "gram")
-    for i in range(_BLOOM_K):
-        cand = (cand.withColumn("_pos", F.pmod(F.xxhash64("gram", F.lit(i)),
-                                               F.lit(_BLOOM_M)))
-                .withColumn("_w", F.expr("_pos DIV 64"))
-                .withColumn("_m", F.expr("shiftleft(CAST(1 AS BIGINT),"
-                                         " CAST(_pos % 64 AS INT))"))
-                .join(F.broadcast(bw), "_w")
-                .filter(F.col("_bits").bitwiseAND(F.col("_m")) != 0)
-                .drop("_pos", "_w", "_m", "_bits"))
+            f"x5_decontaminate_bloom: {n_held} held-out grams saturate even "
+            f"the m={_BLOOM_M_MAX} cap (guard {_BLOOM_MAX_KEYS}) -- "
+            "prefiltering would pass most shingles; running the exact tail "
+            "unfiltered (the persisted held-out relation is reused, so the "
+            "detour costs one count, not a recompute).", file=sys.stderr)
+    else:
+        # size m to the measured key count: per-bit load k/16, FP ~0.5%
+        m = _BLOOM_M_MIN
+        while m < _BLOOM_BITS_PER_KEY * n_held:
+            m <<= 1
+        probes = [F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m))
+                  for i in range(_BLOOM_K)]
+        bits = (held_grams.select(F.explode(F.array(*probes)).alias("pos"))
+                .distinct()
+                .select(F.expr("pos DIV 64").alias("_w"),
+                        F.expr("shiftleft(CAST(1 AS BIGINT),"
+                               " CAST(pos % 64 AS INT))").alias("mask"))
+                .groupBy("_w").agg(F.expr("bit_or(mask)").alias("_bits")))
+        bw = bits  # cap-bounded (<= _BLOOM_M_MAX/64 rows): raw hint is safe
+        for i in range(_BLOOM_K):
+            cand = (cand.withColumn("_pos",
+                                    F.pmod(F.xxhash64("gram", F.lit(i)),
+                                           F.lit(m)))
+                    .withColumn("_w", F.expr("_pos DIV 64"))
+                    .withColumn("_m", F.expr("shiftleft(CAST(1 AS BIGINT),"
+                                             " CAST(_pos % 64 AS INT))"))
+                    .join(F.broadcast(bw), "_w")
+                    .filter(F.col("_bits").bitwiseAND(F.col("_m")) != 0)
+                    .drop("_pos", "_w", "_m", "_bits"))
     train_grams = (cand.distinct()
                    .groupBy("gram")
                    .agg(F.count(F.lit(1)).alias("train_df"))
