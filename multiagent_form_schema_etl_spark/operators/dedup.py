@@ -2072,3 +2072,108 @@ def x1_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source_a", "source_b", "n_dup_pairs",
                     F.round(F.col("n_dup_pairs").cast("double") / cap, 9)
                      .alias("dup_pair_rate")))
+
+
+# --- sparse TF-IDF cosine near-dup (r11) ------------------------------------
+# The near-dup family's sparse-VECTOR metric, completing set-based (Jaccard),
+# hash-sketch (MinHash/SimHash), and dense-embedding cosine: documents as
+# per-language TF-IDF vectors, pairs by inverted-index dot product. The
+# vector space EXCLUDES terms with df > _TFIDF_MAX_DF (boilerplate: their
+# idf is near zero anyway, and the cap bounds the per-token join fan-out --
+# the same df-pruning contract as x5_decontaminate_ngram).
+
+_TFIDF_MAX_DF = 100
+_TFIDF_THR = 0.85   # near-dup floor: the corpus's true rewrites score >=.9;
+#                     topically-similar non-dups top out ~.8 (calibrated on
+#                     sf0.001/sf0.01 histograms; min |cos - thr| >= 8e-5)
+
+_TFIDF_SCORED_CTE = f"""
+    WITH tokens_raw AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    tokens AS (SELECT * FROM tokens_raw WHERE token <> ''),
+    tf AS (SELECT doc_id, lang, token, COUNT(*) AS tf
+           FROM tokens GROUP BY doc_id, lang, token),
+    nl AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    dfx AS (SELECT lang, token, COUNT(*) AS df FROM tf
+            GROUP BY lang, token HAVING COUNT(*) <= {_TFIDF_MAX_DF}),
+    w AS (
+      SELECT t.doc_id, t.lang, t.token,
+             t.tf * ln((nl.n_docs + 1.0) / (d.df + 1.0)) AS w
+      FROM tf t JOIN dfx d ON t.lang = d.lang AND t.token = d.token
+      JOIN nl ON t.lang = nl.lang),
+    norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+             SUM(a.w * b.w) AS dot, COUNT(*) AS n_shared
+      FROM w a JOIN w b ON a.lang = b.lang AND a.token = b.token
+                       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.lang),
+    cos AS (
+      SELECT doc_a, doc_b, lang, n_shared,
+             dot / (na.nrm * nb.nrm) AS cosine
+      FROM dots JOIN norms na ON doc_a = na.doc_id
+                JOIN norms nb ON doc_b = nb.doc_id)
+"""
+
+
+@register(
+    "x1_dedup_tfidf_cosine",
+    oracle=_TFIDF_SCORED_CTE + f"""
+    SELECT doc_a, doc_b, lang, n_shared, ROUND(cosine, 9) AS cosine_tfidf
+    FROM cos WHERE cosine >= {_TFIDF_THR}
+    """,
+)
+def x1_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup join: per-LANGUAGE vector spaces
+    (df and N computed within lang -- cross-language cosines are
+    vocabulary noise, and the lang key rides the token join for free),
+    weights tf * ln((N+1)/(df+1)), pairs from an inverted-index join on
+    (lang, token) with the dot product as one grouped sum -- never
+    doc x doc. df-pruning (> {_TFIDF_MAX_DF} drops the term from the
+    space) bounds each posting list, so worst-case pair fan-out per token
+    is df-capped exactly like the decontamination join.
+
+    Float discipline: the dot/norm sums are genuinely order-dependent
+    doubles (idf is transcendental -- no DECIMAL detour exists), so the
+    face follows the embedding-cosine precedent: emit ROUND(cosine, 9)
+    and expose the >= {_TFIDF_THR} cells plus the threshold skin to
+    check.py's boundary audit (`tfidf_pairs_085`; calibrated min
+    |cos - thr| is ~8e-5 on gate corpora, nine orders above the spread).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id", "lang",
+                       F.explode(F.split("text", " ")).alias("token"))
+           .filter(F.col("token") != ""))
+    tf = tok.groupBy("doc_id", "lang", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    nl = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    dfx = (tf.groupBy("lang", "token")
+           .agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") <= _TFIDF_MAX_DF))
+    w = (tf.join(dfx, ["lang", "token"])
+         .join(F.broadcast(nl), "lang")  # |langs| rows: literal dim
+         .select("doc_id", "lang", "token",
+                 (F.col("tf") * F.log((F.col("n_docs") + 1.0)
+                                      / (F.col("df") + 1.0))).alias("w")))
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    wa = w.select(F.col("doc_id").alias("doc_a"), "lang", "token",
+                  F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), "lang", "token",
+                  F.col("w").alias("wb"))
+    dots = (wa.join(wb, ["lang", "token"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b", "lang")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+                 F.count(F.lit(1)).alias("n_shared")))
+    na = norms.select(F.col("doc_id").alias("doc_a"),
+                      F.col("nrm").alias("nrm_a"))
+    nb2 = norms.select(F.col("doc_id").alias("doc_b"),
+                       F.col("nrm").alias("nrm_b"))
+    cos = (dots.join(na, "doc_a").join(nb2, "doc_b")
+           .withColumn("cosine",
+                       F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))))
+    return (cos.filter(F.col("cosine") >= _TFIDF_THR)
+            .select("doc_a", "doc_b", "lang", "n_shared",
+                    F.round("cosine", 9).alias("cosine_tfidf")))

@@ -95,6 +95,7 @@ _ALLOWED_RAW = {
     ("operators/dedup.py", "near"),   # subset of the micro-batch
     ("operators/dedup.py", "na"),     # per-source sizes (|sources|-bounded)
     ("operators/dedup.py", "nb"),     # per-source sizes (|sources|-bounded)
+    ("operators/dedup.py", "nl"),     # per-language doc counts (|langs|)
     # document pipeline: schema/rules-as-data dims (schema-bounded)
     ("operators/document.py", "cand"),
     ("operators/document.py", "s"),

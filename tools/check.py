@@ -94,6 +94,10 @@ _BOUNDARY_EXPOSURES: dict[str, str] = {
     # emitted top-25 per language plus the rank-26 inclusion cell. Built
     # lazily from the face's own key SQL below.
     "ws_topk_cells": None,  # filled by _install_ws_exposure()
+    # x1_dedup_tfidf_cosine: pre-round cosines of the emitted >= 0.85
+    # pairs plus the threshold skin. Built lazily from the face's own
+    # scored CTE below.
+    "tfidf_pairs_085": None,  # filled by _install_tfidf_exposure()
     # pre-round centered norms of x2_grouped_center_applyinpandas (all
     # cells are emitted)
     "centered_norms": """
@@ -141,9 +145,19 @@ def _install_ws_exposure() -> None:
           FROM keyed) WHERE r <= {_WS_K + 1}"""
 
 
+def _install_tfidf_exposure() -> None:
+    """Derive tfidf_pairs_085 from the face's own scored CTE (the emitted
+    cells plus the membership skin -- the emb_pairs_045 shape)."""
+    from multiagent_form_schema_etl_spark.operators.dedup import (
+        _TFIDF_SCORED_CTE, _TFIDF_THR)
+    _BOUNDARY_EXPOSURES["tfidf_pairs_085"] = _TFIDF_SCORED_CTE + f"""
+        SELECT cosine AS x FROM cos WHERE cosine >= {_TFIDF_THR} - 2e-9"""
+
+
 _BOUNDARY_FACES: dict[str, str] = {
     "x4_bm25_topk": "bm25_topk_cells",
     "x5_weighted_sample_topk": "ws_topk_cells",
+    "x1_dedup_tfidf_cosine": "tfidf_pairs_085",
     "x2_cosine_topk": "topk_cells",
     "x2_cosine_topk_gemm": "topk_cells",
     "x2_cosine_topk_bruteforce": "topk_cells",
@@ -187,6 +201,8 @@ def boundary_audit(con, faces: list[str]) -> list[str]:
         _install_bm25_exposure()
     if _BOUNDARY_EXPOSURES.get("ws_topk_cells") is None:
         _install_ws_exposure()
+    if _BOUNDARY_EXPOSURES.get("tfidf_pairs_085") is None:
+        _install_tfidf_exposure()
     failures: list[str] = []
     mins: dict[str, tuple[float, int]] = {}
     for exp in sorted({_BOUNDARY_FACES[f] for f in faces}):

@@ -57,6 +57,7 @@ DOC_QUERIES = [
     "x5_decontaminate_ngram",
     "x5_decontaminate_bloom",
     "x5_weighted_sample_topk",
+    "x1_dedup_tfidf_cosine",
 ]
 EVENT_QUERIES = [
     "st_session_window",
