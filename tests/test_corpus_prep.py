@@ -452,3 +452,35 @@ def test_interval_coalesce_islands_are_disjoint_and_conserve(spark):
             assert a["end_us"] < b["start_us"]  # a gap, else they'd merge
             assert a["island"] < b["island"]
         assert all(r["start_us"] <= r["end_us"] for r in ivs)
+
+
+def test_adamic_adar_matches_python_reference(spark):
+    """x1_graph_adamic_adar vs an independent pure-Python computation on
+    the same near-dup graph (taken from the oracle-backed jaccard face):
+    emitted pairs are exactly the open wedges, n_common exact, AA within
+    float sum-order tolerance; and no emitted pair is an existing edge."""
+    import math
+
+    from multiagent_form_schema_etl_spark.operators.dedup import (
+        x1_dedup_jaccard_ngram, x1_graph_adamic_adar)
+
+    edges = {(min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+             for r in x1_dedup_jaccard_ngram(spark, SF_SMOKE).collect()}
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {}
+    for z, nz in nbrs.items():
+        for a in nz:
+            for b in nz:
+                if a < b and (a, b) not in edges:
+                    n, s = want.get((a, b), (0, 0.0))
+                    want[(a, b)] = (n + 1, s + 1.0 / math.log(len(nz)))
+    got = {(r["doc_a"], r["doc_b"]): (r["n_common"], r["aa_score"])
+           for r in x1_graph_adamic_adar(spark, SF_SMOKE).collect()}
+    assert set(got) == set(want) and len(got) > 0
+    assert not (set(got) & edges)
+    for k, (n, s) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - s) < 2e-9

@@ -98,6 +98,10 @@ _BOUNDARY_EXPOSURES: dict[str, str] = {
     # pairs plus the threshold skin. Built lazily from the face's own
     # scored CTE below.
     "tfidf_pairs_085": None,  # filled by _install_tfidf_exposure()
+    # x1_graph_adamic_adar: pre-round AA sums of every emitted cell
+    # (no threshold -- all open wedges are emitted). Built lazily from
+    # the face's own scored CTE below.
+    "aa_cells": None,  # filled by _install_aa_exposure()
     # pre-round centered norms of x2_grouped_center_applyinpandas (all
     # cells are emitted)
     "centered_norms": """
@@ -154,10 +158,20 @@ def _install_tfidf_exposure() -> None:
         SELECT cosine AS x FROM cos WHERE cosine >= {_TFIDF_THR} - 2e-9"""
 
 
+def _install_aa_exposure() -> None:
+    """Derive aa_cells from the Adamic-Adar face's own scored CTE (every
+    cell is emitted -- no threshold, so the exposure is the output)."""
+    from multiagent_form_schema_etl_spark.operators.dedup import (
+        _AA_SCORED_CTE)
+    _BOUNDARY_EXPOSURES["aa_cells"] = _AA_SCORED_CTE + """
+        SELECT aa AS x FROM scored"""
+
+
 _BOUNDARY_FACES: dict[str, str] = {
     "x4_bm25_topk": "bm25_topk_cells",
     "x5_weighted_sample_topk": "ws_topk_cells",
     "x1_dedup_tfidf_cosine": "tfidf_pairs_085",
+    "x1_graph_adamic_adar": "aa_cells",
     "x2_cosine_topk": "topk_cells",
     "x2_cosine_topk_gemm": "topk_cells",
     "x2_cosine_topk_bruteforce": "topk_cells",
@@ -203,6 +217,8 @@ def boundary_audit(con, faces: list[str]) -> list[str]:
         _install_ws_exposure()
     if _BOUNDARY_EXPOSURES.get("tfidf_pairs_085") is None:
         _install_tfidf_exposure()
+    if _BOUNDARY_EXPOSURES.get("aa_cells") is None:
+        _install_aa_exposure()
     failures: list[str] = []
     mins: dict[str, tuple[float, int]] = {}
     for exp in sorted({_BOUNDARY_FACES[f] for f in faces}):
