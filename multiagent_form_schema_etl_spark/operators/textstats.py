@@ -905,3 +905,95 @@ def x4_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.row_number().over(w).cast("long"))
             .filter(F.col("rnk") <= _BM25_TOPK)
             .select("query_id", "doc_id", "bm25", "n_terms_hit", "rnk"))
+
+
+# --- unigram-LM cross-entropy quality scoring (r11) --------------------------
+# Perplexity-style quality filtering (the CCNet/CC-pipeline stage): score
+# each HELD-OUT document by the per-token cross-entropy of a per-language
+# add-one-smoothed unigram model fit on the TRAIN split (the same md5
+# bucket split every split-aware face uses). High cross-entropy = the doc's
+# vocabulary is unlike the training distribution (noise, wrong language,
+# boilerplate soup) -- the standard cheap LM proxy used to filter corpora
+# before the expensive model-based scorers.
+
+
+def _ppl_oracle() -> str:
+    from .dedup import _md5_int_sql
+    h = _md5_int_sql("text", "duck")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {h} % 100 >= 80 AS heldout,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    tok AS (SELECT * FROM toks WHERE token <> ''),
+    tf AS (SELECT doc_id, lang, heldout, token, COUNT(*) AS tf
+           FROM tok GROUP BY doc_id, lang, heldout, token),
+    model AS (SELECT lang, token, SUM(tf) AS c
+              FROM tf WHERE NOT heldout GROUP BY lang, token),
+    stats AS (SELECT lang, SUM(c) AS n, COUNT(*) AS v FROM model
+              GROUP BY lang),
+    scored AS (
+      SELECT t.doc_id, t.lang,
+             SUM(t.tf) AS n_tokens,
+             SUM(CASE WHEN m.c IS NULL THEN t.tf ELSE 0 END) AS n_oov,
+             -SUM(t.tf * ln((COALESCE(m.c, 0) + 1.0) / (s.n + s.v + 1.0)))
+               / SUM(t.tf) AS ce
+      FROM tf t
+      LEFT JOIN model m ON t.lang = m.lang AND t.token = m.token
+      JOIN stats s ON t.lang = s.lang
+      WHERE t.heldout
+      GROUP BY t.doc_id, t.lang)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           ROUND(ce, 9) AS cross_entropy
+    FROM scored
+    """
+
+
+@register("x4_perplexity_unigram", oracle=_ppl_oracle())
+def x4_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy of each held-out doc under the train-split
+    language model: p(t) = (c(t)+1) / (N+V+1) with add-one smoothing and
+    a single OOV type (unseen tokens get 1/(N+V+1)); the emitted score is
+    -sum(tf * ln p) / sum(tf) -- per-token nats, monotone in perplexity.
+
+    Scale shape: the model is the per-language TRAIN term-frequency
+    relation -- VOCABULARY-sized, so it is NOT broadcast (the BM25 df
+    lesson): the attach is a plain equi-join on (lang, token) where the
+    held-out tf side is eval-bounded, and the per-language (N, V) stats
+    relation is |langs| rows. One tokenize pass feeds both the model and
+    the scoring side.
+
+    Float discipline: each summand is tf * ln of a rational of INTEGER
+    counts -- identical operands on both engines; only sum order differs,
+    so the face emits ROUND(ce, 9) with every cell exposed to the
+    boundary audit (`ppl_cells`)."""
+    from .dedup import _md5_int_sql
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select(
+        "doc_id", "lang",
+        (F.expr(_md5_int_sql("text", "spark")) % 100 >= 80).alias("heldout"),
+        F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != ""))
+    tf = tok.groupBy("doc_id", "lang", "heldout", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    model = (tf.filter(~F.col("heldout"))
+             .groupBy("lang", "token").agg(F.sum("tf").alias("c")))
+    stats = model.groupBy("lang").agg(F.sum("c").alias("n"),
+                                      F.count(F.lit(1)).alias("v"))
+    held = tf.filter(F.col("heldout")).drop("heldout")
+    scored = (held
+              .join(model, ["lang", "token"], "left")
+              .join(stats, "lang")
+              .groupBy("doc_id", "lang")
+              .agg(F.sum("tf").alias("n_tokens"),
+                   F.sum(F.when(F.col("c").isNull(), F.col("tf"))
+                          .otherwise(0)).alias("n_oov"),
+                   (-F.sum(F.col("tf")
+                           * F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                                   / (F.col("n") + F.col("v") + 1.0)))
+                    / F.sum("tf")).alias("ce")))
+    return scored.select("doc_id", "lang",
+                         F.col("n_tokens").cast("long").alias("n_tokens"),
+                         F.col("n_oov").cast("long").alias("n_oov"),
+                         F.round("ce", 9).alias("cross_entropy"))

@@ -484,3 +484,39 @@ def test_adamic_adar_matches_python_reference(spark):
     for k, (n, s) in want.items():
         assert got[k][0] == n
         assert abs(got[k][1] - s) < 2e-9
+
+
+def test_perplexity_unigram_oov_scores_higher(spark, tmp_path):
+    """Cross-entropy under the train unigram model must rank a pure-OOV
+    gibberish doc strictly above an in-vocabulary doc (the property the
+    perplexity filter exists for). Texts are pre-searched so md5-bucket
+    split membership lands as needed (train < 80, both probes >= 80) --
+    the assignment is content-derived, so this is deterministic."""
+    from multiagent_form_schema_etl_spark.operators.textstats import (
+        x4_perplexity_unigram)
+
+    train = [
+        "eta eta alpha theta epsilon delta beta zeta alpha alpha alpha alpha",
+        "eta delta eta alpha delta theta theta delta zeta delta delta theta",
+        "epsilon alpha eta beta gamma epsilon beta zeta eta delta epsilon"
+        " epsilon",
+        "theta eta alpha theta delta eta eta gamma zeta zeta beta theta",
+        "beta gamma eta zeta theta alpha theta alpha epsilon eta gamma gamma",
+        "delta eta alpha theta zeta delta eta theta zeta eta zeta alpha",
+    ]
+    held_norm = ("gamma beta epsilon beta theta theta theta eta delta beta"
+                 " theta alpha")
+    held_junk = "zzq5 zzq6 zzq7 zzq8 zzq9 zzq10 zzq11 zzq12 zzq13 zzq14" \
+                " zzq15 zzq16"
+    rows = [(i, t, "en", "s", len(t))
+            for i, t in enumerate(train + [held_norm, held_junk])]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in
+           x4_perplexity_unigram(spark, str(tmp_path)).collect()}
+    assert set(got) == {6, 7}  # exactly the two probes are held out
+    assert got[7]["n_oov"] == got[7]["n_tokens"]  # junk: all OOV
+    assert got[6]["n_oov"] == 0
+    assert got[7]["cross_entropy"] > got[6]["cross_entropy"] + 1.0

@@ -102,6 +102,9 @@ _BOUNDARY_EXPOSURES: dict[str, str] = {
     # (no threshold -- all open wedges are emitted). Built lazily from
     # the face's own scored CTE below.
     "aa_cells": None,  # filled by _install_aa_exposure()
+    # x4_perplexity_unigram: pre-round cross-entropies of every emitted
+    # held-out doc. Built lazily from the face's own oracle below.
+    "ppl_cells": None,  # filled by _install_ppl_exposure()
     # pre-round centered norms of x2_grouped_center_applyinpandas (all
     # cells are emitted)
     "centered_norms": """
@@ -167,11 +170,23 @@ def _install_aa_exposure() -> None:
         SELECT aa AS x FROM scored"""
 
 
+def _install_ppl_exposure() -> None:
+    """Derive ppl_cells from the perplexity face's own oracle by swapping
+    its final projection for the single un-rounded ce column (every
+    held-out doc's cross-entropy is an emitted cell)."""
+    from multiagent_form_schema_etl_spark.operators.textstats import (
+        _ppl_oracle)
+    head, sep, _ = _ppl_oracle().rpartition("SELECT doc_id, lang,")
+    assert sep, "perplexity oracle shape changed"
+    _BOUNDARY_EXPOSURES["ppl_cells"] = head + "SELECT ce AS x FROM scored"
+
+
 _BOUNDARY_FACES: dict[str, str] = {
     "x4_bm25_topk": "bm25_topk_cells",
     "x5_weighted_sample_topk": "ws_topk_cells",
     "x1_dedup_tfidf_cosine": "tfidf_pairs_085",
     "x1_graph_adamic_adar": "aa_cells",
+    "x4_perplexity_unigram": "ppl_cells",
     "x2_cosine_topk": "topk_cells",
     "x2_cosine_topk_gemm": "topk_cells",
     "x2_cosine_topk_bruteforce": "topk_cells",
@@ -219,6 +234,8 @@ def boundary_audit(con, faces: list[str]) -> list[str]:
         _install_tfidf_exposure()
     if _BOUNDARY_EXPOSURES.get("aa_cells") is None:
         _install_aa_exposure()
+    if _BOUNDARY_EXPOSURES.get("ppl_cells") is None:
+        _install_ppl_exposure()
     failures: list[str] = []
     mins: dict[str, tuple[float, int]] = {}
     for exp in sorted({_BOUNDARY_FACES[f] for f in faces}):

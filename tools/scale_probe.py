@@ -59,6 +59,7 @@ DOC_QUERIES = [
     "x5_weighted_sample_topk",
     "x1_dedup_tfidf_cosine",
     "x1_graph_adamic_adar",
+    "x4_perplexity_unigram",
 ]
 EVENT_QUERIES = [
     "st_session_window",
