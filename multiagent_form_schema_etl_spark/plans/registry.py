@@ -214,15 +214,15 @@ PRIORITY: tuple[str, ...] = (
     "sql_scalar_subquery",
     # -- next-stalest cohorts: r2 (3), r3 (3), r5 (3) --
     "st_sliding_window", "x4_doc_fingerprint", "x5_chunk_overlap",
-    "x4_lang_id_char_ngram", "x4_quality_score",
     # -- mid-r11 additions (never driver-checked -> window immediately,
     #    displacing the stalest refresh fillers -- three r6, three r5,
-    #    one r3 -- which stay covered by check.py sweeps and re-enter by
-    #    staleness next round)
+    #    three r3 -- which stay covered by check.py sweeps and re-enter
+    #    by staleness next round)
     "x5_decontaminate_bloom", "x5_weighted_sample_topk",
     "st_interval_coalesce", "x1_linkage_fellegi_sunter",
     "x1_dedup_tfidf_cosine", "x1_graph_adamic_adar",
-    "x4_perplexity_unigram",
+    "x4_perplexity_unigram", "st_attribution_last_touch",
+    "st_rfm_segmentation",
 )
 
 

@@ -133,6 +133,7 @@ _ALLOWED_RAW = {
     # streaming: bounded aggregates / one micro-batch / caller-contract dim
     ("streaming/batch_windows.py", "stats"),   # per-event_type agg
     ("streaming/batch_windows.py", "totals"),  # per-window agg
+    ("streaming/batch_windows.py", "anchor"),  # 1-row max-ts aggregate
     ("streaming/doc_stream.py", "batch_docs"),  # one micro-batch
     ("streaming/structured.py", "dim"),  # upsert helper: dim by contract
 }

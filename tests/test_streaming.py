@@ -990,3 +990,44 @@ def test_streaming_interval_coalesce_state_survives_microbatches(
                  .filter(F.col("island") < F.col("last_island"))
                  .drop("last_island"))
     assert got == want and len(got) > 0
+
+
+def test_rfm_guard_and_attribution_invariants(spark, monkeypatch):
+    """RFM: the user-dimension guard raises past the bound (so the
+    unpartitioned-ntile allowlist entry rides enforcement); quartile
+    labels partition users into equal-fill ntile groups. Attribution:
+    every purchase appears exactly once, a credited touch precedes its
+    purchase within the 24 h window, and 'organic' rows carry no touch."""
+    import pytest
+
+    from multiagent_form_schema_etl_spark.streaming import batch_windows as bw
+
+    rfm = bw.st_rfm_segmentation(spark, SF_SMOKE).collect()
+    n_users = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+               .select("user_id").distinct().count())
+    assert len(rfm) == n_users
+    for col in ("r", "f", "m"):
+        counts = sorted(
+            sum(1 for x in rfm if x[col] == q) for q in (1, 2, 3, 4))
+        assert counts[-1] - counts[0] <= 1  # ntile equal fill
+    monkeypatch.setattr(bw, "_RFM_USER_DIM_MAX", 1)
+    with pytest.raises(ValueError, match="user dimension"):
+        bw.st_rfm_segmentation(spark, SF_SMOKE)
+
+    attr = bw.st_attribution_last_touch(spark, SF_SMOKE).collect()
+    ev = {r["event_id"]: r for r in
+          (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+           .withColumn("ts_us",
+                       F.unix_micros(F.col("ts").cast("timestamp")))
+           .collect())}
+    purchases = [e for e in ev.values() if e["event_type"] == "purchase"]
+    assert len(attr) == len(purchases)
+    for a in attr:
+        if a["touch_type"] == "organic":
+            assert a["touch_id"] is None and a["us_since_touch"] is None
+        else:
+            t = ev[a["touch_id"]]
+            assert t["event_type"] in ("click", "view")
+            assert t["user_id"] == a["user_id"]
+            assert 0 <= a["us_since_touch"] <= bw._ATTR_WINDOW_US
+            assert a["purchase_us"] - t["ts_us"] == a["us_since_touch"]

@@ -295,6 +295,11 @@ _UNPART_WINDOW_ALLOW: frozenset[str] = frozenset({
     # tests/test_differential.py::test_sn_name_dimension_guard), so this
     # allowlist entry rides a guard, not just a docstring claim
     "x1_entity_sorted_neighborhood",
+    # r11: RFM quartile assignment -- three ntile windows over the USER
+    # dimension (one row per user, 150 at sf0.01), never the event fact
+    # relation; enforced in the face with an eager count that raises past
+    # _RFM_USER_DIM_MAX = 5M (the SN guard idiom)
+    "st_rfm_segmentation",
 })
 
 
