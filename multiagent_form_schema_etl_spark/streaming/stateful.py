@@ -728,3 +728,66 @@ def streaming_interval_coalesce(spark: SparkSession, sf_dir: str,
                          " n_events long, total_micros long"),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of streaming.batch_windows.st_attribution_last_touch: the
+# carried state per user is exactly the three columns the batch face's
+# carry-forward window computes -- (ts, id, type) of the most recent touch.
+# Purchases emit immediately with their attribution (append semantics);
+# touches only update state.
+
+_ATTR_OUT_SCHEMA = ("user_id long, purchase_id long, purchase_us long,"
+                    " touch_id long, touch_type string, us_since_touch long")
+
+
+def streaming_attribution_last_touch(
+        spark: SparkSession, sf_dir: str,
+        source: DataFrame | None = None) -> DataFrame:
+    """Live last-touch attribution. With an in-order source (the standing
+    contract of every stateful twin here) the emitted rows are identical
+    to the batch face's output: the state IS the batch window's carried
+    (touch_us, touch_id, touch_type) triple, and the 24 h freshness test
+    runs at emission exactly as the batch CASE does."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .batch_windows import _ATTR_WINDOW_US
+    from .structured import stream_events
+
+    def step(key, pdfs, state: GroupState):
+        uid = int(key[0])
+        touch = list(state.get) if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+                     ).to_numpy()
+            for t_us, eid, etype in zip(
+                    ts_us, pdf["event_id"].astype("int64").to_numpy(),
+                    pdf["event_type"]):
+                if etype == "purchase":
+                    fresh = (touch is not None
+                             and int(t_us) - touch[0] <= _ATTR_WINDOW_US)
+                    out.append((
+                        uid, int(eid), int(t_us),
+                        touch[1] if fresh else None,
+                        touch[2] if fresh else "organic",
+                        int(t_us) - touch[0] if fresh else None))
+                elif etype in ("click", "view"):
+                    touch = [int(t_us), int(eid), str(etype)]
+        if touch is not None:
+            state.update(tuple(touch))
+        yield pd.DataFrame(
+            out, columns=["user_id", "purchase_id", "purchase_us",
+                          "touch_id", "touch_type", "us_since_touch"])
+
+    ev = (source if source is not None
+          else stream_events(spark, sf_dir)).select(
+        "user_id", "event_id", "event_type", "ts")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=_ATTR_OUT_SCHEMA,
+        stateStructType="touch_us long, touch_id long, touch_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)

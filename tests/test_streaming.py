@@ -1031,3 +1031,47 @@ def test_rfm_guard_and_attribution_invariants(spark, monkeypatch):
             assert t["user_id"] == a["user_id"]
             assert 0 <= a["us_since_touch"] <= bw._ATTR_WINDOW_US
             assert a["purchase_us"] - t["ts_us"] == a["us_since_touch"]
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path):
+    """applyInPandasWithState last-touch attribution: two-file ordered
+    source (maxFilesPerTrigger=1) so carried touches must cross the
+    micro-batch boundary; output must equal the oracle-backed batch twin
+    row-for-row (attribution emits per purchase, so unlike the interval
+    face there is no open tail to subtract)."""
+    import os
+    import shutil
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.streaming import stateful as stf
+    from multiagent_form_schema_etl_spark.streaming.batch_windows import (
+        st_attribution_last_touch)
+
+    ev = (load_table(spark, SF_SMOKE, "events")
+          .select("user_id", "event_id", "event_type", "ts"))
+    split = ev.orderBy("ts", "event_id").collect()[ev.count() // 2]
+    first_half = ((F.col("ts") < split["ts"]) |
+                  ((F.col("ts") == split["ts"]) &
+                   (F.col("event_id") <= split["event_id"])))
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (name, part) in enumerate(
+            [("a.parquet", ev.filter(first_half)),
+             ("b.parquet", ev.filter(~first_half))]):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        [pf] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.copy(stage / pf, src / name)
+        os.utime(src / name, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (spark.readStream
+           .schema("user_id long, event_id long, event_type string,"
+                   " ts timestamp")
+           .format("parquet").option("maxFilesPerTrigger", "1")
+           .load(str(src)))
+    st.run_append_to_memory(
+        stf.streaming_attribution_last_touch(spark, SF_SMOKE, source=raw),
+        "t_attr")
+    got = _rows(spark.sql("SELECT * FROM t_attr"))
+    want = _rows(st_attribution_last_touch(spark, SF_SMOKE))
+    assert got == want and len(got) > 0
