@@ -65,6 +65,8 @@ EVENT_QUERIES = [
     "st_session_window",
     "st_max_concurrency",
     "st_interval_coalesce",
+    "st_attribution_last_touch",
+    "st_rfm_segmentation",
 ]
 
 
