@@ -111,8 +111,8 @@ _ALLOWED_RAW = {
     ("operators/llmprep.py", "direct"),   # per-mktsegment agg
     ("operators/llmprep.py", "offsets"),  # clamp-bounded offsets
     ("operators/llmprep.py", "profiles"),  # literal language profiles
-    ("operators/llmprep.py", "bw"),  # bloom bitset: <= _BLOOM_M/64 rows
-    #                                  (constant m, never corpus-sized)
+    ("operators/llmprep.py", "bw"),  # bloom bitset: <= _BLOOM_M_MAX/64
+    #                                  rows (cap-bounded, never corpus-sized)
     # similarity: fixed query sets / K-bounded state
     ("operators/similarity.py", "q"),
     ("operators/similarity.py", "a"),        # query slice
