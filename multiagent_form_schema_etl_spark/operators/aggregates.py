@@ -244,3 +244,64 @@ def a_data_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name", "n_rows",
         (F.col("n_rows") - F.col("cnt")).alias("n_nulls"),
         "n_distinct", "min_value", "max_value")
+
+
+@register(
+    "a_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey AS key, COUNT(*) AS c
+      FROM lineitem GROUP BY l_orderkey),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(MAX(c) AS BIGINT) AS max_rows_per_key,
+             ROUND(AVG(c), 6) AS avg_rows_per_key,
+             CAST(MIN(c) AS BIGINT) AS min_rows_per_key
+      FROM per_key),
+    quant AS (
+      SELECT ROUND(quantile_cont(c, 0.50), 6) AS p50,
+             ROUND(quantile_cont(c, 0.99), 6) AS p99
+      FROM per_key)
+    SELECT n_keys, n_rows, min_rows_per_key, avg_rows_per_key,
+           max_rows_per_key, p50, p99,
+           ROUND(CAST(max_rows_per_key AS DOUBLE) / n_rows, 9)
+             AS top_key_share,
+           ROUND(CAST(max_rows_per_key AS DOUBLE)
+                 / avg_rows_per_key, 6) AS skew_factor
+    FROM stats, quant
+    """,
+)
+def a_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation KEY-SKEW profile for the shuffle key a planner
+    cares about (l_orderkey): per-key row-count distribution (min / avg /
+    max / exact interpolated p50 / p99 via the engine-parity
+    `percentile`/`quantile_cont` pair the percentile faces established),
+    the hottest key's share of all rows, and max/avg skew factor -- the
+    measurement that DECIDES between the plain, AQE-skew, and salted join
+    strategies this engine ships (j_salted_skew_join / a_salted_skew_sum
+    act on exactly this diagnosis). One groupBy on the key (the shuffle
+    the consumer would pay anyway) + single-row aggregates over the key
+    relation -- deliberately NO window anywhere: a sort over the distinct
+    keys would be fact-sized at 100 TB (the first cut used CUME_DIST and
+    was rewritten for exactly that reason)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("c"))
+    quant = per_key.agg(
+        F.round(F.percentile("c", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("c", F.lit(0.99)), 6).alias("p99"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").alias("max_rows_per_key"),
+        F.round(F.avg("c"), 6).alias("avg_rows_per_key"),
+        F.min("c").alias("min_rows_per_key"))
+    return (stats.crossJoin(quant)
+            .select("n_keys", "n_rows", "min_rows_per_key",
+                    "avg_rows_per_key", "max_rows_per_key", "p50", "p99",
+                    F.round(F.col("max_rows_per_key").cast("double")
+                            / F.col("n_rows"), 9).alias("top_key_share"),
+                    F.round(F.col("max_rows_per_key").cast("double")
+                            / F.col("avg_rows_per_key"), 6)
+                     .alias("skew_factor")))

@@ -473,3 +473,77 @@ def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("n_orders").cast("long").alias("n_orders"),
                  F.sum("rev_part").cast("double").alias("revenue"),
                  F.sum("n_delta").cast("long").alias("n_delta_orders")))
+
+
+@register(
+    "etl_referential_integrity",
+    oracle="""
+    WITH checks AS (
+      SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS fk,
+             CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_child_keys,
+             CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans,
+             CAST(COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                                      THEN l.l_orderkey END)
+                  AS BIGINT) AS n_orphan_keys
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer.c_custkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT),
+             CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                      THEN o.o_custkey END) AS BIGINT)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'customer.c_nationkey -> nation.n_nationkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT cu.c_nationkey) AS BIGINT),
+             CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(COUNT(DISTINCT CASE WHEN n.n_nationkey IS NULL
+                                      THEN cu.c_nationkey END) AS BIGINT)
+      FROM customer cu LEFT JOIN nation n ON cu.c_nationkey = n.n_nationkey)
+    SELECT fk, n_child, n_child_keys, n_orphans, n_orphan_keys,
+           n_orphans = 0 AS intact
+    FROM checks
+    """,
+)
+def etl_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit -- the ETL validation pass every load
+    pipeline runs before publishing: for each declared foreign key, the
+    child row/key counts, ORPHAN rows/keys (child references with no
+    parent), and an intact verdict. One left join per edge (the orphan
+    probe is the join's null side -- at scale Spark turns the
+    fixed-parent edges into broadcast joins via AQE and the fact-fact
+    edge into a shuffle join on the key it would shuffle on anyway);
+    counts are single-pass aggregates over the join output. Generalizes
+    the reference's per-form required-field validation
+    (utils/validation.py:60-96) from row-local rules to CROSS-TABLE
+    consistency."""
+    def check(child: DataFrame, ck: str, parent: DataFrame, pk: str,
+              label: str) -> DataFrame:
+        j = child.select(F.col(ck).alias("ck")).join(
+            parent.select(F.col(pk).alias("pk")),
+            F.col("ck") == F.col("pk"), "left")
+        return j.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.countDistinct("ck").alias("n_child_keys"),
+            F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+             .cast("long").alias("n_orphans"),
+            F.countDistinct(F.when(F.col("pk").isNull(), F.col("ck")))
+             .alias("n_orphan_keys"))
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    out = (check(li, "l_orderkey", od, "o_orderkey",
+                 "lineitem.l_orderkey -> orders.o_orderkey")
+           .unionByName(check(od, "o_custkey", cu, "c_custkey",
+                              "orders.o_custkey -> customer.c_custkey"))
+           .unionByName(check(cu, "c_nationkey", na, "n_nationkey",
+                              "customer.c_nationkey -> nation.n_nationkey")))
+    return out.withColumn("intact", F.col("n_orphans") == 0)
