@@ -88,3 +88,46 @@ def test_salted_join_preserves_user_salt_column(spark):
                               "_salt", "s_nationkey"]
     assert all(r["_salt"] == r["l_orderkey"] % 7
                for r in joined.collect())
+
+
+def test_referential_integrity_flags_orphans(spark, tmp_path):
+    """On a corpus constructed WITH orphans the audit reports them exactly
+    (rows and distinct keys) and fails the intact verdict; the clean edges
+    stay intact."""
+    from multiagent_form_schema_etl_spark.operators.joins import (
+        etl_referential_integrity)
+
+    (spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, 98), (5, 99)],
+        "l_linenumber long, l_orderkey long")
+     .write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet")))
+    (spark.createDataFrame([(10, 100)], "o_orderkey long, o_custkey long")
+     .write.mode("overwrite").parquet(str(tmp_path / "orders.parquet")))
+    (spark.createDataFrame([(100, 0)], "c_custkey long, c_nationkey long")
+     .write.mode("overwrite").parquet(str(tmp_path / "customer.parquet")))
+    (spark.createDataFrame([(0,)], "n_nationkey long")
+     .write.mode("overwrite").parquet(str(tmp_path / "nation.parquet")))
+    got = {r["fk"]: r for r in
+           etl_referential_integrity(spark, str(tmp_path)).collect()}
+    li = got["lineitem.l_orderkey -> orders.o_orderkey"]
+    assert (li["n_orphans"], li["n_orphan_keys"], li["intact"]) == (3, 2,
+                                                                    False)
+    assert got["orders.o_custkey -> customer.c_custkey"]["intact"]
+    assert got["customer.c_nationkey -> nation.n_nationkey"]["intact"]
+
+
+def test_key_skew_profile_is_window_free_and_consistent(spark):
+    """The skew profile's physical plan must contain NO Window node (the
+    first cut's fact-sized CUME_DIST sort is the regression this pins),
+    and its stats must be internally consistent."""
+    from multiagent_form_schema_etl_spark.operators.aggregates import (
+        a_key_skew_profile)
+
+    df = a_key_skew_profile(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    [r] = df.collect()
+    assert r["min_rows_per_key"] <= r["p50"] <= r["p99"] \
+        <= r["max_rows_per_key"]
+    assert abs(r["avg_rows_per_key"] - r["n_rows"] / r["n_keys"]) < 1e-4
+    assert 0 < r["top_key_share"] <= 1.0 and r["skew_factor"] >= 1.0
