@@ -1301,3 +1301,139 @@ def x5_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n_unique_texts"),
         F.round(F.sum(nbytes).cast("double") / F.count(F.lit(1)), 6)
          .alias("avg_doc_bytes"))
+
+
+@register(
+    "x5_corpus_pipeline_end_to_end",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             {_md5_int_sql('text', 'duck')} % 100 < 80 AS is_train,
+             ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                ORDER BY doc_id) = 1 AS is_rep,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+                  AS BIGINT) AS n_tok_ws,
+             CAST(length(text) AS DOUBLE) AS len
+      FROM documents),
+    quality AS (
+      SELECT doc_id,
+             (CASE WHEN len >= 200 THEN 1.0 ELSE len / 200 END * 0.5
+              + CASE WHEN n_tok_ws >= 40 THEN 1.0
+                     ELSE CAST(n_tok_ws AS DOUBLE) / 40 END * 0.5)
+               >= 0.8 AS good
+      FROM base),
+    toks AS (
+      SELECT doc_id, {_md5_int_sql('text', 'duck')} % 100 >= 80 AS heldout,
+             list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, heldout,
+             array_to_string(l[i:i+{_DECON_N - 1}], ' ') AS gram
+      FROM toks, unnest(range(1, len(l) - {_DECON_N - 2})) AS t(i)
+      WHERE len(l) >= {_DECON_N}),
+    countable AS (
+      SELECT gram FROM grams WHERE NOT heldout
+      GROUP BY gram HAVING COUNT(*) <= {_DECON_MAX_DF}),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id
+      FROM grams g
+      JOIN countable c ON g.gram = c.gram
+      JOIN (SELECT DISTINCT gram FROM grams WHERE heldout) h
+        ON g.gram = h.gram
+      WHERE NOT g.heldout),
+    survivors AS (
+      SELECT b.doc_id,
+             CAST(length(list_filter(string_split(b.text, ' '),
+                                     x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM base b
+      JOIN quality q ON b.doc_id = q.doc_id
+      WHERE b.is_train AND b.is_rep AND q.good
+        AND b.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS running
+      FROM survivors)
+    SELECT CAST((running - n_tokens) // {_SHARD_BUDGET} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM cum GROUP BY 1
+    """,
+)
+def x5_corpus_pipeline_end_to_end(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The END-TO-END training-corpus preparation pipeline as ONE composed
+    plan -- the LLM-data counterpart of the doc_pipeline_* flagships:
+
+      filter (quality >= 0.8) -> exact-dedup (md5 representative)
+      -> train-split restriction -> decontaminate (drop train docs
+      sharing any df-pruned {_DECON_N}-gram with the held-out split)
+      -> equal-token sharding of the survivors (two-phase cumsum).
+
+    Each stage is the SAME kernel its standalone face registers
+    (`x4_quality_score`'s closed form, `x1_dedup_exact`'s hash-groupBy
+    semantics, `_decon_gram_rows` + the decon join, `x5_shard_by_budget`'s
+    two-phase global cumsum) -- this face proves they COMPOSE into one
+    Catalyst plan with no materialization barriers between stages, and
+    its oracle is the same composition in one SQL statement.
+
+    Scale shape inherits from the parts: one tokenize pass feeds quality
+    + decon; the dedup representative and train-split predicates are
+    map-side; the decon join moves df-pruned grams only; the sharding
+    window never sees more than the coarse bucket table. The final
+    per-shard rollup is budget-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_rep = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    n_tok_ws = (F.length("text")
+                - F.length(F.regexp_replace("text", " ", "")) + 1
+                ).cast("long")
+    length = F.length("text").cast("double")
+    quality = (F.when(length >= 200, 1.0).otherwise(length / 200) * 0.5
+               + F.when(n_tok_ws >= 40, F.lit(1.0))
+                  .otherwise(n_tok_ws.cast("double") / 40) * 0.5)
+    base = docs.select(
+        "doc_id", "text",
+        (F.expr(_md5_int_sql("text", "spark")) % 100 < 80).alias("is_train"),
+        (F.row_number().over(w_rep) == 1).alias("is_rep"),
+        (quality >= 0.8).alias("good"))
+    grams = _decon_gram_rows(spark, sf_dir)
+    countable = (grams.filter(~F.col("heldout"))
+                 .groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+                 .filter(F.col("df") <= _DECON_MAX_DF).select("gram"))
+    held_grams = (grams.filter(F.col("heldout"))
+                  .select("gram").distinct())
+    contaminated = (grams.filter(~F.col("heldout"))
+                    .join(countable, "gram")
+                    .join(held_grams, "gram")
+                    .select("doc_id").distinct())
+    survivors = (base.filter("is_train AND is_rep AND good")
+                 .join(contaminated, "doc_id", "left_anti")
+                 .select("doc_id",
+                         F.size(F.filter(F.split("text", " "),
+                                         lambda x: x != ""))
+                          .cast("long").alias("n_tokens"),
+                         F.expr(f"doc_id DIV {_SHARD_BUCKET}")
+                          .alias("bucket")))
+    wb = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = (survivors.groupBy("bucket")
+               .agg(F.sum("n_tokens").alias("btok"))
+               .withColumn("offset", F.sum("btok").over(wb) - F.col("btok"))
+               .select("bucket", "offset"))
+    ww = (Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (survivors.join(F.broadcast(offsets), "bucket")
+           .withColumn("running",
+                       F.col("offset") + F.sum("n_tokens").over(ww)))
+    return (cum.withColumn(
+                "shard",
+                F.expr(f"(running - n_tokens) DIV {_SHARD_BUDGET}")
+                 .cast("long"))
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))

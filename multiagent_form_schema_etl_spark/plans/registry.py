@@ -212,18 +212,16 @@ PRIORITY: tuple[str, ...] = (
     "q21_waiting_supplier_orders", "q22_inactive_customer_balance",
     "set_ops_customer_cohorts", "sql_correlated_exists_subquery",
     "sql_scalar_subquery",
-    # -- one r2-cohort refresh filler kept --
-    "st_sliding_window",
     # -- mid-r11 additions (never driver-checked -> window immediately,
-    #    displacing the stalest refresh fillers -- three r6, three r5,
-    #    three r3, two r2 -- which stay covered by check.py sweeps and
-    #    re-enter by staleness next round)
+    #    displacing all nine stalest refresh fillers -- three r6, three
+    #    r5, three r3, three r2 -- which stay covered by check.py sweeps
+    #    and re-enter by staleness next round)
     "x5_decontaminate_bloom", "x5_weighted_sample_topk",
     "st_interval_coalesce", "x1_linkage_fellegi_sunter",
     "x1_dedup_tfidf_cosine", "x1_graph_adamic_adar",
     "x4_perplexity_unigram", "st_attribution_last_touch",
     "st_rfm_segmentation", "etl_referential_integrity",
-    "a_key_skew_profile",
+    "a_key_skew_profile", "x5_corpus_pipeline_end_to_end",
 )
 
 

@@ -288,6 +288,12 @@ _UNPART_WINDOW_ALLOW: frozenset[str] = frozenset({
     # sees one row per doc_id-range bucket, never the fact relation)
     "w_ntile_acctbal_quartiles",
     "x5_shard_by_budget",
+    # r11: the end-to-end pipeline face embeds the SAME two-phase sharder
+    # (its unpartitioned window is the clamp-bounded coarse bucket table,
+    # never the fact relation -- the x5_shard_by_budget justification; the
+    # plan carries the window twice because the offsets relation is both
+    # built and broadcast-joined)
+    "x5_corpus_pipeline_end_to_end",
     # r10: sorted-neighborhood rank assignment -- row_number over the
     # DISTINCT NAME DIMENSION (64 rows at sf0.1), never the fact table.
     # r11: the bound is now ENFORCED in the face itself (it raises if the

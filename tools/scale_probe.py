@@ -60,6 +60,7 @@ DOC_QUERIES = [
     "x1_dedup_tfidf_cosine",
     "x1_graph_adamic_adar",
     "x4_perplexity_unigram",
+    "x5_corpus_pipeline_end_to_end",
 ]
 EVENT_QUERIES = [
     "st_session_window",
