@@ -222,6 +222,11 @@ PRIORITY: tuple[str, ...] = (
     "x4_perplexity_unigram", "st_attribution_last_touch",
     "st_rfm_segmentation", "etl_referential_integrity",
     "a_key_skew_profile", "x5_corpus_pipeline_end_to_end",
+    # NOTE: x1_dedup_containment (the last r11 face) is NOT in this
+    # window -- the 50 slots are exactly consumed by the r1-cohort drain
+    # commitment plus the other additions. As a never-driver-checked face
+    # it reads as round 0 in the rotation ledger and enters the r12
+    # window first, mechanically.
 )
 
 

@@ -520,3 +520,26 @@ def test_perplexity_unigram_oov_scores_higher(spark, tmp_path):
     assert got[7]["n_oov"] == got[7]["n_tokens"]  # junk: all OOV
     assert got[6]["n_oov"] == 0
     assert got[7]["cross_entropy"] > got[6]["cross_entropy"] + 1.0
+
+
+def test_containment_catches_subset_docs_one_direction(spark, tmp_path):
+    """A doc embedded verbatim inside a longer one must be flagged in
+    exactly ONE direction (small in big) -- the asymmetric case symmetric
+    Jaccard misses and this face exists for."""
+    from multiagent_form_schema_etl_spark.operators.dedup import (
+        x1_dedup_containment)
+
+    small = " ".join(f"w{i}" for i in range(20))
+    big = small + " " + " ".join(f"x{i}" for i in range(40))
+    other = " ".join(f"y{i}" for i in range(30))
+    rows = [(1, small, "en", "s", len(small)),
+            (2, big, "en", "s", len(big)),
+            (3, other, "en", "s", len(other))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {(r["doc_small"], r["doc_big"]): r["containment"]
+           for r in x1_dedup_containment(spark, str(tmp_path)).collect()}
+    assert set(got) == {(1, 2)}  # small-in-big only, never the reverse
+    assert got[(1, 2)] == 1.0
