@@ -1193,7 +1193,12 @@ def x1_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("p_retailprice").alias("b_price"))
     scored = (pairs.join(ra, "name_a").join(rb, "name_b")
               .withColumn("fs_score", F.expr(_fs_score_sql())))
+    # The CASE weight literals parse as DECIMAL in Spark SQL, so the sum
+    # stays DECIMAL; the driver's hasher distinguishes Decimal cells from
+    # DuckDB's float64. Cast at the END (the decimal sum is exact, so the
+    # end-cast reproduces DuckDB's double bit-for-bit), per the repo's
+    # universal cast-to-double output convention.
     return scored.select(
         "name_a", "name_b", "edit_dist",
-        F.round("fs_score", 6).alias("fs_score"),
+        F.round(F.col("fs_score").cast("double"), 6).alias("fs_score"),
         F.expr(_FS_DECISION_SQL).alias("decision"))

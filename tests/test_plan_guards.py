@@ -204,3 +204,52 @@ def test_scaled_pipelines_pin_stage_persist(spark):
     for name in ("doc_pipeline_scoped_scaled", "doc_pipeline_scaled"):
         plan = _plan(spark, name)
         assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, name
+
+
+def _decimal_output_cols(schema) -> list:
+    """Top-level DecimalType output columns -- the r11 driver-hash trap.
+
+    DecimalType survives toPandas() as object-dtype ``Decimal`` cells,
+    which the driver's factorize hasher distinguishes from the DuckDB
+    oracle's float64 even when values are numerically identical
+    (VERDICT r11: x1_linkage_fellegi_sunter). The repo's output
+    convention is cast-to-double; this predicate is shared with the
+    check.py gate replica's schema FAIL."""
+    return [f.name for f in schema.fields
+            if f.dataType.typeName() == "decimal"]
+
+
+def test_no_oracle_backed_face_emits_decimal_output(spark):
+    """Registry-wide plan-only scan (VERDICT r11 item 2b): build every
+    oracle-backed face's DataFrame and assert its OUTPUT schema carries
+    no DecimalType column. No execution -- schema inspection only. This
+    pins the cast-to-double output convention that was previously only
+    customary; the one face that violated it sailed through the local
+    gate and failed the driver's hash."""
+    from multiagent_form_schema_etl_spark.plans import registry
+
+    registry.load_all_modules()
+    offenders = {}
+    for name in sorted(registry.ORACLES):
+        df = registry.QUERIES[name](spark, SF_CHECK)
+        bad = _decimal_output_cols(df.schema)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracle-backed faces with DecimalType output (driver hash will "
+        f"mismatch the float64 oracle): {offenders}")
+
+
+def test_decimal_output_detection_trips_on_decimal_face(spark):
+    """The detection itself must trip: a deliberately-DECIMAL result
+    (the exact shape of the r11 Fellegi-Sunter defect -- a CASE over
+    decimal literals, rounded) is flagged by the shared predicate, and
+    its end-cast-to-double repair passes."""
+    bad = spark.range(3).selectExpr(
+        "id", "round(CASE WHEN id = 1 THEN 2.1986 ELSE -6.2830 END, 6) AS s")
+    assert _decimal_output_cols(bad.schema) == ["s"]
+    import pandas as pd  # noqa: F401
+    assert bad.toPandas()["s"].dtype.kind == "O"  # Decimal cells, the trap
+    good = bad.selectExpr("id", "round(CAST(s AS DOUBLE), 6) AS s")
+    assert _decimal_output_cols(good.schema) == []
+    assert good.toPandas()["s"].dtype.kind == "f"

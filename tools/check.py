@@ -142,13 +142,17 @@ def _install_ws_exposure() -> None:
     cell each language's budget boundary sits on."""
     from multiagent_form_schema_etl_spark.operators.llmprep import (
         _WS_K, _es_key_sql)
+    # Rank by the ROUNDED key (the face's actual sort key, ADVICE r11) so
+    # the exposed rank-(k+1) cell is the face's real inclusion boundary;
+    # emit the pre-round value x for the gap measurement.
     _BOUNDARY_EXPOSURES["ws_topk_cells"] = f"""
         WITH keyed AS (
-          SELECT lang, doc_id, {_es_key_sql('duck', rounded=False)} AS x
+          SELECT lang, doc_id, {_es_key_sql('duck', rounded=False)} AS x,
+                 {_es_key_sql('duck', rounded=True)} AS xr
           FROM documents)
         SELECT x FROM (
           SELECT x, ROW_NUMBER() OVER (PARTITION BY lang
-                                       ORDER BY x DESC, doc_id) AS r
+                                       ORDER BY xr DESC, doc_id) AS r
           FROM keyed) WHERE r <= {_WS_K + 1}"""
 
 
@@ -463,6 +467,19 @@ def main() -> int:
                   f"(driver hasher rejects list/map/struct cells)")
             failed.append(name)
             continue
+        decimal_cols = [f.name for f in sdf.schema.fields
+                        if f.dataType.typeName() == "decimal"]
+        if decimal_cols and name in oracles:
+            # VERDICT r11: DecimalType columns reach pandas as object-dtype
+            # Decimal cells, which the driver's factorize hasher
+            # distinguishes from DuckDB's float64 -- a guaranteed hash
+            # mismatch our canon() used to paper over. Output convention is
+            # cast-to-double; enforce it here like list/map cells.
+            print(f"FAIL {name}: DecimalType result columns {decimal_cols} "
+                  f"(driver hasher sees Decimal cells != oracle float64; "
+                  f"cast to double per output convention)")
+            failed.append(name)
+            continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only check, {len(srows)} rows "
                   f"({time.time()-t0:.1f}s)")
@@ -496,6 +513,13 @@ def main() -> int:
                     if sk and dk in "if" and sk in "if" and dk != sk:
                         problems.append(f"dtype kind mismatch col={c} "
                                         f"spark={sk} duck={dk}")
+                    # VERDICT r11 blind spot: an object-kind Spark column
+                    # against a numeric oracle column (Decimal cells) is a
+                    # guaranteed driver hash mismatch -- FAIL it here too.
+                    if sk == "O" and dk in "if":
+                        problems.append(
+                            f"object-dtype numeric col={c} (Decimal cells?) "
+                            f"vs duck {dk} -- driver hash will mismatch")
             except Exception:
                 pass
         if not problems:
