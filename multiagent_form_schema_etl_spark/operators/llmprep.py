@@ -1400,12 +1400,18 @@ def x5_corpus_pipeline_end_to_end(spark: SparkSession,
         (F.row_number().over(w_rep) == 1).alias("is_rep"),
         (quality >= 0.8).alias("good"))
     grams = _decon_gram_rows(spark, sf_dir)
-    countable = (grams.filter(~F.col("heldout"))
+    # df must be DOC-count semantics (distinct (doc_id, gram) rows), matching
+    # both the oracle's SELECT DISTINCT grams CTE and x5_decontaminate_ngram:
+    # counting raw occurrences would let a gram repeated within one train doc
+    # cross _DECON_MAX_DF while its doc count does not (ADVICE r11, high).
+    train_distinct = (grams.filter(~F.col("heldout"))
+                      .select("doc_id", "gram").distinct())
+    countable = (train_distinct
                  .groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
                  .filter(F.col("df") <= _DECON_MAX_DF).select("gram"))
     held_grams = (grams.filter(F.col("heldout"))
                   .select("gram").distinct())
-    contaminated = (grams.filter(~F.col("heldout"))
+    contaminated = (train_distinct
                     .join(countable, "gram")
                     .join(held_grams, "gram")
                     .select("doc_id").distinct())

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import gated_broadcast, load_table, table_rowcount
-from ..plans.registry import register
+from ..plans.registry import register, track_persist
 
 _DEC = "decimal(28,6)"
 
@@ -829,6 +829,10 @@ def st_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("value").cast(_DEC))
                        .otherwise(F.lit(0).cast(_DEC)))
                  .cast("double").alias("monetary")))
+    # Persist before the eager guard count so the full events groupBy
+    # runs once, not once for the guard and again for the returned plan
+    # (ADVICE r11); track_persist hands the handle to the registry memo.
+    agg = track_persist(agg)
     n_users = agg.count()
     if n_users > _RFM_USER_DIM_MAX:
         raise ValueError(

@@ -670,7 +670,12 @@ _IC_OUT_SCHEMA = ("user_id long, island long, start_us long, end_us long,"
 
 def _value_micros(v: float):
     from decimal import ROUND_HALF_UP, Decimal
-    return int((Decimal(float(v)) * 1_000_000)
+    # Spark's double->DECIMAL(28,6) cast rounds the SHORTEST decimal
+    # representation (Double.toString), not the exact binary expansion --
+    # for a value whose shortest repr is an exact half at 7 dp (e.g.
+    # 0.1234565) the two differ by one micro-unit. Python's repr() is the
+    # same shortest round-trip string, so quantize from it (ADVICE r11).
+    return int((Decimal(repr(float(v))) * 1_000_000)
                .quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 

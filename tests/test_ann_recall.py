@@ -362,3 +362,65 @@ def test_minhash_lsh_md5_sound_and_recall(spark, true_jaccard_pairs):
         assert abs(true_jaccard_pairs[pair] - j) < 1e-9
     recall = len(set(out) & set(true_jaccard_pairs)) / len(true_jaccard_pairs)
     assert recall >= 0.03, f"md5 LSH recall collapsed: {recall:.3f}"
+
+
+def test_containment_prefix_equals_naive(spark, tmp_path):
+    """The containment-prefix candidate stage is LOSSLESS: the r12
+    prefix-probed kernel must return exactly the naive full
+    inverted-index join's verified rows -- on the gate corpus AND on an
+    adversarial one built to stress both the pruning and the asymmetry:
+    a boilerplate 4-gram shared by every doc (the naive kernel's O(n^2)
+    hot key), a doc embedded verbatim inside a longer one, and a
+    contained side carrying MORE shingles than its container
+    (ni/na >= 0.8 only bounds na <= 1.25*nb)."""
+    from multiagent_form_schema_etl_spark.operators.dedup import (
+        _containment_cand_naive, _containment_cand_prefix,
+        _containment_shingles, _containment_verify)
+    from tests.conftest import SF_SMOKE
+
+    key = lambda rows: sorted(map(tuple, rows))
+
+    def both(sf):
+        sh, sizes = _containment_shingles(spark, sf)
+        naive = _containment_verify(_containment_cand_naive(sh),
+                                    sh, sizes).collect()
+        pref = _containment_verify(_containment_cand_prefix(sh, sizes),
+                                   sh, sizes).collect()
+        n_naive = _containment_cand_naive(sh).count()
+        n_pref = _containment_cand_prefix(sh, sizes).count()
+        return key(naive), key(pref), n_naive, n_pref
+
+    g_naive, g_pref, _, _ = both(SF_SMOKE)
+    assert g_naive == g_pref and len(g_naive) > 0
+
+    boiler = "all rights reserved worldwide"
+    base = ["alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima " + boiler,                      # doc 0
+            # doc 1 embeds doc 0's full text => containment(0 in 1) = 1
+            "alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima " + boiler + " mike november oscar papa"]
+    # bigger-contained case: doc 2 = 13 tokens (10 shingles), doc 3 = its
+    # 12-token prefix (9 shingles, all shared) => 2-in-3 at 0.9 with
+    # n_contained 10 > container's 9, and 3-in-2 at 1.0
+    t13 = " ".join(f"t{j}" for j in range(13))
+    docs = ([(0, base[0], "en"), (1, base[1], "en"),
+             (2, t13, "en"), (3, " ".join(f"t{j}" for j in range(12)), "en")]
+            # 30 unrelated docs sharing ONLY the boilerplate gram
+            + [(10 + i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h "
+                + boiler, "en") for i in range(30)])
+    sf = tmp_path / "contain"
+    sf.mkdir()
+    spark.createDataFrame(docs, "doc_id long, text string, lang string") \
+        .write.parquet(str(sf / "documents.parquet"))
+    a_naive, a_pref, n_naive, n_pref = both(str(sf))
+    assert a_naive == a_pref
+    got = {(r[0], r[1]): r[4] for r in a_pref}
+    assert got[(0, 1)] == 1.0
+    assert got[(2, 3)] == 0.9 and got[(3, 2)] == 1.0
+    rows = {r[0]: r for r in a_pref}
+    assert rows[2][2] == 10  # n_contained > the container's 9 shingles
+    # the boilerplate gram must not drive candidate volume: the naive
+    # join pairs all 32 docs that share it (C(32,2) = 496 candidates);
+    # the prefix probe keeps it out of almost every prefix
+    assert n_naive >= 496
+    assert n_pref < n_naive / 4

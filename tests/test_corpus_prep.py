@@ -539,7 +539,49 @@ def test_containment_catches_subset_docs_one_direction(spark, tmp_path):
         rows, "doc_id long, text string, lang string, source string,"
               " n_chars long")
     df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
-    got = {(r["doc_small"], r["doc_big"]): r["containment"]
+    got = {(r["doc_contained"], r["doc_container"]): r["containment"]
            for r in x1_dedup_containment(spark, str(tmp_path)).collect()}
     assert set(got) == {(1, 2)}  # small-in-big only, never the reverse
     assert got[(1, 2)] == 1.0
+
+
+def test_decon_df_prune_is_doc_count_not_occurrence_count(spark, tmp_path):
+    """ADVICE r11 (high): the df-pruning cap is DOC-count semantics. A
+    4-gram repeated ~150x INSIDE one train doc has occurrence count >
+    _DECON_MAX_DF but doc count 1 -- it must survive the prune, mark the
+    held-out doc contaminated, and knock the train doc out of the
+    end-to-end pipeline's survivor set. Counting raw gram occurrences
+    (the pre-fix bug in x5_corpus_pipeline_end_to_end's countable)
+    prunes it and ships the contaminated doc."""
+    from multiagent_form_schema_etl_spark.plans import registry
+
+    registry.load_all_modules()
+    # md5-bucket-steered texts (salts found offline): doc1 train poison
+    # (147 in-doc occurrences of 'w w w w'), doc2 held-out sharing it,
+    # doc3/doc4 clean good-quality train survivors.
+    docs = [
+        (1, ("w " * 150) + "s2"),
+        (2, "h6 " + "w w w w"),
+        (3, " ".join(f"c{j}tok{j}" for j in range(60)) + " z0"),
+        (4, " ".join(f"d{j}tok{j}" for j in range(60)) + " z0"),
+    ]
+    import hashlib
+    buckets = {i: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 100
+               for i, t in docs}
+    assert buckets[1] < 80 and buckets[2] >= 80      # train / held-out
+    assert buckets[3] < 80 and buckets[4] < 80
+    sf = tmp_path / "deconsem"
+    sf.mkdir()
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .write.parquet(str(sf / "documents.parquet"))
+
+    contaminated = {r.doc_id: r.n_shared_grams for r in
+                    registry.QUERIES["x5_decontaminate_ngram"](
+                        spark, str(sf)).collect()}
+    assert 2 in contaminated and contaminated[2] >= 1
+
+    shards = registry.QUERIES["x5_corpus_pipeline_end_to_end"](
+        spark, str(sf)).collect()
+    survivor_docs = sum(r.n_docs for r in shards)
+    firsts = {r.first_doc for r in shards} | {r.last_doc for r in shards}
+    assert survivor_docs == 2 and 1 not in firsts  # doc1 decontaminated out

@@ -1075,3 +1075,22 @@ def test_streaming_attribution_matches_batch(spark, tmp_path):
     got = _rows(spark.sql("SELECT * FROM t_attr"))
     want = _rows(st_attribution_last_touch(spark, SF_SMOKE))
     assert got == want and len(got) > 0
+
+
+def test_value_micros_matches_spark_decimal_cast_on_repr_halves(spark):
+    """_value_micros must round the SHORTEST decimal repr (what Spark's
+    double->DECIMAL(28,6) cast rounds), not the exact binary expansion
+    (ADVICE r11): 0.1234565's binary value is just UNDER the half, but
+    its shortest repr IS the half, so Spark HALF_UPs to 123457 micros."""
+    from multiagent_form_schema_etl_spark.streaming.stateful import (
+        _value_micros)
+
+    cases = [0.1234565, 0.1234575, 2.5e-7, 1.0000005, 0.1, 3.14159265,
+             123456.789012, 7.0000015]
+    got = {v: _value_micros(v) for v in cases}
+    rows = spark.createDataFrame([(v,) for v in cases], "v double") \
+        .selectExpr("v", "CAST(CAST(v AS DECIMAL(28,6)) * 1000000 "
+                         "AS BIGINT) AS micros").collect()
+    want = {r.v: r.micros for r in rows}
+    assert got == want
+    assert got[0.1234565] == 123457  # the exact-binary path says 123456
