@@ -585,3 +585,20 @@ def test_decon_df_prune_is_doc_count_not_occurrence_count(spark, tmp_path):
     survivor_docs = sum(r.n_docs for r in shards)
     firsts = {r.first_doc for r in shards} | {r.last_doc for r in shards}
     assert survivor_docs == 2 and 1 not in firsts  # doc1 decontaminated out
+
+
+def test_adamic_adar_wedge_volume_guard(spark, monkeypatch):
+    """The AA build must measure sum_z C(deg(z),2) and raise LOUDLY past
+    _AA_WEDGE_MAX (VERDICT r11 #6 -- the SN/RFM enforced-guard standard
+    applied to the one face whose cost is quadratic in hub degree),
+    naming the neighbor-cap mitigation; under the real bound the gate
+    corpus builds fine."""
+    import pytest as _pytest
+
+    from multiagent_form_schema_etl_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "_AA_WEDGE_MAX", 1)
+    with _pytest.raises(ValueError, match="wedge volume .* exceeds"):
+        D.x1_graph_adamic_adar(spark, SF_SMOKE)
+    monkeypatch.undo()
+    assert D.x1_graph_adamic_adar(spark, SF_SMOKE).count() > 0
