@@ -177,56 +177,50 @@ def query_names() -> list[str]:
 
 
 # The driver's correctness gate verifies the FIRST 50 entries of queries().
-# r11 window policy (VERDICT r10 item 2 / the committed ledger): keep the 7
-# r10 first-timers one confirming round, enter the 4 new r11 faces (the BM25
-# top-k sibling, the MLlib TF-IDF equivalence twin, the k-center
-# radius-bound assertion, and the U1 label-scaffold equivalence), drain the
-# ENTIRE
-# remaining r1-stale cohort (27 queries -- after this window no query's last
-# driver-green is older than r2), and fill the tail with the next-stalest
-# cohorts (r2, r3, r5, then the alphabetically-first of r6). Everything
-# outside the window keeps its oracle + the builder gate tools/check.py +
-# the tri-SF sweeps, and the post-window order is ledger-stalest-first so
-# the next rounds' windows are mechanical.
+# r12 window policy (VERDICT r11 item 3 / NOTES_r11 guidance): the
+# never-driver-checked containment face enters FIRST, the fixed
+# Fellegi-Sunter FAIL is re-windowed, the 15 r11 first-timers keep one
+# confirming round, and the tail fills stalest-first from the committed
+# ledger (the full r2/r3/r5/r6 cohorts, then the alphabetical head of r7).
+# After this window no query's last driver-green is older than r3.
+# Everything outside the window keeps its oracle + the builder gate
+# tools/check.py + the tri-SF sweeps, and the post-window order is
+# ledger-stalest-first so the next rounds' windows are mechanical.
 PRIORITY: tuple[str, ...] = (
-    # -- the 7 r10 first-timers, kept one confirming round --
-    "x1_dedup_minhash_fastpath_equiv", "x1_graph_pagerank_rank_equiv",
-    "x4_bm25_score", "x1_entity_sorted_neighborhood",
-    "x1_graph_triangle_count", "a_data_profile_lineitem",
-    "x1_source_overlap_matrix",
-    # -- new r11 faces (never driver-checked -> window immediately) --
-    "x4_bm25_topk", "x4_tfidf_mllib_equiv", "x2_coreset_radius_bound",
-    "doc_u1_label_scaffold_equiv",
-    # -- the full remaining r1-stale cohort (27; ledger round 1) --
-    "j_cross_join_fanout", "p5_preview_truncate",
-    "q01_pricing_summary", "q02_min_cost_supplier",
-    "q03_shipping_priority", "q04_order_priority_checking",
-    "q05_local_supplier_volume", "q06_forecast_revenue",
-    "q07_volume_shipping", "q08_market_share",
-    "q09_product_type_profit", "q10_returned_items",
-    "q11_important_stock_share", "q12_priority_shipping_classes",
-    "q13_customer_order_distribution", "q14_promo_revenue_share",
-    "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_predicates", "q20_excess_stock_suppliers",
-    "q21_waiting_supplier_orders", "q22_inactive_customer_balance",
-    "set_ops_customer_cohorts", "sql_correlated_exists_subquery",
-    "sql_scalar_subquery",
-    # -- mid-r11 additions (never driver-checked -> window immediately,
-    #    displacing all nine stalest refresh fillers -- three r6, three
-    #    r5, three r3, three r2 -- which stay covered by check.py sweeps
-    #    and re-enter by staleness next round)
-    "x5_decontaminate_bloom", "x5_weighted_sample_topk",
-    "st_interval_coalesce", "x1_linkage_fellegi_sunter",
+    # -- never driver-checked: the disclosed r11 slot-exhaustion carryover
+    #    enters FIRST (ledger round 0), now with the r12 prefix filter --
+    "x1_dedup_containment",
+    # -- the r11 driver FAIL, re-windowed after the Decimal->double fix --
+    "x1_linkage_fellegi_sunter",
+    # -- the 15 r11 first-timers, kept one confirming round --
+    "a_key_skew_profile", "doc_u1_label_scaffold_equiv",
+    "etl_referential_integrity", "st_attribution_last_touch",
+    "st_interval_coalesce", "st_rfm_segmentation",
     "x1_dedup_tfidf_cosine", "x1_graph_adamic_adar",
-    "x4_perplexity_unigram", "st_attribution_last_touch",
-    "st_rfm_segmentation", "etl_referential_integrity",
-    "a_key_skew_profile", "x5_corpus_pipeline_end_to_end",
-    # NOTE: x1_dedup_containment (the last r11 face) is NOT in this
-    # window -- the 50 slots are exactly consumed by the r1-cohort drain
-    # commitment plus the other additions. As a never-driver-checked face
-    # it reads as round 0 in the rotation ledger and enters the r12
-    # window first, mechanically.
+    "x2_coreset_radius_bound", "x4_bm25_topk",
+    "x4_perplexity_unigram", "x4_tfidf_mllib_equiv",
+    "x5_corpus_pipeline_end_to_end", "x5_decontaminate_bloom",
+    "x5_weighted_sample_topk",
+    # -- stalest-first refresh fillers: the whole r2/r3/r5 cohorts (the
+    #    nine displaced by the mid-r11 additions) --
+    "st_sliding_window", "x4_doc_fingerprint", "x5_chunk_overlap",
+    "x4_lang_id_char_ngram", "x4_quality_score", "x5_shard_by_budget",
+    "a_approx_percentile", "st_latest_event_per_user",
+    "x1_dedup_jaccard_auto",
+    # -- the full r6 cohort (17) --
+    "a4_conditional_aggregation", "a7_bool_and_completeness",
+    "a_approx_count_distinct", "doc_a3_full_text", "doc_a5_eval_metrics",
+    "doc_a6_baseline_compare", "doc_e1_word_explode",
+    "etl_upsert_latest_wins", "f_array_functions", "f_map_functions",
+    "st_tumbling_window", "st_tws_recent_list_window",
+    "w_rank_top_customers_per_nation", "x1_dedup_apply_keeplist",
+    "x1_dedup_simhash", "x1_dedup_substring_spans",
+    "x5_train_test_split_hash",
+    # -- r7-cohort head (alphabetical), filling the window to 50; new r12
+    #    faces displace from THIS tail, never the cohorts above --
+    "a_rollup_order_hierarchy", "a_salted_skew_sum", "a_udaf_median_mad",
+    "doc_a1_ocr_routing", "doc_a6_eval_report", "doc_a7_form_completeness",
+    "doc_form_pivot_nda",
 )
 
 
