@@ -997,3 +997,143 @@ def x4_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("n_tokens").cast("long").alias("n_tokens"),
                          F.col("n_oov").cast("long").alias("n_oov"),
                          F.round("ce", 9).alias("cross_entropy"))
+
+
+# --- interpolated bigram-LM cross-entropy scoring (r12) -----------------------
+# The unigram face's natural sibling: score each held-out doc under an
+# INTERPOLATED bigram model fit on the train split -- lambda * p(cur|prev)
+# + (1-lambda) * p_uni(cur), the Jelinek-Mercer smoothing every n-gram-LM
+# quality filter (CCNet-style) actually uses, since raw bigram MLE assigns
+# zero mass to unseen continuations. Context counts derive from the bigram
+# model itself (cp = sum_cur cb), so the model is self-consistent.
+
+_PPL2_LAMBDA = 0.7  # bigram weight; 0.3 falls back to the smoothed unigram
+
+
+def _ppl2_oracle_cte() -> str:
+    from .dedup import _md5_int_sql
+    h = _md5_int_sql("text", "duck")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {h} % 100 >= 80 AS heldout,
+             list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents),
+    big AS (
+      SELECT doc_id, lang, heldout, l[i] AS prev, l[i+1] AS cur
+      FROM toks, unnest(range(1, len(l))) AS t(i)
+      WHERE len(l) >= 2),
+    btf AS (SELECT doc_id, lang, heldout, prev, cur, COUNT(*) AS tf
+            FROM big GROUP BY doc_id, lang, heldout, prev, cur),
+    bi_model AS (SELECT lang, prev, cur, SUM(tf) AS cb
+                 FROM btf WHERE NOT heldout GROUP BY lang, prev, cur),
+    ctx AS (SELECT lang, prev, SUM(cb) AS cp
+            FROM bi_model GROUP BY lang, prev),
+    uni AS (SELECT lang, token, COUNT(*) AS c FROM (
+              SELECT lang, heldout, unnest(l) AS token FROM toks)
+            WHERE NOT heldout GROUP BY lang, token),
+    stats AS (SELECT lang, SUM(c) AS n, COUNT(*) AS v FROM uni
+              GROUP BY lang),
+    scored AS (
+      SELECT t.doc_id, t.lang,
+             SUM(t.tf) AS n_bigrams,
+             SUM(CASE WHEN m.cb IS NULL THEN t.tf ELSE 0 END) AS n_unseen,
+             -SUM(t.tf * ln(
+                 {_PPL2_LAMBDA} * (CAST(COALESCE(m.cb, 0) AS DOUBLE)
+                                   / CAST(COALESCE(x.cp, 1) AS DOUBLE))
+               + {1.0 - _PPL2_LAMBDA} * ((CAST(COALESCE(u.c, 0) AS DOUBLE)
+                                          + 1.0) / (s.n + s.v + 1.0))))
+               / SUM(t.tf) AS ce
+      FROM btf t
+      LEFT JOIN bi_model m
+        ON t.lang = m.lang AND t.prev = m.prev AND t.cur = m.cur
+      LEFT JOIN ctx x ON t.lang = x.lang AND t.prev = x.prev
+      LEFT JOIN uni u ON t.lang = u.lang AND t.cur = u.token
+      JOIN stats s ON t.lang = s.lang
+      WHERE t.heldout
+      GROUP BY t.doc_id, t.lang)
+"""
+
+
+@register(
+    "x4_perplexity_bigram",
+    oracle=_ppl2_oracle_cte() + """
+    SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_unseen AS BIGINT) AS n_unseen_bigrams,
+           ROUND(ce, 9) AS cross_entropy
+    FROM scored
+    """,
+)
+def x4_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram cross-entropy of each held-out doc under the
+    train-split LM: p(cur|prev) = 0.7 * cb(prev,cur)/cp(prev)
+    + 0.3 * (c(cur)+1)/(N+V+1) (Jelinek-Mercer over the add-one unigram
+    -- unseen contexts fall back entirely to the unigram term, so p > 0
+    always and ln is total). Catches what the unigram face cannot:
+    shuffled or word-salad text with an in-vocabulary unigram profile
+    scores near the unigram model but FAR from the bigram one (pinned by
+    the shuffle-monotonicity pytest).
+
+    Scale shape: the bigram model is a CORPUS-VOCABULARY-sized relation
+    -- never broadcast (the BM25/unigram lesson); all three model
+    attaches are plain equi-joins on (lang, gram) keys where the scoring
+    side is eval-bounded; context counts cp ride a groupBy of the bigram
+    model already built (no second corpus pass); one tokenize pass feeds
+    bigram + unigram models and the scoring side.
+
+    Float discipline: each summand is tf * ln of a FIXED arithmetic tree
+    over integer counts (identical operands and operator order on both
+    engines -- the literals 0.7/0.3 parse to the same doubles); only the
+    final sum order differs, so the face emits ROUND(ce, 9) with every
+    cell exposed to the boundary audit (`ppl2_cells`)."""
+    from .dedup import _md5_int_sql
+    lam = _PPL2_LAMBDA
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "doc_id", "lang",
+        (F.expr(_md5_int_sql("text", "spark")) % 100 >= 80).alias("heldout"),
+        F.filter(F.split("text", " "), lambda x: x != "").alias("l"))
+        .filter(F.size("l") >= 1))
+    big = (toks.filter(F.size("l") >= 2)
+           .select("doc_id", "lang", "heldout",
+                   F.explode(F.expr(
+                       "transform(sequence(0, size(l) - 2),"
+                       " i -> struct(l[i] AS prev, l[i+1] AS cur))"))
+                    .alias("s"))
+           .select("doc_id", "lang", "heldout",
+                   F.col("s.prev").alias("prev"),
+                   F.col("s.cur").alias("cur")))
+    btf = big.groupBy("doc_id", "lang", "heldout", "prev", "cur").agg(
+        F.count(F.lit(1)).alias("tf"))
+    bi_model = (btf.filter(~F.col("heldout"))
+                .groupBy("lang", "prev", "cur")
+                .agg(F.sum("tf").alias("cb")))
+    ctx = bi_model.groupBy("lang", "prev").agg(F.sum("cb").alias("cp"))
+    uni = (toks.filter(~F.col("heldout"))
+           .select("lang", F.explode("l").alias("token"))
+           .groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c")))
+    stats = uni.groupBy("lang").agg(F.sum("c").alias("n"),
+                                    F.count(F.lit(1)).alias("v"))
+    held = btf.filter(F.col("heldout")).drop("heldout")
+    p = (F.lit(lam)
+         * (F.coalesce(F.col("cb"), F.lit(0)).cast("double")
+            / F.coalesce(F.col("cp"), F.lit(1)).cast("double"))
+         + F.lit(1.0 - lam)
+         * ((F.coalesce(F.col("c"), F.lit(0)).cast("double") + 1.0)
+            / (F.col("n") + F.col("v") + 1.0)))
+    scored = (held
+              .join(bi_model, ["lang", "prev", "cur"], "left")
+              .join(ctx, ["lang", "prev"], "left")
+              .join(uni.withColumnRenamed("token", "cur"),
+                    ["lang", "cur"], "left")
+              .join(stats, "lang")
+              .groupBy("doc_id", "lang")
+              .agg(F.sum("tf").alias("n_bigrams"),
+                   F.sum(F.when(F.col("cb").isNull(), F.col("tf"))
+                          .otherwise(0)).alias("n_unseen"),
+                   (-F.sum(F.col("tf") * F.log(p)) / F.sum("tf"))
+                   .alias("ce")))
+    return scored.select(
+        "doc_id", "lang",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_unseen").cast("long").alias("n_unseen_bigrams"),
+        F.round("ce", 9).alias("cross_entropy"))

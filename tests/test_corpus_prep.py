@@ -602,3 +602,64 @@ def test_adamic_adar_wedge_volume_guard(spark, monkeypatch):
         D.x1_graph_adamic_adar(spark, SF_SMOKE)
     monkeypatch.undo()
     assert D.x1_graph_adamic_adar(spark, SF_SMOKE).count() > 0
+
+
+def test_bigram_perplexity_penalizes_shuffled_text(spark, tmp_path):
+    """The bigram face's reason to exist: word-salad with an
+    IN-VOCABULARY unigram profile. A held-out doc that is a coherent
+    continuation of the train cycle and its own SHUFFLE (identical token
+    multiset) must tie under the unigram model (same summand multiset,
+    same 9-dp round) and separate under the bigram one."""
+    import hashlib
+    import random
+
+    from multiagent_form_schema_etl_spark.plans import registry
+
+    registry.load_all_modules()
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 100
+
+    cycle = ["a", "b", "c", "d", "e", "f"]
+    train = None
+    for i in range(100):
+        cand = " ".join(cycle * 20) + f" s{i}"
+        if bucket(cand) < 80:
+            train = cand
+            break
+    coherent = None
+    for length in range(18, 42):
+        for off in range(6):
+            toks = [cycle[(off + j) % 6] for j in range(length)]
+            cand = " ".join(toks)
+            if bucket(cand) >= 80:
+                coherent = cand
+                break
+        if coherent:
+            break
+    rng = random.Random(0)
+    shuf_toks = coherent.split(" ")
+    shuffled = None
+    for _ in range(200):
+        rng.shuffle(shuf_toks)
+        cand = " ".join(shuf_toks)
+        if bucket(cand) >= 80 and cand != coherent:
+            shuffled = cand
+            break
+    assert train and coherent and shuffled
+
+    docs = [(1, train, "en"), (2, coherent, "en"), (3, shuffled, "en")]
+    sf = tmp_path / "ppl2"
+    sf.mkdir()
+    spark.createDataFrame(docs, "doc_id long, text string, lang string") \
+        .write.parquet(str(sf / "documents.parquet"))
+
+    uni = {r.doc_id: r.cross_entropy for r in
+           registry.QUERIES["x4_perplexity_unigram"](
+               spark, str(sf)).collect()}
+    big = {r.doc_id: r for r in
+           registry.QUERIES["x4_perplexity_bigram"](
+               spark, str(sf)).collect()}
+    assert uni[2] == uni[3]  # identical token multiset => unigram tie
+    assert big[3].cross_entropy > big[2].cross_entropy + 0.3
+    assert big[3].n_unseen_bigrams >= big[2].n_unseen_bigrams

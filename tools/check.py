@@ -105,6 +105,8 @@ _BOUNDARY_EXPOSURES: dict[str, str] = {
     # x4_perplexity_unigram: pre-round cross-entropies of every emitted
     # held-out doc. Built lazily from the face's own oracle below.
     "ppl_cells": None,  # filled by _install_ppl_exposure()
+    # x4_perplexity_bigram: same recipe over the interpolated-bigram CTE
+    "ppl2_cells": None,  # filled by _install_ppl2_exposure()
     # pre-round centered norms of x2_grouped_center_applyinpandas (all
     # cells are emitted)
     "centered_norms": """
@@ -185,12 +187,22 @@ def _install_ppl_exposure() -> None:
     _BOUNDARY_EXPOSURES["ppl_cells"] = head + "SELECT ce AS x FROM scored"
 
 
+def _install_ppl2_exposure() -> None:
+    """ppl2_cells from the bigram face's own scored CTE (same recipe as
+    ppl_cells: every held-out doc's un-rounded ce is an emitted cell)."""
+    from multiagent_form_schema_etl_spark.operators.textstats import (
+        _ppl2_oracle_cte)
+    _BOUNDARY_EXPOSURES["ppl2_cells"] = (_ppl2_oracle_cte()
+                                         + "SELECT ce AS x FROM scored")
+
+
 _BOUNDARY_FACES: dict[str, str] = {
     "x4_bm25_topk": "bm25_topk_cells",
     "x5_weighted_sample_topk": "ws_topk_cells",
     "x1_dedup_tfidf_cosine": "tfidf_pairs_085",
     "x1_graph_adamic_adar": "aa_cells",
     "x4_perplexity_unigram": "ppl_cells",
+    "x4_perplexity_bigram": "ppl2_cells",
     "x2_cosine_topk": "topk_cells",
     "x2_cosine_topk_gemm": "topk_cells",
     "x2_cosine_topk_bruteforce": "topk_cells",
@@ -240,6 +252,8 @@ def boundary_audit(con, faces: list[str]) -> list[str]:
         _install_aa_exposure()
     if _BOUNDARY_EXPOSURES.get("ppl_cells") is None:
         _install_ppl_exposure()
+    if _BOUNDARY_EXPOSURES.get("ppl2_cells") is None:
+        _install_ppl2_exposure()
     failures: list[str] = []
     mins: dict[str, tuple[float, int]] = {}
     for exp in sorted({_BOUNDARY_FACES[f] for f in faces}):
