@@ -2294,6 +2294,44 @@ def x1_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONT_N = 4      # shingle order (matches the decontamination grams)
 _CONT_THR = 0.8  # fraction of the CONTAINED side's shingles that must appear
+_CONT_AUTO_FACTOR = 2.0  # choose the prefix kernel only when the naive
+#   join's candidate-row volume V = sum_g C(c_g, 2) exceeds FACTOR x the
+#   shingle-row count S: the prefix path pays a df join + per-doc ranking
+#   window over ALL S rows (~2-3 linear passes; measured 2.7x the naive
+#   face on the 30x probe corpus, V/S = 0.055), so it only wins once the
+#   quadratic join volume dominates the linear ranking cost -- exactly the
+#   boilerplate-gram regime (V/S >= ~1.5 already on the 34-doc pytest
+#   corpus with one corpus-wide gram; unbounded in the wild).
+
+_CONT_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, lang,
+             array_to_string(l[i:i+{_CONT_N - 1}], ' ') AS g
+      FROM toks, unnest(range(1, len(l) - {_CONT_N - 2})) AS t(i)
+      WHERE len(l) >= {_CONT_N}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+      FROM sh a JOIN sh b ON a.g = b.g AND a.lang = b.lang
+                         AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    cand AS (
+      SELECT i.da, i.db, i.ni, sa.n AS na, sb.n AS nb
+      FROM inter i JOIN sizes sa ON i.da = sa.doc_id
+                   JOIN sizes sb ON i.db = sb.doc_id)
+    SELECT da AS doc_contained, db AS doc_container,
+           CAST(na AS BIGINT) AS n_contained, CAST(ni AS BIGINT) AS n_shared,
+           ROUND(CAST(ni AS DOUBLE) / na, 9) AS containment
+    FROM cand WHERE CAST(ni AS DOUBLE) / na >= {_CONT_THR}
+    UNION ALL
+    SELECT db, da, CAST(nb AS BIGINT), CAST(ni AS BIGINT),
+           ROUND(CAST(ni AS DOUBLE) / nb, 9)
+    FROM cand WHERE CAST(ni AS DOUBLE) / nb >= {_CONT_THR}
+    """
 
 
 def _containment_shingles(spark: SparkSession, sf_dir: str):
@@ -2316,9 +2354,11 @@ def _containment_shingles(spark: SparkSession, sf_dir: str):
 
 def _containment_cand_naive(sh: DataFrame) -> DataFrame:
     """Unfiltered candidate pairs: the full (lang, shingle) inverted-index
-    self-join. O(c_g^2) rows per shingle -- the r11 kernel, kept ONLY as
-    the differential-test reference for the prefix filter (a boilerplate
-    gram shared by n docs costs n^2 here)."""
+    self-join, O(c_g^2) rows per shingle. The CHEAP kernel when per-gram
+    fan-out is uniform and small (measured: 2.7x faster than the prefix
+    path on the 30x replication corpus, where V/S = 0.055); quadratic
+    death when a boilerplate gram is shared corpus-wide. The auto face
+    picks between this and the prefix kernel from measured volumes."""
     a, b = sh.alias("a"), sh.alias("b")
     return (a.join(b, (F.col("a.g") == F.col("b.g"))
                    & (F.col("a.lang") == F.col("b.lang"))
@@ -2366,35 +2406,7 @@ def _containment_cand_prefix(sh: DataFrame, sizes: DataFrame) -> DataFrame:
 
 @register(
     "x1_dedup_containment",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, lang,
-             list_filter(string_split(text, ' '), x -> x <> '') AS l
-      FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id, lang,
-             array_to_string(l[i:i+{_CONT_N - 1}], ' ') AS g
-      FROM toks, unnest(range(1, len(l) - {_CONT_N - 2})) AS t(i)
-      WHERE len(l) >= {_CONT_N}),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
-      FROM sh a JOIN sh b ON a.g = b.g AND a.lang = b.lang
-                         AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id),
-    cand AS (
-      SELECT i.da, i.db, i.ni, sa.n AS na, sb.n AS nb
-      FROM inter i JOIN sizes sa ON i.da = sa.doc_id
-                   JOIN sizes sb ON i.db = sb.doc_id)
-    SELECT da AS doc_contained, db AS doc_container,
-           CAST(na AS BIGINT) AS n_contained, CAST(ni AS BIGINT) AS n_shared,
-           ROUND(CAST(ni AS DOUBLE) / na, 9) AS containment
-    FROM cand WHERE CAST(ni AS DOUBLE) / na >= {_CONT_THR}
-    UNION ALL
-    SELECT db, da, CAST(nb AS BIGINT), CAST(ni AS BIGINT),
-           ROUND(CAST(ni AS DOUBLE) / nb, 9)
-    FROM cand WHERE CAST(ni AS DOUBLE) / nb >= {_CONT_THR}
-    """,
+    oracle=_CONT_ORACLE,
 )
 def x1_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASYMMETRIC near-dup: {_CONT_N}-gram shingle CONTAINMENT -- flag
@@ -2412,18 +2424,54 @@ def x1_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabularies (measured: 18k token-level pairs vs 6 shingle-level at
     the same bar on the gate corpus).
 
-    Plan shape (r12): one distinct-shingle pass; candidates from the
-    LOSSLESS containment-prefix join (`_containment_cand_prefix` -- each
-    doc's ceil((1-t)*n)+1 rarest shingles probe the full inverted index;
-    pigeonhole guarantees every qualifying pair in either direction
-    survives), so the hot boilerplate grams that make a raw
-    (lang, shingle) self-join O(c^2) per gram never enter the probe side
-    -- the r11 kernel's unbounded fan-out (VERDICT r11 "What's wrong" #3)
-    is closed, kernels pinned row-identical in pytest. Survivors verify
-    EXACTLY against the full shingle sets, both directions from ONE
-    undirected intersection row; the containment value is a single
-    integer division (identical operands both engines -- no float-sum
-    exposure needed)."""
+    Plan shape (r12): one distinct-shingle pass, then MEASURED kernel
+    selection (the x1_dedup_jaccard_auto idiom): one aggregate over the
+    per-(lang, gram) occurrence counts computes the naive join's exact
+    candidate-row volume V = sum_g C(c_g, 2) and the shingle-row count S;
+    V > {_CONT_AUTO_FACTOR} x S routes to the LOSSLESS containment-prefix
+    kernel (`_containment_cand_prefix`), else the plain inverted-index
+    join (`_containment_cand_naive`). This closes the r11 kernel's
+    unbounded fan-out (VERDICT r11 "What's wrong" #3) without paying the
+    prefix path's ranking-window constant where no hot gram exists
+    (measured on the 10x/30x probe corpora: naive 2.7x faster at
+    V/S = 0.055; prefix 129x lower candidate volume on boilerplate).
+    Kernels pinned row-identical in pytest; survivors verify EXACTLY
+    against the full shingle sets, both directions from ONE undirected
+    intersection row; the containment value is a single integer division
+    (identical operands both engines -- no float-sum exposure needed).
+    EAGER AT BUILD: the selector's one-aggregate stats job is bounded by
+    the distinct-shingle shuffle the chosen plan needs anyway; the
+    registry memo bounds it to once per (session, sf_dir, snapshot)."""
+    sh, sizes = _containment_shingles(spark, sf_dir)
+    sh = track_persist(sh)
+    if _containment_auto_choice(sh) == "prefix":
+        return _containment_verify(_containment_cand_prefix(sh, sizes),
+                                   sh, sizes)
+    return _containment_verify(_containment_cand_naive(sh), sh, sizes)
+
+
+def _containment_auto_choice(sh: DataFrame) -> str:
+    """Measured kernel choice: "prefix" iff the naive inverted-index
+    join's exact candidate-row volume exceeds _CONT_AUTO_FACTOR x the
+    shingle rows (see the factor's calibration note)."""
+    [r] = (sh.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+           .agg(F.sum("c").alias("s"),
+                F.sum(F.expr("c * (c - 1) DIV 2")).alias("v")).collect())
+    s, v = int(r["s"] or 0), int(r["v"] or 0)
+    return "prefix" if v > _CONT_AUTO_FACTOR * s else "naive"
+
+
+@register("x1_dedup_containment_prefix", oracle=_CONT_ORACLE)
+def x1_dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The always-prefix containment plan on the shared oracle (the
+    jaccard_ngram/jaccard_prefix precedent: both physical strategies stay
+    independently driver-checkable so the auto face's choice is a
+    performance decision, never a correctness one). Candidates from the
+    LOSSLESS containment-prefix join -- each doc's ceil((1-t)*n)+1
+    rarest shingles probe the full inverted index; pigeonhole guarantees
+    every qualifying pair in either direction survives (proof in
+    `_containment_cand_prefix`); exact verification against the full
+    shingle sets."""
     sh, sizes = _containment_shingles(spark, sf_dir)
     return _containment_verify(_containment_cand_prefix(sh, sizes),
                                sh, sizes)

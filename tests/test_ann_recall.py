@@ -405,9 +405,10 @@ def test_containment_prefix_equals_naive(spark, tmp_path):
     t13 = " ".join(f"t{j}" for j in range(13))
     docs = ([(0, base[0], "en"), (1, base[1], "en"),
              (2, t13, "en"), (3, " ".join(f"t{j}" for j in range(12)), "en")]
-            # 30 unrelated docs sharing ONLY the boilerplate gram
+            # 60 unrelated docs sharing ONLY the boilerplate gram
+            # (V/S ~ 3.2 -- past the auto factor; at range(30) it is ~1.6)
             + [(10 + i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h "
-                + boiler, "en") for i in range(30)])
+                + boiler, "en") for i in range(60)])
     sf = tmp_path / "contain"
     sf.mkdir()
     spark.createDataFrame(docs, "doc_id long, text string, lang string") \
@@ -420,7 +421,16 @@ def test_containment_prefix_equals_naive(spark, tmp_path):
     rows = {r[0]: r for r in a_pref}
     assert rows[2][2] == 10  # n_contained > the container's 9 shingles
     # the boilerplate gram must not drive candidate volume: the naive
-    # join pairs all 32 docs that share it (C(32,2) = 496 candidates);
+    # join pairs all 62 docs that share it (C(62,2) = 1891 candidates);
     # the prefix probe keeps it out of almost every prefix
-    assert n_naive >= 496
+    assert n_naive >= 1891
     assert n_pref < n_naive / 4
+    # and the measured auto-selector must route each corpus shape to its
+    # kernel: uniform fan-out (gate corpus) -> naive; corpus-wide
+    # boilerplate -> prefix
+    from multiagent_form_schema_etl_spark.operators.dedup import (
+        _containment_auto_choice)
+    assert _containment_auto_choice(
+        _containment_shingles(spark, SF_SMOKE)[0]) == "naive"
+    assert _containment_auto_choice(
+        _containment_shingles(spark, str(sf))[0]) == "prefix"
