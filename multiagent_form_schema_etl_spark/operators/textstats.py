@@ -1137,3 +1137,82 @@ def x4_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         F.col("n_unseen").cast("long").alias("n_unseen_bigrams"),
         F.round("ce", 9).alias("cross_entropy"))
+
+
+# --- driver-visible LR-classifier invariant (r12) -----------------------------
+
+_QC_ACC_MIN = 0.85  # per-class accuracy floor for the driver assertion
+_QC_SEP_MIN = 0.5   # mean-probability separation floor
+# Bounds are deliberately LOOSER than the pytest pins (0.95 / 0.5 at the
+# pinned corpora): LBFGS training folds gradients via treeAggregate, so
+# coefficients move at the last float digits with partitioning, and on a
+# drill corpus with a 29-doc labeled class one boundary doc is 3.4% of
+# class accuracy. Measured margins r12: acc >= 0.9655, sep >= 0.786
+# across sf0.001 / sf0.01 / both r11 drill corpora -- the floors sit 3+
+# misclassifications / 0.28 nats away from every observed corpus.
+
+
+@register(
+    "x4_quality_classifier_invariant",
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS violation,
+           CAST(NULL AS DOUBLE) AS metric_good,
+           CAST(NULL AS DOUBLE) AS metric_bad
+    WHERE FALSE
+    """,
+)
+def x4_quality_classifier_invariant(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE invariant assertion for the rows-only trained
+    LR-classifier face (VERDICT r11 item 8 -- the x2_coreset_radius_bound
+    recipe applied to the last substantive rows-only resident). An exact
+    equivalence twin was evaluated and declined with reason (iterative
+    LBFGS has no closed-form re-derivation and partitioning-sensitive
+    convergence); what IS partition-insensitive is the ORDERING invariant
+    the pytest pins: heuristic-extreme docs must score on the correct
+    side of the midpoint and the two labeled classes must separate in
+    mean predicted probability. This face computes those aggregates from
+    the classifier's own output and emits a violation row against a
+    CONSTANT EMPTY oracle when a floor is broken, promoting the
+    sf0.001-only pytest pin to a standing per-corpus driver assertion.
+
+    Vacuity canary: a corpus where either labeled class is EMPTY (the
+    heuristic labeled nothing -- the invariant would pass vacuously)
+    emits an EMPTY_LABELED_CLASS marker row that fails the gate.
+
+    Plan shape: the classifier face's own lineage (treeAggregate fit +
+    one codegen scoring pass) + one 1-row aggregate over the labeled
+    rows; nothing new moves."""
+    scored = x4_quality_classifier(spark, sf_dir)
+    lab = scored.filter(F.col("label").isNotNull())
+    [r] = (lab.agg(
+        F.count(F.when(F.col("label") == 1.0, 1)).alias("n_hi"),
+        F.count(F.when(F.col("label") == 0.0, 1)).alias("n_lo"),
+        F.avg(F.when(F.col("label") == 1.0,
+                     (F.col("prob_good") >= 0.5).cast("double")))
+         .alias("acc_hi"),
+        F.avg(F.when(F.col("label") == 0.0,
+                     (F.col("prob_good") < 0.5).cast("double")))
+         .alias("acc_lo"),
+        F.avg(F.when(F.col("label") == 1.0, F.col("prob_good")))
+         .alias("mu_hi"),
+        F.avg(F.when(F.col("label") == 0.0, F.col("prob_good")))
+         .alias("mu_lo"),
+        F.count(F.when((F.col("prob_good") < 0.0)
+                       | (F.col("prob_good") > 1.0), 1))
+         .alias("n_oob")).collect())
+    rows = []
+    if not r["n_hi"] or not r["n_lo"]:
+        rows.append(("EMPTY_LABELED_CLASS",
+                     float(r["n_hi"] or 0), float(r["n_lo"] or 0)))
+    else:
+        if r["acc_hi"] < _QC_ACC_MIN or r["acc_lo"] < _QC_ACC_MIN:
+            rows.append(("ACCURACY_BELOW_FLOOR",
+                         float(r["acc_hi"]), float(r["acc_lo"])))
+        if r["mu_hi"] - r["mu_lo"] < _QC_SEP_MIN:
+            rows.append(("SEPARATION_BELOW_FLOOR",
+                         float(r["mu_hi"]), float(r["mu_lo"])))
+    if r["n_oob"]:
+        rows.append(("PROB_OUT_OF_RANGE", float(r["n_oob"]), 0.0))
+    return spark.createDataFrame(
+        rows, "violation string, metric_good double, metric_bad double")

@@ -663,3 +663,30 @@ def test_bigram_perplexity_penalizes_shuffled_text(spark, tmp_path):
     assert uni[2] == uni[3]  # identical token multiset => unigram tie
     assert big[3].cross_entropy > big[2].cross_entropy + 0.3
     assert big[3].n_unseen_bigrams >= big[2].n_unseen_bigrams
+
+
+def test_quality_classifier_invariant_face_trips(spark, tmp_path,
+                                                 monkeypatch):
+    """The driver-visible LR invariant face must be non-vacuous: raising
+    the floors past 1.0 emits violation rows on the gate corpus, and a
+    corpus whose heuristic labels only one class emits the
+    EMPTY_LABELED_CLASS canary; under the real floors the gate corpus is
+    clean."""
+    from multiagent_form_schema_etl_spark.operators import textstats as T
+
+    assert T.x4_quality_classifier_invariant(spark, SF_SMOKE).count() == 0
+    monkeypatch.setattr(T, "_QC_ACC_MIN", 1.01)
+    monkeypatch.setattr(T, "_QC_SEP_MIN", 2.0)
+    got = {r.violation for r in
+           T.x4_quality_classifier_invariant(spark, SF_SMOKE).collect()}
+    assert got == {"ACCURACY_BELOW_FLOOR", "SEPARATION_BELOW_FLOOR"}
+    monkeypatch.undo()
+    # all-good corpus: no doc matches the clearly-bad label arm
+    docs = [(i, "word " * 60) for i in range(40)]
+    sf = tmp_path / "onesided"
+    sf.mkdir()
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .write.parquet(str(sf / "documents.parquet"))
+    got = {r.violation for r in
+           T.x4_quality_classifier_invariant(spark, str(sf)).collect()}
+    assert got == {"EMPTY_LABELED_CLASS"}
