@@ -305,3 +305,82 @@ def a_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("max_rows_per_key").cast("double")
                             / F.col("avg_rows_per_key"), 6)
                      .alias("skew_factor")))
+
+
+# --- exact distributed weighted percentiles (r12) -----------------------------
+
+_WP_QUANTILES = (25, 50, 75, 90)  # integer percents => exact arithmetic
+_WP_BUCKET = 1000.0               # coarse value-bucket width for the
+#                                   two-phase cumulative sum (price domain
+#                                   ~900..105k => ~110 buckets per group)
+
+
+@register(
+    "a_weighted_percentile_exact",
+    oracle=f"""
+    WITH vals AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY l_returnflag, l_extendedprice),
+    cum AS (
+      SELECT l_returnflag, v,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS total
+      FROM vals),
+    q(pct) AS (VALUES {", ".join(f"({p})" for p in _WP_QUANTILES)})
+    SELECT l_returnflag, CAST(pct AS BIGINT) AS pct, MIN(v) AS value
+    FROM cum, q
+    WHERE 100 * cw >= pct * total
+    GROUP BY l_returnflag, pct
+    """,
+)
+def a_weighted_percentile_exact(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """EXACT weighted percentiles without a fact-scale single-partition
+    window: the p-th weighted percentile of l_extendedprice with weight
+    l_quantity per l_returnflag -- the smallest value whose cumulative
+    weight reaches p% of the group total (the estimator approx_percentile
+    approximates; this face is its exact audit twin, the shape a curation
+    pipeline needs when a cut threshold must be reproducible).
+
+    Scale shape -- the x5_shard_by_budget two-phase global-cumsum idiom
+    applied to a window most engines write as one giant sort:
+    1. weights collapse to the (group, value) DISTINCT-VALUE relation
+       first (map-side combine; the fact table never enters a window);
+    2. per-(group, coarse value-bucket) sums roll up to bucket offsets
+       via a window over the ~110-buckets-per-group relation (tiny);
+    3. the within-bucket running sum + its bucket offset is the exact
+       global cumulative weight -- each window task sorts ONE bucket,
+       so parallelism is (groups x buckets), never 1.
+    All comparisons are exact integer arithmetic (quantities are
+    integral: 100*cw >= pct*total in BIGINT -- no float epsilon at the
+    percentile boundary), and the emitted value is a SELECTED datum, not
+    a computed float, so no rounding exposure is needed."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_returnflag").alias("g"),
+                  F.col("l_extendedprice").alias("v"),
+                  F.col("l_quantity").cast("long").alias("w")))
+    vals = (li.groupBy("g", "v").agg(F.sum("w").alias("w"))
+            .withColumn("bucket",
+                        F.floor(F.col("v") / F.lit(_WP_BUCKET))
+                        .cast("long")))
+    from pyspark.sql import Window
+    wb = (Window.partitionBy("g").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    boff = (vals.groupBy("g", "bucket").agg(F.sum("w").alias("bw"))
+            .withColumn("offset", F.sum("bw").over(wb) - F.col("bw"))
+            .select("g", "bucket", "offset"))
+    ww = (Window.partitionBy("g", "bucket").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # offsets: |groups| x |value-range / bucket-width| rows -- domain-
+    # bounded, never fact-scale (the x5_shard_by_budget precedent)
+    cum = (vals.join(F.broadcast(boff), ["g", "bucket"])
+           .withColumn("cw", F.col("offset") + F.sum("w").over(ww)))
+    totals = li.groupBy("g").agg(F.sum("w").alias("total"))
+    qs = spark.createDataFrame([(p,) for p in _WP_QUANTILES], "pct long")
+    return (cum.join(totals, "g")
+            .crossJoin(F.broadcast(qs))
+            .filter(100 * F.col("cw") >= F.col("pct") * F.col("total"))
+            .groupBy(F.col("g").alias("l_returnflag"), "pct")
+            .agg(F.min("v").alias("value")))

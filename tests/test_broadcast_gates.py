@@ -78,6 +78,8 @@ _ALLOWED_RAW = {
     ("catalog.py", "df"),
     # TPC-H fixed dims (25/5 rows at every SF) and 1-row aggregates
     ("operators/aggregates.py", "nation"),
+    ("operators/aggregates.py", "boff"),  # domain-bounded bucket offsets
+    ("operators/aggregates.py", "qs"),    # literal 4-row quantile dim
     ("operators/windows.py", "nation"),
     ("operators/relational.py", "nation"),
     ("operators/relational.py", "region"),

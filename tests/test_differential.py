@@ -594,3 +594,30 @@ def test_fellegi_sunter_decision_classes_and_threshold_gap(spark, tmp_path):
     assert got[("widget alpha", "widget alphb")] == "link"
     assert got[("gadget beta", "gadget betz")] == "non_link"
     assert got[("copper rose", "copper rosy")] == "possible"
+
+
+def test_weighted_percentile_matches_python_reference(spark):
+    """a_weighted_percentile_exact vs an independent plain-Python weighted
+    percentile (sort the raw rows, scan the cumulative weight) -- catches
+    a definition error the shared SQL formulation could hide from the
+    DuckDB oracle."""
+    import pandas as pd
+
+    from multiagent_form_schema_etl_spark.operators.aggregates import (
+        _WP_QUANTILES, a_weighted_percentile_exact)
+    from tests.conftest import SF_SMOKE
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice",
+                                  "l_quantity"])
+    want = {}
+    for g, sub in li.groupby("l_returnflag"):
+        sub = sub.sort_values("l_extendedprice")
+        cw = sub["l_quantity"].astype("int64").cumsum()
+        total = int(cw.iloc[-1])
+        for pct in _WP_QUANTILES:
+            sel = sub.loc[100 * cw >= pct * total, "l_extendedprice"]
+            want[(g, pct)] = float(sel.iloc[0])
+    got = {(r.l_returnflag, r.pct): r.value
+           for r in a_weighted_percentile_exact(spark, SF_SMOKE).collect()}
+    assert got == want
