@@ -547,3 +547,89 @@ def etl_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
            .unionByName(check(cu, "c_nationkey", na, "n_nationkey",
                               "customer.c_nationkey -> nation.n_nationkey")))
     return out.withColumn("intact", F.col("n_orphans") == 0)
+
+
+# --- inclusion-dependency FK discovery (r12) ----------------------------------
+
+# Candidate (child_table, child_col, parent_table, parent_col) edges to
+# PROFILE -- deliberately a mix: true FKs, a reversed edge (inclusion holds
+# both ways when the child covers the parent domain -- uniqueness is what
+# orients it), and coincidental integer-domain overlaps that a naive
+# "containment high => FK" rule would false-positive on.
+_FK_CANDIDATES = (
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_nationkey", "customer", "c_nationkey"),  # reversed edge
+    ("part", "p_size", "nation", "n_nationkey"),       # ~0.5 overlap
+    ("customer", "c_nationkey", "part", "p_size"),     # high-but-not-1.0
+)
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        parts.append(f"""
+    SELECT '{ct}.{cc} -> {pt}.{pc}' AS candidate,
+           CAST(s.nc AS BIGINT) AS n_child_rows,
+           CAST(s.nk AS BIGINT) AS n_child_keys,
+           CAST(s.ni AS BIGINT) AS n_contained_keys,
+           ROUND(CAST(s.ni AS DOUBLE) / s.nk, 6) AS containment,
+           ROUND(CAST(s.nk AS DOUBLE) / s.nc, 6) AS uniqueness,
+           s.ni = s.nk AS is_inclusion
+    FROM (SELECT (SELECT COUNT({cc}) FROM {ct}) AS nc,
+                 (SELECT COUNT(DISTINCT {cc}) FROM {ct}) AS nk,
+                 (SELECT COUNT(*) FROM
+                    (SELECT DISTINCT c.{cc} FROM {ct} c
+                     JOIN {pt} p ON c.{cc} = p.{pc})) AS ni) s""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("etl_fk_discovery", oracle=_fk_oracle())
+def etl_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCLUSION-DEPENDENCY profiling -- foreign-key DISCOVERY, the
+    schema-inference sibling of etl_referential_integrity's declared-FK
+    audit: for each candidate column pair, the fraction of the child's
+    distinct values contained in the parent's (containment), the child
+    column's uniqueness (distinct/rows -- what ORIENTS an edge when
+    inclusion holds both ways, as it does for
+    nation.n_nationkey <-> customer.c_nationkey here), and the exact
+    inclusion verdict. The candidate list mixes true FKs with a reversed
+    edge and two coincidental integer-domain overlaps (p_size vs
+    n_nationkey at ~0.5; c_nationkey in p_size at 24/25) so the output
+    demonstrates discrimination, not just confirmation. Generalizes the
+    reference's schema-driven field typing (schema/schema.py) from
+    declared structure to INFERRED cross-table structure.
+
+    Scale shape: every pair reduces each side to its DISTINCT key set
+    FIRST (map-side partial agg; the join inputs are key-domain-sized,
+    never fact-sized), then one left-semi-shaped join + a 1-row
+    aggregate per pair; the six 1-row results union. The containment /
+    uniqueness divisions are single same-operand IEEE ops on both
+    engines -- bit-identical pre-round."""
+    outs = []
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        child = load_table(spark, sf_dir, ct)
+        parent = load_table(spark, sf_dir, pt)
+        nc = child.agg(F.count(cc).alias("nc"))
+        ck = child.select(F.col(cc).alias("ck")).filter(
+            F.col("ck").isNotNull()).distinct()
+        pk = parent.select(F.col(pc).alias("pk")).distinct()
+        keyed = (ck.join(pk, F.col("ck") == F.col("pk"), "left")
+                 .agg(F.count(F.lit(1)).alias("nk"),
+                      F.count("pk").alias("ni")))
+        outs.append(
+            keyed.crossJoin(nc).select(
+                F.lit(f"{ct}.{cc} -> {pt}.{pc}").alias("candidate"),
+                F.col("nc").cast("long").alias("n_child_rows"),
+                F.col("nk").cast("long").alias("n_child_keys"),
+                F.col("ni").cast("long").alias("n_contained_keys"),
+                F.round(F.col("ni").cast("double") / F.col("nk"), 6)
+                 .alias("containment"),
+                F.round(F.col("nk").cast("double") / F.col("nc"), 6)
+                 .alias("uniqueness"),
+                (F.col("ni") == F.col("nk")).alias("is_inclusion")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
