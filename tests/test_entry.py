@@ -139,51 +139,50 @@ def test_registry_eviction_releases_tracked_subrelation_caches(spark, tmp_path):
 
 
 def test_rotation_ledger_orders_window_and_tail_stalest_first():
-    """VERDICT r9 item 2 / r10 item 2: the driver-checked window (first
-    50) must carry the prior round's first-timers one confirming round,
-    the new r11 faces, and ONLY stalest-cohort fillers; the post-window
-    oracle-backed tail must be ordered stalest-first by the committed
-    rotation ledger."""
+    """VERDICT r9 item 2 / r11 item 3: the driver-checked window (first
+    50) must carry every never-driver-green face (the new r12 faces, the
+    fixed fellegi FAIL, the late-r11 containment carryover), the r11
+    first-timers for their confirming round, and ONLY stalest-cohort
+    fillers; the post-window oracle-backed tail must be ordered
+    stalest-first by the committed rotation ledger. Categories derive
+    from the LEDGER, not hardcoded slices, so the test restates the
+    policy each round instead of one round's layout."""
     from multiagent_form_schema_etl_spark.plans import registry
 
     registry.load_all_modules()
     led = registry.rotation_ledger()
     assert led, "rotation_ledger.json missing or empty"
+    cur = max(led.values())  # the last driver-checked round folded in
 
     names = registry.ordered_query_names()
     window = names[:50]
     assert window == list(registry.PRIORITY)
     assert len(set(window)) == 50
 
-    # the new r11 faces are driver-checked this round
-    assert "x4_bm25_topk" in window
-    assert "x4_tfidf_mllib_equiv" in window
-    assert "x2_coreset_radius_bound" in window
-    assert "doc_u1_label_scaffold_equiv" in window
-
-    # the r11 window drains the whole r1-stale cohort: nothing in the
-    # post-window tail may still be at ledger round 1
-    assert all(led.get(n, 0) >= 2 for n in names[50:] if n in led)
-
-    # every window filler that is not a confirmer/new face comes from the
-    # ledger's STALEST cohort (no filler may be younger than any
-    # non-window oracle-backed query)
-    confirmers = set(registry.PRIORITY[:11])
-    fillers = [n for n in window if n not in confirmers]
     post_oracle = [n for n in names[50:] if n in registry.ORACLES]
-    filler_rounds = [led.get(n, 0) for n in fillers]
-    # EXCEPTION (late r11): a face registered after the 50 slots were
-    # consumed by the r1-cohort drain commitment (x1_dedup_containment)
-    # sits in the tail at ledger round 0; as never-checked it leads the
-    # r12 window mechanically (the registry NOTE documents this), so the
-    # stalest-filler invariant applies to LEDGER-TRACKED tail queries.
-    post_rounds = [led.get(n, 0) for n in post_oracle if n in led]
-    assert max(filler_rounds) <= min(post_rounds), (
+
+    # every oracle-backed face with NO driver-green row ever (new faces,
+    # the fixed r11 FAIL, the late-r11 containment carryover) must be
+    # inside the window -- the never-checked backlog stays zero
+    untracked_tail = [n for n in post_oracle if n not in led]
+    assert untracked_tail == [], (
+        f"never-driver-checked faces outside the window: {untracked_tail}")
+
+    # the prior round's first-timers keep one confirming round
+    confirmers = [n for n in window if led.get(n) == cur]
+    assert len(confirmers) >= 1
+
+    # every window filler (ledger-tracked, older than the current round)
+    # comes from the stalest cohorts: no filler may be younger than any
+    # skipped ledger-tracked query
+    fillers = [n for n in window if n in led and led[n] < cur]
+    post_rounds = [led[n] for n in post_oracle if n in led]
+    assert max(led[n] for n in fillers) <= min(post_rounds), (
         "window filler younger than a skipped ledger-tracked query")
-    untracked = [n for n in post_oracle if n not in led]
-    assert untracked == ["x1_dedup_containment"], (
-        "every never-checked face except the documented late one must be "
-        f"inside the window: {untracked}")
+
+    # the r11 window drained the r1-stale cohort for good: nothing
+    # ledger-tracked may ever read round 1 again
+    assert all(led.get(n, 2) >= 2 for n in names[50:])
 
     # post-window oracle-backed tail is stalest-first, deterministic
     assert post_rounds == sorted(post_rounds)

@@ -61,6 +61,7 @@ DOC_QUERIES = [
     "x1_dedup_containment",
     "x1_graph_adamic_adar",
     "x4_perplexity_unigram",
+    "x4_perplexity_bigram",
     "x5_corpus_pipeline_end_to_end",
 ]
 EVENT_QUERIES = [
