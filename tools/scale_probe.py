@@ -922,7 +922,9 @@ _SPILL_QUERIES = ("x1_dedup_jaccard_ngram", "x1_dedup_components",
                   "w1_running_revenue_per_customer", "etl_scd2_intervals",
                   "x5_decontaminate_ngram",
                   # r11: the wedge join is the heaviest new shuffle shape
-                  "x1_graph_adamic_adar", "x1_dedup_tfidf_cosine")
+                  "x1_graph_adamic_adar", "x1_dedup_tfidf_cosine",
+                  # r12: the bigram-model attach is the heaviest new join
+                  "x4_perplexity_bigram")
 
 
 def run_spill_probe(spark, qs, sf_dir: str) -> dict:
