@@ -190,3 +190,40 @@ def w_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
         F.rank().over(w).cast("long").alias("rnk"))
+
+
+@register(
+    "w_range_frame_time_window",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(value) OVER w AS BIGINT) AS n_events_1h,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+             AS sum_value_1h
+    FROM (SELECT user_id, event_id, value,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w_range_frame_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based RANGE frame -- the window feature the ROWS-frame family
+    cannot express: per event, the count and DECIMAL-routed value sum of
+    the user's events in the PRECEDING HOUR (frame bounded by the
+    ORDER-BY value, not a row count, so sparse and bursty users get the
+    same wall-clock semantics). Ordering key is exact epoch MICROSECONDS
+    (integer range arithmetic -- identical frame membership on both
+    engines; timestamp ties are RANGE-frame peers and included on both,
+    by the standard's definition). Scale shape: one user_id-partitioned
+    window over the event relation -- the same single-shuffle contract
+    as every w_* face; the frame is evaluated by Spark's sliding range
+    accumulator, never by a self-join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.unix_micros(F.col("ts")).alias("ts_us"))
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-3_600_000_000, Window.currentRow))
+    return ev.select(
+        "user_id", "event_id",
+        F.count("value").over(w).cast("long").alias("n_events_1h"),
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+         .alias("sum_value_1h"))

@@ -219,10 +219,10 @@ PRIORITY: tuple[str, ...] = (
     # -- new r12 faces (never driver-checked -> window immediately) --
     "x4_perplexity_bigram", "x1_dedup_containment_prefix",
     "x4_quality_classifier_invariant", "a_weighted_percentile_exact",
-    "etl_fk_discovery",
+    "etl_fk_discovery", "w_range_frame_time_window",
     # -- r7-cohort head (alphabetical), filling the window to 50; new r12
     #    faces displace from THIS tail, never the cohorts above --
-    "a_rollup_order_hierarchy", "a_salted_skew_sum",
+    "a_rollup_order_hierarchy",
 )
 
 
