@@ -1216,3 +1216,98 @@ def x4_quality_classifier_invariant(spark: SparkSession,
         rows.append(("PROB_OUT_OF_RANGE", float(r["n_oob"]), 0.0))
     return spark.createDataFrame(
         rows, "violation string, metric_good double, metric_bad double")
+
+
+# --- Zipf / Heaps corpus diagnostics (r12) ------------------------------------
+
+_ZIPF_TOPK = 1000  # rank-frequency regression depth per language
+
+
+def _zipf_oracle_cte() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT lang, unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS token
+      FROM documents),
+    tf AS (SELECT lang, token, COUNT(*) AS c FROM tok GROUP BY lang, token),
+    ranked AS (
+      SELECT lang, c,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY c DESC, token) AS r
+      FROM tf),
+    top AS (SELECT lang, c, r FROM ranked WHERE r <= {_ZIPF_TOPK}),
+    sums AS (
+      SELECT lang, COUNT(*) AS k,
+             SUM(ln(r)) AS sx, SUM(ln(c)) AS sy,
+             SUM(ln(r) * ln(r)) AS sxx, SUM(ln(r) * ln(c)) AS sxy
+      FROM top GROUP BY lang),
+    stats AS (SELECT lang, COUNT(*) AS v, SUM(c) AS n FROM tf
+              GROUP BY lang),
+    scored AS (
+      SELECT s.lang, st.n, st.v,
+             CASE WHEN s.k * s.sxx - s.sx * s.sx = 0 THEN NULL
+                  ELSE (s.k * s.sxy - s.sx * s.sy)
+                       / (s.k * s.sxx - s.sx * s.sx) END AS slope
+      FROM sums s JOIN stats st ON s.lang = st.lang)
+"""
+
+
+@register(
+    "x4_zipf_heaps_stats",
+    oracle=_zipf_oracle_cte() + """
+    SELECT lang, CAST(n AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS n_types,
+           ROUND(slope, 6) AS zipf_slope
+    FROM scored
+    """,
+)
+def x4_zipf_heaps_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-law diagnostics per language: token count N and type count V
+    (the Heaps'-law pair every dataset card reports) plus the ZIPF SLOPE
+    -- the least-squares slope of ln(freq) on ln(rank) over the top-1000
+    types. Natural text sits near -1; a slope collapsing toward 0 flags
+    boilerplate floods, template spam, or tokenizer damage BEFORE the
+    expensive quality models run -- the cheap distribution-shape tripwire
+    a curation pipeline wants per ingest batch.
+
+    Scale shape: one tokenize pass -> per-(lang, token) counts (map-side
+    combine); ranking uses the bm25_topk two-phase local-winners idiom --
+    a window over (lang, partition) keeps <= K rows per partition
+    losslessly before the per-language window runs over <= K x
+    n_partitions survivors, so no vocabulary-sized single-task sort; the
+    regression is one 1-row-per-language aggregate over <= K ranked rows.
+
+    Float discipline: ln(rank) and ln(count) are transcendentals of the
+    same INTEGERS on both engines (bit-identical per-row); only the
+    regression sums' fold order differs, so the face emits
+    ROUND(slope, 6) with the pre-round slopes exposed to the boundary
+    audit (`zipf_cells`). The degenerate one-type language (zero rank
+    variance) yields NULL on both engines rather than a division error."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != ""))
+         .alias("token"))
+    tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    stats = tf.groupBy("lang").agg(F.count(F.lit(1)).alias("v"),
+                                   F.sum("c").alias("n"))
+    scored = tf.withColumn("pid", F.spark_partition_id())
+    wl = (Window.partitionBy("lang", "pid")
+          .orderBy(F.desc("c"), F.asc("token")))
+    pruned = (scored.withColumn("lrnk", F.row_number().over(wl))
+              .filter(F.col("lrnk") <= _ZIPF_TOPK).drop("lrnk", "pid"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("token"))
+    top = (pruned.withColumn("r", F.row_number().over(w))
+           .filter(F.col("r") <= _ZIPF_TOPK))
+    lnr, lnc = F.log(F.col("r").cast("double")), F.log("c")
+    sums = top.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(lnr).alias("sx"), F.sum(lnc).alias("sy"),
+        F.sum(lnr * lnr).alias("sxx"), F.sum(lnr * lnc).alias("sxy"))
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / den)
+    return (sums.join(stats, "lang")
+            .select("lang",
+                    F.col("n").cast("long").alias("n_tokens"),
+                    F.col("v").cast("long").alias("n_types"),
+                    F.round(slope, 6).alias("zipf_slope")))

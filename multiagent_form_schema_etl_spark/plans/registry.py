@@ -220,9 +220,9 @@ PRIORITY: tuple[str, ...] = (
     "x4_perplexity_bigram", "x1_dedup_containment_prefix",
     "x4_quality_classifier_invariant", "a_weighted_percentile_exact",
     "etl_fk_discovery", "w_range_frame_time_window",
-    # -- r7-cohort head (alphabetical), filling the window to 50; new r12
-    #    faces displace from THIS tail, never the cohorts above --
-    "a_rollup_order_hierarchy",
+    "x4_zipf_heaps_stats",
+    # (the seven r7-cohort head fillers were each displaced by a new r12
+    #  face; the r7 cohort re-enters by staleness next round)
 )
 
 

@@ -690,3 +690,30 @@ def test_quality_classifier_invariant_face_trips(spark, tmp_path,
     got = {r.violation for r in
            T.x4_quality_classifier_invariant(spark, str(sf)).collect()}
     assert got == {"EMPTY_LABELED_CLASS"}
+
+
+def test_zipf_slope_separates_natural_from_uniform(spark, tmp_path):
+    """The Zipf face's motivating tripwire: a corpus with a 1/rank
+    frequency profile regresses near -1, while a uniform-frequency
+    (template-spam-shaped) corpus regresses near 0 -- and Heaps counts
+    are exact."""
+    from multiagent_form_schema_etl_spark.operators.textstats import (
+        x4_zipf_heaps_stats)
+
+    zipf_toks = []
+    for i in range(1, 41):                      # token t_i appears 400//i x
+        zipf_toks += [f"t{i}"] * (400 // i)
+    uni_toks = [f"u{i}" for i in range(1, 41)] * 10   # all equal freq
+    docs = [(1, " ".join(zipf_toks), "zipfy"),
+            (2, " ".join(uni_toks), "flat")]
+    sf = tmp_path / "zipf"
+    sf.mkdir()
+    spark.createDataFrame(docs, "doc_id long, text string, lang string") \
+        .write.parquet(str(sf / "documents.parquet"))
+    got = {r.lang: r for r in x4_zipf_heaps_stats(spark, str(sf)).collect()}
+    assert got["zipfy"].n_types == 40
+    assert got["zipfy"].n_tokens == sum(400 // i for i in range(1, 41))
+    assert got["flat"].n_types == 40 and got["flat"].n_tokens == 400
+    assert got["zipfy"].zipf_slope < -0.8
+    assert got["flat"].zipf_slope > -0.1
+    assert got["flat"].zipf_slope > got["zipfy"].zipf_slope + 0.5

@@ -107,6 +107,8 @@ _BOUNDARY_EXPOSURES: dict[str, str] = {
     "ppl_cells": None,  # filled by _install_ppl_exposure()
     # x4_perplexity_bigram: same recipe over the interpolated-bigram CTE
     "ppl2_cells": None,  # filled by _install_ppl2_exposure()
+    # x4_zipf_heaps_stats: pre-round regression slopes (every emitted cell)
+    "zipf_cells": None,  # filled by _install_zipf_exposure()
     # pre-round centered norms of x2_grouped_center_applyinpandas (all
     # cells are emitted)
     "centered_norms": """
@@ -196,6 +198,16 @@ def _install_ppl2_exposure() -> None:
                                          + "SELECT ce AS x FROM scored")
 
 
+def _install_zipf_exposure() -> None:
+    """zipf_cells from the face's own scored CTE (every emitted per-lang
+    pre-round slope is a compared cell)."""
+    from multiagent_form_schema_etl_spark.operators.textstats import (
+        _zipf_oracle_cte)
+    _BOUNDARY_EXPOSURES["zipf_cells"] = (
+        _zipf_oracle_cte()
+        + "SELECT slope AS x FROM scored WHERE slope IS NOT NULL")
+
+
 _BOUNDARY_FACES: dict[str, str] = {
     "x4_bm25_topk": "bm25_topk_cells",
     "x5_weighted_sample_topk": "ws_topk_cells",
@@ -203,6 +215,7 @@ _BOUNDARY_FACES: dict[str, str] = {
     "x1_graph_adamic_adar": "aa_cells",
     "x4_perplexity_unigram": "ppl_cells",
     "x4_perplexity_bigram": "ppl2_cells",
+    "x4_zipf_heaps_stats": "zipf_cells",
     "x2_cosine_topk": "topk_cells",
     "x2_cosine_topk_gemm": "topk_cells",
     "x2_cosine_topk_bruteforce": "topk_cells",
@@ -254,6 +267,8 @@ def boundary_audit(con, faces: list[str]) -> list[str]:
         _install_ppl_exposure()
     if _BOUNDARY_EXPOSURES.get("ppl2_cells") is None:
         _install_ppl2_exposure()
+    if _BOUNDARY_EXPOSURES.get("zipf_cells") is None:
+        _install_zipf_exposure()
     failures: list[str] = []
     mins: dict[str, tuple[float, int]] = {}
     for exp in sorted({_BOUNDARY_FACES[f] for f in faces}):
