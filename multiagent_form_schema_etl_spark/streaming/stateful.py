@@ -796,3 +796,74 @@ def streaming_attribution_last_touch(
         stateStructType="touch_us long, touch_id long, touch_type string",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+# ---------------------------------------------------------------------------
+# Live twin of operators.windows.w_range_frame_time_window: per-user sliding
+# preceding-hour count + value sum as an applyInPandasWithState operator.
+# State = the user's events inside the trailing hour (parallel ts/micros
+# arrays); each arriving event evicts the expired prefix, joins the buffer,
+# and emits its frame aggregate immediately (append semantics). Matching the
+# batch face bit-for-bit needs the interval-coalesce care twice over:
+# (1) value sums route through exact integer MICRO-UNITS (_value_micros --
+# the batch twin's DECIMAL(28,6) routing), and (2) RANGE frames include
+# PEERS (rows tied on ts_us), so tied rows within a micro-batch are
+# processed as one group and emitted together. Cross-batch ties are
+# excluded by contract (same in-order-source contract as the other twins;
+# the gate corpora have no (user, ts) duplicates -- asserted in pytest).
+# ---------------------------------------------------------------------------
+
+_RF_WINDOW_US = 3_600_000_000
+_RF_OUT_SCHEMA = ("user_id long, event_id long, n_events_1h long, "
+                  "sum_value_1h double")
+
+
+def streaming_range_frame_hour(spark: SparkSession, sf_dir: str,
+                               source: DataFrame | None = None) -> DataFrame:
+    """Live sliding-hour frame aggregates (see module comment above)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .structured import stream_events
+
+    def step(key, pdfs, state: GroupState):
+        uid = int(key[0])
+        ts_buf, mic_buf = ([list(a) for a in state.get] if state.exists
+                           else ([], []))
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            rows = [(int(t.value), int(e), _value_micros(v))
+                    for t, e, v in zip(pd.to_datetime(pdf["ts"]),
+                                       pdf["event_id"], pdf["value"])]
+            rows = [(t // 1000, e, m) for t, e, m in rows]  # ns -> us
+            i = 0
+            while i < len(rows):
+                j = i
+                while j < len(rows) and rows[j][0] == rows[i][0]:
+                    j += 1  # peer group: identical ts_us
+                cut = rows[i][0] - _RF_WINDOW_US
+                k = 0
+                while k < len(ts_buf) and ts_buf[k] < cut:
+                    k += 1
+                ts_buf, mic_buf = ts_buf[k:], mic_buf[k:]
+                for t, _e, m in rows[i:j]:
+                    ts_buf.append(t)
+                    mic_buf.append(m)
+                n, s = len(ts_buf), sum(mic_buf)
+                for _t, e, _m in rows[i:j]:
+                    out.append((uid, e, n, float(s) / 1e6))
+                i = j
+        state.update((ts_buf, mic_buf))
+        yield pd.DataFrame(out, columns=["user_id", "event_id",
+                                         "n_events_1h", "sum_value_1h"])
+
+    ev = (source if source is not None
+          else stream_events(spark, sf_dir)).select(
+        "user_id", "event_id", "ts", "value")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=_RF_OUT_SCHEMA,
+        stateStructType="ts array<long>, micros array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)

@@ -1094,3 +1094,87 @@ def test_value_micros_matches_spark_decimal_cast_on_repr_halves(spark):
     want = {r.v: r.micros for r in rows}
     assert got == want
     assert got[0.1234565] == 123457  # the exact-binary path says 123456
+
+
+def test_streaming_range_frame_state_survives_microbatches(spark, tmp_path):
+    """applyInPandasWithState sliding-hour frames: stream the events table
+    as TWO ts-ordered files with maxFilesPerTrigger=1 (every user's hour
+    buffer must cross the micro-batch boundary); the per-event emissions
+    must equal the oracle-backed RANGE-frame batch face row-for-row,
+    sum_value_1h bit-for-bit (integer micro-unit accumulation == the
+    batch DECIMAL(28,6) routing). The cross-batch tie contract holds
+    vacuously here: the corpus has no duplicate (user_id, ts) -- asserted
+    so a regenerated corpus that violates it fails loudly, not subtly."""
+    import os
+    import shutil
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.operators.windows import (
+        w_range_frame_time_window)
+    from multiagent_form_schema_etl_spark.streaming import stateful as stf
+
+    ev = (load_table(spark, SF_SMOKE, "events")
+          .select("user_id", "event_id", "ts", "value"))
+    assert (ev.groupBy("user_id", "ts").count()
+            .filter(F.col("count") > 1).count() == 0)
+    split = ev.orderBy("ts", "event_id").collect()[ev.count() // 2]
+    first_half = ((F.col("ts") < split["ts"]) |
+                  ((F.col("ts") == split["ts"]) &
+                   (F.col("event_id") <= split["event_id"])))
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (name, part) in enumerate(
+            [("a.parquet", ev.filter(first_half)),
+             ("b.parquet", ev.filter(~first_half))]):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        [pf] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.copy(stage / pf, src / name)
+        os.utime(src / name, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (spark.readStream
+           .schema("user_id long, event_id long, ts timestamp, value double")
+           .format("parquet").option("maxFilesPerTrigger", "1")
+           .load(str(src)))
+    st.run_append_to_memory(
+        stf.streaming_range_frame_hour(spark, SF_SMOKE, source=raw),
+        "t_rframe")
+    got = _rows(spark.sql("SELECT * FROM t_rframe"))
+    want = _rows(w_range_frame_time_window(spark, SF_SMOKE))
+    assert got == want and len(got) > 0
+
+
+def test_streaming_range_frame_handles_timestamp_peers(spark, tmp_path):
+    """RANGE frames include PEERS (rows tied on the order key): a
+    constructed one-batch corpus with three events at the identical
+    microsecond must emit every tied row with the full peer-group
+    aggregate, exactly as the batch face computes it."""
+    import datetime
+
+    from multiagent_form_schema_etl_spark.operators.windows import (
+        w_range_frame_time_window)
+    from multiagent_form_schema_etl_spark.streaming import stateful as stf
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(1, 1, t0, 10.0), (1, 2, t0, 20.0), (1, 3, t0, 30.0),
+            (1, 4, t0 + datetime.timedelta(minutes=30), 5.0),
+            (1, 5, t0 + datetime.timedelta(hours=2), 1.0),
+            (2, 6, t0, 7.0)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    raw = (spark.readStream
+           .schema("user_id long, event_id long, ts timestamp, value double")
+           .format("parquet").load(str(tmp_path / "events.parquet")))
+    st.run_append_to_memory(
+        stf.streaming_range_frame_hour(spark, str(tmp_path), source=raw),
+        "t_rframe_peers")
+    got = _rows(spark.sql("SELECT * FROM t_rframe_peers"))
+    want = _rows(w_range_frame_time_window(spark, str(tmp_path)))
+    assert got == want
+    by_event = {r[1]: r for r in got}
+    # all three peers see the full 60.0 group; the +30min event adds on top
+    assert by_event[1][2] == 3 and abs(by_event[1][3] - 60.0) < 1e-12
+    assert by_event[3][2] == 3 and abs(by_event[3][3] - 60.0) < 1e-12
+    assert by_event[4][2] == 4 and abs(by_event[4][3] - 65.0) < 1e-12
+    assert by_event[5][2] == 1  # 2h later: buffer fully evicted
