@@ -607,10 +607,12 @@ def etl_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per pair; the six 1-row results union. The containment /
     uniqueness divisions are single same-operand IEEE ops on both
     engines -- bit-identical pre-round."""
+    tables = {t: load_table(spark, sf_dir, t)
+              for pair in _FK_CANDIDATES for t in (pair[0], pair[2])}
     outs = []
     for ct, cc, pt, pc in _FK_CANDIDATES:
-        child = load_table(spark, sf_dir, ct)
-        parent = load_table(spark, sf_dir, pt)
+        child = tables[ct]
+        parent = tables[pt]
         nc = child.agg(F.count(cc).alias("nc"))
         ck = child.select(F.col(cc).alias("ck")).filter(
             F.col("ck").isNotNull()).distinct()
