@@ -181,8 +181,10 @@ def query_names() -> list[str]:
 # never-driver-checked containment face enters FIRST, the fixed
 # Fellegi-Sunter FAIL is re-windowed, the 15 r11 first-timers keep one
 # confirming round, and the tail fills stalest-first from the committed
-# ledger (the full r2/r3/r5/r6 cohorts, then the alphabetical head of r7).
-# After this window no query's last driver-green is older than r3.
+# ledger (the full r2/r3/r5/r6 cohorts; the alphabetical head of r7
+# initially filled the remainder, and each of those seven fillers was
+# displaced by a new r12 face per the displacement rule below). After
+# this window the stalest driver-green anywhere is the r7 cohort.
 # Everything outside the window keeps its oracle + the builder gate
 # tools/check.py + the tri-SF sweeps, and the post-window order is
 # ledger-stalest-first so the next rounds' windows are mechanical.
