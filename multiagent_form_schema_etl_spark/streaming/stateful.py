@@ -867,3 +867,107 @@ def streaming_range_frame_hour(spark: SparkSession, sf_dir: str,
         stateStructType="ts array<long>, micros array<long>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+# ---------------------------------------------------------------------------
+# Per-user exponential moving average (EWMA) -- the classic order-dependent
+# smoothing recursion ewma_i = alpha*v_i + (1-alpha)*ewma_{i-1}. Like the
+# threshold-batching operator, the reset-free sequential dependence is not
+# expressible with a single window pass; the oracle steps a recursive CTE in
+# the same (ts, event_id) order, so every IEEE double op has identical
+# operands in identical order on both engines -- bit-identical, no decimal
+# detour and no rounding needed.
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+
+_EW_SCHEMA = "user_id long, event_id long, ewma double"
+
+
+def ewma_pdf(pdf):
+    """Pure pandas kernel: ONE user's events -> per-event EWMA rows."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    uid = int(pdf["user_id"].iloc[0])
+    rows, e = [], None
+    for eid, v in zip(pdf["event_id"], pdf["value"].astype("float64")):
+        v = float(v)
+        e = v if e is None else EWMA_ALPHA * v + (1.0 - EWMA_ALPHA) * e
+        rows.append((uid, int(eid), e))
+    return pd.DataFrame(rows, columns=["user_id", "event_id", "ewma"])
+
+
+@register(
+    "st_ewma_smoothing",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, event_id, rn, value AS ewma
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.rn,
+             {EWMA_ALPHA} * e.value + {1.0 - EWMA_ALPHA} * r.ewma
+      FROM rec r
+      JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ewma FROM rec
+    """,
+)
+def st_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of per-user EWMA smoothing (alpha = {EWMA_ALPHA}): the
+    anomaly-baseline / trend-denoising primitive whose recursion no
+    single window pass can place (each output depends on the previous
+    OUTPUT, not a fixed frame of inputs). Same shape and float contract
+    as st_stateful_threshold_batches: one user_id shuffle, a linear
+    Arrow-streamed scan per group, and an oracle that steps the SAME
+    sequential IEEE arithmetic -- the emitted doubles are bit-identical
+    by construction (the 0.3/0.7 literals parse to the same doubles on
+    both engines), so no rounding or boundary exposure is needed."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value")
+    return ev.groupBy("user_id").applyInPandas(ewma_pdf, schema=_EW_SCHEMA)
+
+
+def streaming_ewma(spark: SparkSession, sf_dir: str,
+                   source: DataFrame | None = None) -> DataFrame:
+    """Live applyInPandasWithState twin: state = the user's running EWMA
+    (one double); each event emits its smoothed value immediately
+    (append semantics). With the in-order source contract the emissions
+    are the batch twin's rows bit-for-bit -- the kernel applies the
+    identical float recursion, so micro-batch boundaries change nothing
+    but where the state lives."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .structured import stream_events
+
+    def step(key, pdfs, state: GroupState):
+        uid = int(key[0])
+        (e,) = state.get if state.exists else (None,)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for eid, v in zip(pdf["event_id"],
+                              pdf["value"].astype("float64")):
+                v = float(v)
+                e = v if e is None else (EWMA_ALPHA * v
+                                         + (1.0 - EWMA_ALPHA) * e)
+                out.append((uid, int(eid), e))
+        state.update((e,))
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "ewma"])
+
+    ev = (source if source is not None
+          else stream_events(spark, sf_dir)).select(
+        "user_id", "event_id", "ts", "value")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        step,
+        outputStructType=_EW_SCHEMA,
+        stateStructType="ewma double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)

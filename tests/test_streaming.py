@@ -1178,3 +1178,43 @@ def test_streaming_range_frame_handles_timestamp_peers(spark, tmp_path):
     assert by_event[3][2] == 3 and abs(by_event[3][3] - 60.0) < 1e-12
     assert by_event[4][2] == 4 and abs(by_event[4][3] - 65.0) < 1e-12
     assert by_event[5][2] == 1  # 2h later: buffer fully evicted
+
+
+def test_streaming_ewma_state_survives_microbatches(spark, tmp_path):
+    """applyInPandasWithState EWMA: two ts-ordered files with
+    maxFilesPerTrigger=1 force every user's running EWMA across the
+    micro-batch boundary; emissions must equal the oracle-backed batch
+    twin row-for-row, ewma BIT-for-bit (identical sequential float
+    recursion -- no decimal routing involved at all)."""
+    import os
+    import shutil
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.streaming import stateful as stf
+
+    ev = (load_table(spark, SF_SMOKE, "events")
+          .select("user_id", "event_id", "ts", "value"))
+    split = ev.orderBy("ts", "event_id").collect()[ev.count() // 2]
+    first_half = ((F.col("ts") < split["ts"]) |
+                  ((F.col("ts") == split["ts"]) &
+                   (F.col("event_id") <= split["event_id"])))
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (name, part) in enumerate(
+            [("a.parquet", ev.filter(first_half)),
+             ("b.parquet", ev.filter(~first_half))]):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        [pf] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.copy(stage / pf, src / name)
+        os.utime(src / name, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (spark.readStream
+           .schema("user_id long, event_id long, ts timestamp, value double")
+           .format("parquet").option("maxFilesPerTrigger", "1")
+           .load(str(src)))
+    st.run_append_to_memory(
+        stf.streaming_ewma(spark, SF_SMOKE, source=raw), "t_ewma")
+    got = _rows(spark.sql("SELECT * FROM t_ewma"))
+    want = _rows(stf.st_ewma_smoothing(spark, SF_SMOKE))
+    assert got == want and len(got) > 0

@@ -312,6 +312,9 @@ _PYUDF_ALLOW: frozenset[str] = frozenset({
     "x2_ann_ivf_kmeans", "x2_ann_pq_adc", "x2_cosine_topk_gemm",
     "x2_grouped_center_applyinpandas", "x2_knn_graph",
     "x3_decode_feature_stub", "x5_decontaminate_semantic",
+    # r12: per-user EWMA -- sequential recursion on the previous OUTPUT,
+    # inexpressible in one window pass (the threshold-batches argument)
+    "st_ewma_smoothing",
 })
 _UNPART_WINDOW_ALLOW: frozenset[str] = frozenset({
     # the repo's TWO deliberate unpartitioned windows, each with a
