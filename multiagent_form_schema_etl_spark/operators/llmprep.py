@@ -1443,3 +1443,96 @@ def x5_corpus_pipeline_end_to_end(spark: SparkSession,
                  F.sum("n_tokens").cast("long").alias("n_tokens"),
                  F.min("doc_id").alias("first_doc"),
                  F.max("doc_id").alias("last_doc")))
+
+
+# --- temperature-based mixture resampling (r12) -------------------------------
+# The multilingual-training balancing knob (the mT5/XLM-R alpha-sampling):
+# resample languages toward q_i proportional to p_i^alpha with alpha = 0.5,
+# boosting low-resource languages relative to their natural share. Unlike
+# x5_domain_mixture_sample (FIXED literal rates), the rates here are DERIVED
+# from measured counts -- the interesting float surface. alpha = 0.5 means
+# p^alpha = sqrt(p), and IEEE-754 sqrt is correctly rounded by the standard,
+# so the per-language terms are bit-identical across engines; the only
+# order-dependent step (summing the terms) routes through ROUND(.,9) +
+# DECIMAL, the engine's standard detour.
+
+_TMIX_BUDGET = 0.5  # keep half the corpus, redistributed by temperature
+
+
+def _tmix_oracle() -> str:
+    from .dedup import _md5_int_sql
+    h = _md5_int_sql("text || ':tmix'", "duck")
+    return f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(c) AS n FROM counts),
+    terms AS (
+      SELECT lang, c,
+             CAST(ROUND(sqrt(CAST(c AS DOUBLE) / n), 9)
+                  AS DECIMAL(28,9)) AS pa
+      FROM counts, tot),
+    norm AS (SELECT SUM(pa) AS sa FROM terms),
+    rates AS (
+      SELECT t.lang, t.c,
+             LEAST(1.0, (CAST(t.pa AS DOUBLE) / CAST(nm.sa AS DOUBLE))
+                        * {_TMIX_BUDGET} * tt.n / t.c) AS rate
+      FROM terms t, norm nm, tot tt),
+    assigned AS (
+      SELECT d.lang, d.n_chars, r.rate, {h} % 1000 AS draw
+      FROM documents d JOIN rates r ON d.lang = r.lang)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN draw < rate * 1000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN draw < rate * 1000 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars,
+           ROUND(MAX(rate), 9) AS rate
+    FROM assigned GROUP BY lang
+    """
+
+
+@register("x5_mixture_temperature_sample", oracle=_tmix_oracle())
+def x5_mixture_temperature_sample(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Temperature (alpha = 0.5) mixture resampling at a fixed corpus
+    budget: target share q_i = sqrt(p_i)/sum_j sqrt(p_j) over the
+    MEASURED language distribution, per-doc keep rate
+    min(1, q_i * budget * N / c_i), deterministic md5 thinning. Boosts
+    low-resource languages (rate can hit 1.0) while downsampling the head
+    -- the standard multilingual-pretraining mixture knob, derived from
+    data instead of the fixed-rate face's literals.
+
+    Scale shape: two 1-row-per-language aggregates (counts, term sum) +
+    one broadcast-eligible rate attach; the corpus moves once. Float
+    discipline: c/N is one IEEE division of identical integers, sqrt is
+    CORRECTLY ROUNDED by IEEE-754 (bit-identical on both engines), the
+    cross-language term sum -- the only fold-order-dependent step --
+    routes through ROUND(.,9) + DECIMAL(28,9), and the final rate is a
+    fixed arithmetic tree over identical doubles; the integer draw vs
+    rate*1000 comparison is therefore identical on both engines."""
+    from .dedup import _md5_int_sql
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").alias("n"))
+    terms = (counts.crossJoin(F.broadcast(tot))
+             .withColumn("pa", F.round(
+                 F.sqrt(F.col("c").cast("double") / F.col("n")), 9)
+                 .cast("decimal(28,9)")))
+    norm = terms.agg(F.sum("pa").alias("sa"))
+    rates = (terms.crossJoin(F.broadcast(norm))
+             .select("lang", "c", "n",
+                     F.least(F.lit(1.0),
+                             (F.col("pa").cast("double")
+                              / F.col("sa").cast("double"))
+                             * _TMIX_BUDGET * F.col("n") / F.col("c"))
+                      .alias("rate")))
+    assigned = docs.join(F.broadcast(rates.select("lang", "rate")), "lang") \
+        .select("lang", "n_chars", "rate",
+                (F.expr(_md5_int_sql("text || ':tmix'", "spark")) % 1000)
+                .alias("draw"))
+    keep = F.col("draw") < F.col("rate") * 1000
+    return (assigned.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(keep.cast("long")).alias("n_kept"),
+                 F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+                  .cast("long").alias("kept_chars"),
+                 F.round(F.max("rate"), 9).alias("rate")))

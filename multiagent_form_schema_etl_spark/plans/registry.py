@@ -216,15 +216,17 @@ PRIORITY: tuple[str, ...] = (
     "etl_upsert_latest_wins", "f_array_functions", "f_map_functions",
     "st_tumbling_window", "st_tws_recent_list_window",
     "w_rank_top_customers_per_nation", "x1_dedup_apply_keeplist",
-    "x1_dedup_simhash", "x1_dedup_substring_spans",
-    # (x5_train_test_split_hash, the youngest r6 filler, was displaced by
-    #  st_ewma_smoothing once the r7-head fillers were exhausted; it
-    #  re-enters by staleness next round)
+    "x1_dedup_simhash",
+    # (x5_train_test_split_hash and x1_dedup_substring_spans, the youngest
+    #  r6 fillers, were displaced by st_ewma_smoothing and
+    #  x5_mixture_temperature_sample once the r7-head fillers were
+    #  exhausted; both re-enter by staleness next round)
     # -- new r12 faces (never driver-checked -> window immediately) --
     "x4_perplexity_bigram", "x1_dedup_containment_prefix",
     "x4_quality_classifier_invariant", "a_weighted_percentile_exact",
     "etl_fk_discovery", "w_range_frame_time_window",
     "x4_zipf_heaps_stats", "st_ewma_smoothing",
+    "x5_mixture_temperature_sample",
     # (the seven r7-cohort head fillers were each displaced by a new r12
     #  face; the r7 cohort re-enters by staleness next round)
 )

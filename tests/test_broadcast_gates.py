@@ -113,6 +113,9 @@ _ALLOWED_RAW = {
     ("operators/llmprep.py", "direct"),   # per-mktsegment agg
     ("operators/llmprep.py", "offsets"),  # clamp-bounded offsets
     ("operators/llmprep.py", "profiles"),  # literal language profiles
+    ("operators/llmprep.py", "tot"),    # 1-row corpus total
+    ("operators/llmprep.py", "norm"),   # 1-row term sum
+    ("operators/llmprep.py", "rates.select"),  # |langs|-bounded rates
     ("operators/llmprep.py", "bw"),  # bloom bitset: <= _BLOOM_M_MAX/64
     #                                  rows (cap-bounded, never corpus-sized)
     # similarity: fixed query sets / K-bounded state

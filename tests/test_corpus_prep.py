@@ -717,3 +717,25 @@ def test_zipf_slope_separates_natural_from_uniform(spark, tmp_path):
     assert got["zipfy"].zipf_slope < -0.8
     assert got["flat"].zipf_slope > -0.1
     assert got["flat"].zipf_slope > got["zipfy"].zipf_slope + 0.5
+
+
+def test_temperature_mixture_boosts_low_resource_langs(spark):
+    """alpha=0.5 temperature sampling must order keep rates INVERSELY to
+    language frequency (the knob's whole point), keep every language
+    non-empty, cap rates at 1.0, and land near the 50% corpus budget
+    (exactly deterministic given the md5 draws, loosely bounded here so
+    corpus regeneration cannot flake it)."""
+    from multiagent_form_schema_etl_spark.operators.llmprep import (
+        x5_mixture_temperature_sample)
+
+    rows = x5_mixture_temperature_sample(spark, SF_SMOKE).collect()
+    assert len(rows) >= 3
+    by_count = sorted(rows, key=lambda r: r.n_total)
+    rates = [r.rate for r in by_count]
+    assert all(a >= b - 1e-12 for a, b in zip(rates, rates[1:])), (
+        "rates must be non-increasing in language frequency")
+    assert all(0.0 < r.rate <= 1.0 for r in rows)
+    assert all(r.n_kept > 0 for r in rows)
+    total = sum(r.n_total for r in rows)
+    kept = sum(r.n_kept for r in rows)
+    assert 0.3 * total < kept < 0.7 * total
