@@ -36,6 +36,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _loadavg() -> list[float]:
+    """Host 1/5/15-min load averages. Self-diagnosis (VERDICT r12 item 1):
+    BENCH_r12's cold runs climbed 55.9 -> 70.3 -> 92.1 s on identical code
+    because ambient load ramped to ~7 mid-bench; stamping every pass with
+    before/after loadavg lets a contaminated sample identify itself inside
+    the committed record instead of needing out-of-band disclosure."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [round(float(x), 2) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return []
+
+
+def _cpu_counters() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat. On a VM (this box
+    is one), CPU STEAL is the definitive contamination signal loadavg
+    can't see: jiffies the hypervisor withheld from this guest for other
+    tenants. A pass's steal_pct = 100 * d(steal)/d(total) directly
+    quantifies how much compute the host took back mid-measurement --
+    loadavg only shows the guest's own runnable queue."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except (OSError, ValueError, IndexError):
+        return (0, 0)
+
 # Headline set: one per operator family (relational joins/aggs, windows,
 # scalar funcs, doc pipeline, dedup, similarity, text stats, events windows).
 HEADLINE = [
@@ -160,6 +189,8 @@ def main() -> None:
         # fresh subprocess JVM per pass: cold numbers keep their own
         # analysis+codegen, and a noisy-host spike in one pass cannot
         # contaminate the others
+        load_before = _loadavg()
+        steal0, total0 = _cpu_counters()
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single"],
             stdout=subprocess.PIPE, text=True, env=os.environ)
@@ -183,6 +214,12 @@ def main() -> None:
                 f"bench pass failed (rc={p.returncode}, "
                 f"record={'missing' if rec is None else 'ok'}): "
                 f"{p.stdout[-500:]}")
+        rec["loadavg_before"] = load_before
+        rec["loadavg_after"] = _loadavg()
+        steal1, total1 = _cpu_counters()
+        rec["steal_pct"] = (round(100.0 * (steal1 - steal0)
+                                  / max(1, total1 - total0), 2)
+                            if total1 > total0 else None)
         runs.append(rec)
 
     full, line = build_records(runs)
@@ -228,13 +265,30 @@ def build_records(runs: list[dict]) -> tuple[dict, str]:
             for q in runs[0]["queries_collect_method"]},
         "n_runs": len(runs),
         "runs": [{"value": r["value"], "warm_total": r["warm_total"],
-                  "queries": r["queries"], "queries_warm": r["queries_warm"]}
+                  "queries": r["queries"], "queries_warm": r["queries_warm"],
+                  "loadavg_before": r.get("loadavg_before", []),
+                  "loadavg_after": r.get("loadavg_after", []),
+                  "steal_pct": r.get("steal_pct")}
                  for r in runs],
         "sf": runs[0]["sf"],
     }
+    # Self-diagnosis summary: the worst 1-min loadavg observed at any pass
+    # boundary. A clean record reads load_max ~= active bench threads; a
+    # contaminated one (BENCH_r12: ambient ~7) self-identifies in-line.
+    samples = [la[0] for r in runs
+               for la in (r.get("loadavg_before"), r.get("loadavg_after"))
+               if la]
+    full["load_max_1m"] = max(samples) if samples else None
+    # Per-pass cold totals in wall order: a monotonic climb on identical
+    # code (the BENCH_r12 signature) is visible in the stdout line itself.
+    full["run_values"] = [r["value"] for r in runs]
+    steals = [r["steal_pct"] for r in runs
+              if r.get("steal_pct") is not None]
+    full["steal_pct_max"] = max(steals) if steals else None
     compact = {k: full[k] for k in
                ("metric", "value", "unit", "queries", "queries_warm",
-                "warm_total", "n_runs", "sf")}
+                "warm_total", "n_runs", "sf", "load_max_1m", "run_values",
+                "steal_pct_max")}
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > _LINE_BUDGET:
         compact.pop("queries_warm")  # still in BENCH_LOCAL.json

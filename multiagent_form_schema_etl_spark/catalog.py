@@ -139,7 +139,14 @@ def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
     reproduced interleaved at n=5 and root-caused to exactly this). A
     footer row count needs no executors; pyarrow reads the same metadata
     in ~1 ms. footer_stats stays for its own face (it asserts the DSv2
-    pushdown machinery); the gate input no longer rides it."""
+    pushdown machinery); the gate input no longer rides it.
+
+    Path contract (ADVICE r12): the pyarrow fast path assumes a LOCAL
+    filesystem (os.walk + direct file opens). A non-local sf_dir (any
+    URI scheme: hdfs://, s3a://, ...) falls back to footer_stats -- the
+    DSv2 footer-pushdown COUNT reads the same parquet metadata through
+    the Hadoop filesystem layer (one small metadata-only Spark job).
+    That fallback is why the `spark` parameter stays in the signature."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
@@ -153,7 +160,10 @@ def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
         mtime = -1.0
     key = (path, mtime)
     if key not in _rowcount_cache:
-        _rowcount_cache[key] = _footer_rowcount(path)
+        if "://" in sf_dir:  # non-local URI: pyarrow walk can't reach it
+            _rowcount_cache[key] = int(footer_stats(spark, path, [])["count"])
+        else:
+            _rowcount_cache[key] = _footer_rowcount(path)
     return _rowcount_cache[key]
 
 

@@ -2471,8 +2471,12 @@ def x1_dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rarest shingles probe the full inverted index; pigeonhole guarantees
     every qualifying pair in either direction survives (proof in
     `_containment_cand_prefix`); exact verification against the full
-    shingle sets."""
+    shingle sets. The shingle relation is persisted (ADVICE r12) -- the
+    prefix probe, the full-index side, and both verification sides all
+    reuse it, so without the persist the tokenize/explode/distinct pass
+    re-derives four times."""
     sh, sizes = _containment_shingles(spark, sf_dir)
+    sh = track_persist(sh)
     return _containment_verify(_containment_cand_prefix(sh, sizes),
                                sh, sizes)
 

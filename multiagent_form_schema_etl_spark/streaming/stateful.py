@@ -817,10 +817,29 @@ _RF_WINDOW_US = 3_600_000_000
 _RF_OUT_SCHEMA = ("user_id long, event_id long, n_events_1h long, "
                   "sum_value_1h double")
 
+# Enforced per-user state bound (the SN/RFM/AA standard, VERDICT r12 #2):
+# the buffer holds ONE user's trailing-hour events, so its size is
+# data-dependent -- a hot key emitting 1M events/hour would carry 1M-entry
+# state arrays through every checkpoint. Refuse loudly past the bound
+# (~70 sustained events/sec for a full hour from a single user) rather
+# than silently degrade; past it the right kernel is a coarser pre-bucket
+# (e.g. per-minute partial sums) that this operator does not claim.
+_RF_STATE_MAX = 250_000
+
 
 def streaming_range_frame_hour(spark: SparkSession, sf_dir: str,
                                source: DataFrame | None = None) -> DataFrame:
-    """Live sliding-hour frame aggregates (see module comment above)."""
+    """Live sliding-hour frame aggregates (see module comment above).
+
+    Aggregates are carried as RUNNING (n, sum_micros) with incremental
+    eviction -- the expired prefix's micros are subtracted, arrivals
+    added -- O(1) amortized per event (VERDICT r12 #2: the prior kernel
+    re-summed the whole buffer per peer group, O(r^2) per user-hour).
+    Exact integer arithmetic, so bit-parity with the batch DECIMAL
+    routing is unchanged. NULL/NaN values match the batch face's
+    COUNT(value)/SUM(value): the row still emits (it is a frame member
+    and a peer) but contributes nothing -- an all-null frame emits
+    n_events_1h=0, sum_value_1h=NULL (ADVICE r12)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -830,13 +849,14 @@ def streaming_range_frame_hour(spark: SparkSession, sf_dir: str,
         uid = int(key[0])
         ts_buf, mic_buf = ([list(a) for a in state.get] if state.exists
                            else ([], []))
+        run_sum = sum(mic_buf)  # once per restore (already O(buf) to load)
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            rows = [(int(t.value), int(e), _value_micros(v))
+            rows = [(int(t.value) // 1000, int(e),  # ns -> us
+                     None if v is None or v != v else _value_micros(v))
                     for t, e, v in zip(pd.to_datetime(pdf["ts"]),
                                        pdf["event_id"], pdf["value"])]
-            rows = [(t // 1000, e, m) for t, e, m in rows]  # ns -> us
             i = 0
             while i < len(rows):
                 j = i
@@ -845,14 +865,26 @@ def streaming_range_frame_hour(spark: SparkSession, sf_dir: str,
                 cut = rows[i][0] - _RF_WINDOW_US
                 k = 0
                 while k < len(ts_buf) and ts_buf[k] < cut:
+                    run_sum -= mic_buf[k]  # incremental eviction
                     k += 1
-                ts_buf, mic_buf = ts_buf[k:], mic_buf[k:]
+                if k:
+                    ts_buf, mic_buf = ts_buf[k:], mic_buf[k:]
                 for t, _e, m in rows[i:j]:
-                    ts_buf.append(t)
-                    mic_buf.append(m)
-                n, s = len(ts_buf), sum(mic_buf)
+                    if m is not None:  # null values are peers, not members
+                        ts_buf.append(t)
+                        mic_buf.append(m)
+                        run_sum += m
+                n = len(ts_buf)
+                if n > _RF_STATE_MAX:
+                    raise ValueError(
+                        f"range-frame state for user {uid} holds {n} "
+                        f"trailing-hour events, over the bound "
+                        f"{_RF_STATE_MAX} -- a hot key makes per-event "
+                        "sliding state unbounded; pre-bucket the stream "
+                        "(per-minute partial sums) at this rate")
+                s = None if n == 0 else float(run_sum) / 1e6
                 for _t, e, _m in rows[i:j]:
-                    out.append((uid, e, n, float(s) / 1e6))
+                    out.append((uid, e, n, s))
                 i = j
         state.update((ts_buf, mic_buf))
         yield pd.DataFrame(out, columns=["user_id", "event_id",
@@ -884,18 +916,48 @@ EWMA_ALPHA = 0.3
 _EW_SCHEMA = "user_id long, event_id long, ewma double"
 
 
+def _ewma_vec(s, e=None):
+    """Vectorized EWMA recursion with EXACT row-loop semantics (VERDICT
+    r12 nit #2): pandas' ewm(alpha, adjust=False).mean() computes the
+    identical y_i = alpha*x_i + (1-alpha)*y_{i-1} recursion in C --
+    pinned bit-identical to the loop in pytest (random, extreme-
+    magnitude, and repr-half values; seeded and unseeded). Two raw-ewm
+    behaviors are patched to match the loop AND the recursive-CTE
+    oracle's NULL arithmetic: (1) a NaN input POISONS every later output
+    (raw ewm skips it and resumes), via a cummax mask; (2) an optional
+    seed `e` continues a prior recursion (the live twin's carried
+    state) by prepend-and-drop -- the same recursion shifted one step,
+    also pinned bit-identical; a NaN seed short-circuits to all-NaN."""
+    import numpy as np
+    import pandas as pd
+
+    s = s.reset_index(drop=True)
+    if e is not None and e != e:  # poisoned carried state stays poisoned
+        return pd.Series(np.nan, index=s.index, dtype="float64")
+    if e is None:
+        out = s.ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+    else:
+        out = (pd.concat([pd.Series([e], dtype="float64"), s],
+                         ignore_index=True)
+               .ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+               .iloc[1:].reset_index(drop=True))
+    na = s.isna()
+    if na.any():
+        out = out.mask(na.cummax(), np.nan)
+    return out
+
+
 def ewma_pdf(pdf):
     """Pure pandas kernel: ONE user's events -> per-event EWMA rows."""
     import pandas as pd
 
     pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
     uid = int(pdf["user_id"].iloc[0])
-    rows, e = [], None
-    for eid, v in zip(pdf["event_id"], pdf["value"].astype("float64")):
-        v = float(v)
-        e = v if e is None else EWMA_ALPHA * v + (1.0 - EWMA_ALPHA) * e
-        rows.append((uid, int(eid), e))
-    return pd.DataFrame(rows, columns=["user_id", "event_id", "ewma"])
+    out = _ewma_vec(pdf["value"].astype("float64"))
+    return pd.DataFrame({"user_id": uid,
+                         "event_id": pdf["event_id"].astype("int64")
+                                     .to_numpy(),
+                         "ewma": out.to_numpy()})
 
 
 @register(
@@ -950,17 +1012,20 @@ def streaming_ewma(spark: SparkSession, sf_dir: str,
     def step(key, pdfs, state: GroupState):
         uid = int(key[0])
         (e,) = state.get if state.exists else (None,)
-        out = []
+        frames = []
         for pdf in pdfs:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            for eid, v in zip(pdf["event_id"],
-                              pdf["value"].astype("float64")):
-                v = float(v)
-                e = v if e is None else (EWMA_ALPHA * v
-                                         + (1.0 - EWMA_ALPHA) * e)
-                out.append((uid, int(eid), e))
+            out = _ewma_vec(pdf["value"].astype("float64"), e)
+            e = float(out.iloc[-1])
+            frames.append(pd.DataFrame(
+                {"user_id": uid,
+                 "event_id": pdf["event_id"].astype("int64").to_numpy(),
+                 "ewma": out.to_numpy()}))
         state.update((e,))
-        yield pd.DataFrame(out, columns=["user_id", "event_id", "ewma"])
+        yield (pd.concat(frames, ignore_index=True) if frames
+               else pd.DataFrame(columns=["user_id", "event_id", "ewma"]))
 
     ev = (source if source is not None
           else stream_events(spark, sf_dir)).select(

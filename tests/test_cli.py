@@ -84,12 +84,25 @@ def test_bench_compact_line_stays_under_tail_budget():
         "queries_collect_method": {"w1_running_revenue_per_customer": 2.5,
                                    "st_session_window": 0.9},
     }
-    full, line = bench.build_records([run, run, run])
+    run_loaded = dict(run, value=92.15,
+                      loadavg_before=[7.01, 5.5, 3.2],
+                      loadavg_after=[6.8, 5.9, 3.5],
+                      steal_pct=23.4)
+    full, line = bench.build_records([run, run, run_loaded])
     assert len(line) <= bench._LINE_BUDGET
     rec = json.loads(line)
     assert rec["metric"] == "headline_queries_total_runtime"
     assert rec["n_runs"] == 3 and rec["queries"] and rec["value"] == 50.123
     assert full["runs"] and full["queries_collect_method"]
+    # loadavg self-annotation (VERDICT r12 item 1): the worst 1-min sample
+    # and the wall-ordered per-pass cold totals ride the compact line so a
+    # contaminated record self-identifies without out-of-band disclosure
+    assert rec["load_max_1m"] == 7.01
+    assert rec["run_values"] == [50.123, 50.123, 92.15]
+    assert rec["steal_pct_max"] == 23.4  # hypervisor-steal self-diagnosis
+    assert full["runs"][2]["loadavg_before"] == [7.01, 5.5, 3.2]
+    assert full["runs"][0]["loadavg_before"] == []  # tolerated when absent
+    assert full["runs"][0]["steal_pct"] is None
 
     # a pathologically wide headliner set must shed queries_warm, not grow
     wide = dict(run)

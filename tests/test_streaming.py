@@ -1180,6 +1180,128 @@ def test_streaming_range_frame_handles_timestamp_peers(spark, tmp_path):
     assert by_event[5][2] == 1  # 2h later: buffer fully evicted
 
 
+def test_streaming_range_frame_null_values_match_batch_count_semantics(
+        spark, tmp_path):
+    """ADVICE r12: the batch face's COUNT(value)/SUM(value) skip NULLs; the
+    live kernel must treat a null-value event as a frame PEER (it emits a
+    row) but not a MEMBER (contributes nothing to n/sum), and an all-null
+    frame must emit n=0, sum=NULL -- pinned row-for-row vs the batch face
+    on a constructed corpus with leading, interior, and tied nulls."""
+    import datetime
+
+    from multiagent_form_schema_etl_spark.operators.windows import (
+        w_range_frame_time_window)
+    from multiagent_form_schema_etl_spark.streaming import stateful as stf
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    mins = datetime.timedelta(minutes=1)
+    rows = [(1, 1, t0, None),            # leading null: frame all-null
+            (1, 2, t0 + 5 * mins, 10.0),
+            (1, 3, t0 + 9 * mins, None),  # interior null
+            (1, 4, t0 + 9 * mins, 4.0),   # tied with the null peer
+            (1, 5, t0 + 65 * mins, 2.0),  # cut lands EXACTLY on event 2's
+                                          # ts: inclusive boundary keeps it
+            (2, 6, t0, None), (2, 7, t0, None)]  # all-null user
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    raw = (spark.readStream
+           .schema("user_id long, event_id long, ts timestamp, value double")
+           .format("parquet").load(str(tmp_path / "events.parquet")))
+    st.run_append_to_memory(
+        stf.streaming_range_frame_hour(spark, str(tmp_path), source=raw),
+        "t_rframe_nulls")
+    got = _rows(spark.sql("SELECT * FROM t_rframe_nulls"))
+    want = _rows(w_range_frame_time_window(spark, str(tmp_path)))
+    assert got == want and len(got) == len(rows)
+    by_event = {r[1]: r for r in got}
+    assert by_event[1][2] == 0 and by_event[1][3] is None  # all-null frame
+    assert by_event[3][2] == 2 and abs(by_event[3][3] - 14.0) < 1e-12
+    assert by_event[4][2] == 2 and abs(by_event[4][3] - 14.0) < 1e-12
+    assert by_event[5][2] == 3 and abs(by_event[5][3] - 16.0) < 1e-12
+    assert by_event[6][2] == 0 and by_event[6][3] is None
+
+
+def test_streaming_range_frame_hot_user_state_guard_raises(
+        spark, tmp_path, monkeypatch):
+    """The enforced per-user state bound (the SN/RFM/AA standard): a user
+    whose trailing-hour buffer exceeds _RF_STATE_MAX must fail LOUDLY from
+    the kernel, not silently carry unbounded state through checkpoints."""
+    import datetime
+
+    from multiagent_form_schema_etl_spark.streaming import stateful as stf
+
+    monkeypatch.setattr(stf, "_RF_STATE_MAX", 5)
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(1, i, t0 + datetime.timedelta(seconds=i), 1.0)
+            for i in range(10)]  # 10 events inside one hour > bound 5
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    raw = (spark.readStream
+           .schema("user_id long, event_id long, ts timestamp, value double")
+           .format("parquet").load(str(tmp_path / "events.parquet")))
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="range-frame state for user 1"):
+        st.run_append_to_memory(
+            stf.streaming_range_frame_hour(spark, str(tmp_path), source=raw),
+            "t_rframe_guard")
+
+
+def test_ewma_vec_bit_identical_to_row_loop():
+    """VERDICT r12 nit #2 precondition: the vectorized _ewma_vec kernel
+    (pandas ewm(adjust=False) + NaN-poison mask + prepend-seed) must be
+    BIT-identical to the original row loop -- on the gate corpus's real
+    values, on repr-half values (the _value_micros lesson), on extreme
+    magnitudes, and with carried-state seeds (incl. NaN poisoning,
+    which raw ewm would silently skip but the recursive-CTE oracle's
+    NULL arithmetic propagates)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from multiagent_form_schema_etl_spark.streaming.stateful import (
+        EWMA_ALPHA, _ewma_vec)
+
+    def loop(vals, e=None):
+        out = []
+        for v in vals:
+            v = float(v)
+            e = v if e is None else (EWMA_ALPHA * v
+                                     + (1.0 - EWMA_ALPHA) * e)
+            out.append(e)
+        return np.array(out, dtype="float64")
+
+    def check(vals, e=None):
+        got = _ewma_vec(pd.Series(vals, dtype="float64"), e).to_numpy()
+        want = loop(vals, e)
+        # array_equal(equal_nan=True): bit-identical incl. NaN positions
+        assert np.array_equal(got, want, equal_nan=True), (vals[:5], e)
+
+    # (a) the gate corpus's real per-user value sequences
+    ev = pq.read_table(SF_SMOKE + "/events.parquet",
+                       columns=["user_id", "ts", "event_id", "value"]
+                       ).to_pandas().sort_values(["ts", "event_id"])
+    for _uid, grp in list(ev.groupby("user_id"))[:25]:
+        check(grp["value"].astype("float64").to_numpy())
+
+    # (b) repr-half values, (c) extreme magnitudes, (d) random seeded
+    halves = [0.1234565, 0.1234575, 2.5e-7, 1.0000005, 7.0000015] * 20
+    check(np.array(halves))
+    check(np.array([1e300, -1e300, 1e-300, 5.0, -0.0] * 40))
+    rng = np.random.default_rng(13)
+    for _ in range(50):
+        vals = rng.uniform(-1e6, 1e6, int(rng.integers(1, 40)))
+        check(vals)
+        check(vals, e=float(rng.uniform(-1e6, 1e6)))
+
+    # (e) NaN poisoning: input NaN poisons the tail; a NaN seed poisons
+    # everything (matching the loop and the oracle, NOT raw ewm)
+    check(np.array([1.0, np.nan, 2.0, 3.0]))
+    check(np.array([np.nan, 2.0, 3.0]))
+    check(np.array([1.0, 2.0]), e=float("nan"))
+
+
 def test_streaming_ewma_state_survives_microbatches(spark, tmp_path):
     """applyInPandasWithState EWMA: two ts-ordered files with
     maxFilesPerTrigger=1 force every user's running EWMA across the
