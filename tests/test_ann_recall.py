@@ -434,3 +434,56 @@ def test_containment_prefix_equals_naive(spark, tmp_path):
         _containment_shingles(spark, SF_SMOKE)[0]) == "naive"
     assert _containment_auto_choice(
         _containment_shingles(spark, str(sf))[0]) == "prefix"
+
+
+def test_ann_graph_beam_recall_and_invariant_face(spark):
+    """Graph-ANN (NN-descent kNN graph + hub-seeded beam search, r13):
+    measured min-per-query recall vs the exact face is 1.0 at every gate
+    SF (constants' calibration note); the pytest floor re-asserts the
+    COMMITTED floors on the check corpus, and the oracle-backed
+    invariant face must come back EMPTY here (its gate semantics)."""
+    qs = _queries()
+    exact = {}
+    for r in qs["x2_cosine_topk"](spark, SF_CHECK).collect():
+        exact.setdefault(r.query_id, set()).add(r.match_id)
+    got = {}
+    for r in qs["x2_ann_graph_beam"](spark, SF_CHECK).collect():
+        got.setdefault(r.query_id, set()).add(r.match_id)
+    assert set(got) == set(exact)
+    recalls = [len(exact[q] & got[q]) / len(exact[q]) for q in exact]
+    from multiagent_form_schema_etl_spark.operators import similarity as s
+    assert min(recalls) >= s._GRAPH_RECALL_FLOOR
+    assert sum(recalls) / len(recalls) >= s._GRAPH_RECALL_MEAN_FLOOR
+    assert qs["x2_ann_graph_recall"](spark, SF_CHECK).collect() == []
+
+
+def test_ann_graph_construction_deterministic_and_bounded(spark):
+    """The graph build must be REPRODUCIBLE (hash seeds + total
+    tie-breaks: two independent builds emit the identical edge set --
+    what lets the recall face stand as a per-corpus invariant) and
+    BOUNDED (exactly min(M, n-1) out-edges per node: top-M never
+    under-fills when candidates exist, never over-fills)."""
+    from multiagent_form_schema_etl_spark.operators import similarity as s
+
+    a1 = {(r.src, r.dst) for r in
+          s._graph_knn_adjacency(spark, SF_SMOKE).collect()}
+    a2 = {(r.src, r.dst) for r in
+          s._graph_knn_adjacency(spark, SF_SMOKE).collect()}
+    assert a1 == a2 and len(a1) > 0
+    import collections
+    deg = collections.Counter(src for src, _ in a1)
+    assert set(deg.values()) == {s._GRAPH_M}  # n=500 >> M: all exact-M
+    assert len(deg) == 500  # every vector has an adjacency row
+
+
+def test_ann_graph_recall_face_is_not_vacuous(spark, monkeypatch):
+    """Tripwire (the WRONG_K/decimal-tripwire idiom): raising the
+    committed floor above 1.0 must make the invariant face EMIT a
+    violation row -- proving the empty gate result is a measured pass,
+    not a vacuously-empty plan."""
+    from multiagent_form_schema_etl_spark.operators import similarity as s
+
+    monkeypatch.setattr(s, "_GRAPH_RECALL_FLOOR", 1.01)
+    rows = s.x2_ann_graph_recall(spark, SF_SMOKE).collect()
+    assert [r.violation for r in rows] == ["RECALL_MIN_BELOW_FLOOR"]
+    assert rows[0].n_queries == 10 and rows[0].recall_min <= 1.0
