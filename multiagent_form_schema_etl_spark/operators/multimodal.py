@@ -219,3 +219,79 @@ def x3_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("frame_idx") * frame).alias("byte_offset"),
                     F.sha2(F.expr(f"substring(payload, frame_idx * {frame} + 1, {frame})"),
                            256).alias("frame_checksum")))
+
+
+@register(
+    "x3_metadata_prune_guard",
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS violation,
+           CAST(NULL AS VARCHAR) AS detail
+    WHERE FALSE
+    """,
+)
+def x3_metadata_prune_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE payload-pruning guard (VERDICT r12 item 8,
+    promoting tests/test_plan_guards.py::
+    test_media_metadata_query_never_reads_payload from a sf0.001-only
+    pytest to a per-corpus gate assertion): the X3 contract is that
+    METADATA-ONLY plans over a media table never deserialize the binary
+    payload -- at 100 TB the payload column IS the table, and a scan
+    schema that includes it turns a ~free length/lang rollup into a
+    full-corpus byte read. The face materializes a real media parquet
+    from this corpus (payload + n_bytes + lang), plans the canonical
+    metadata rollup against it, and inspects the EXECUTED plan: the
+    parquet ReadSchema must carry only the referenced metadata columns
+    and the n_bytes predicate must reach PushedFilters. Violations emit
+    against a CONSTANT EMPTY oracle.
+
+    Vacuity canaries: no ReadSchema line in the plan at all (the
+    inspection itself broke -- e.g. a Spark version changed the plan
+    rendering) emits PLAN_OPAQUE; the guard query returning zero rows on
+    a non-empty corpus emits EMPTY_METADATA_RESULT. Both fail the gate
+    loudly rather than letting the face pass vacuously. The inverse
+    direction -- the inspection DOES flag a payload-reading plan -- is
+    pinned by the tripwire pytest (test_plan_guards.py).
+
+    EAGER AT BUILD (the containment-selector idiom): the media write +
+    plan inspection run once per (session, sf_dir, snapshot) via the
+    registry memo; the returned relation is literal violation rows with
+    no dependency on the temp files, which are removed before return."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    media = docs.select(
+        "doc_id", payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"), "lang")
+    tmp = tempfile.mkdtemp(prefix="x3_prune_guard_")
+    rows: list[tuple[str, str]] = []
+    try:
+        path = os.path.join(tmp, "media")
+        media.write.parquet(path)
+        q = (spark.read.parquet(path)
+             .filter(F.col("n_bytes") > 0)
+             .groupBy("lang").agg(F.count(F.lit(1)).alias("n")))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        if not scans:
+            rows.append(("PLAN_OPAQUE",
+                         "no ReadSchema line in executedPlan"))
+        else:
+            if any("payload" in ln for ln in scans):
+                rows.append(("PAYLOAD_IN_SCAN", scans[0][-200:]))
+            if not all("n_bytes" in ln and "lang" in ln for ln in scans):
+                rows.append(("METADATA_MISSING_FROM_SCAN",
+                             scans[0][-200:]))
+        if not any("PushedFilters" in ln and "n_bytes" in ln
+                   for ln in plan.splitlines()):
+            rows.append(("FILTER_NOT_PUSHED",
+                         "n_bytes predicate absent from PushedFilters"))
+        n_meta = q.count()
+        if n_meta == 0 and docs.limit(1).count() > 0:
+            rows.append(("EMPTY_METADATA_RESULT",
+                         "metadata rollup empty on a non-empty corpus"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "violation string, detail string")

@@ -177,58 +177,43 @@ def query_names() -> list[str]:
 
 
 # The driver's correctness gate verifies the FIRST 50 entries of queries().
-# r12 window policy (VERDICT r11 item 3 / NOTES_r11 guidance): the
-# never-driver-checked containment face enters FIRST, the fixed
-# Fellegi-Sunter FAIL is re-windowed, the 15 r11 first-timers keep one
-# confirming round, and the tail fills stalest-first from the committed
-# ledger (the full r2/r3/r5/r6 cohorts; the alphabetical head of r7
-# initially filled the remainder, and each of those seven fillers was
-# displaced by a new r12 face per the displacement rule below). After
-# this window the stalest driver-green anywhere is the r7 cohort.
+# r13 window policy (VERDICT r12 item 3): never-driver-checked faces
+# enter FIRST (the two new r13 faces: the graph-ANN recall invariant and
+# the X3 payload-prune guard), the 10 r12 first-timers keep one
+# confirming round, and the remaining 38 slots drain the ENTIRE stale
+# r6+r7 cohort (last driver-green two rounds ago: the doc_* pipeline and
+# early X1/X4/X5 families) -- 2 + 10 + 38 = exactly 50, so after this
+# window the stalest driver-green anywhere advances to r8.
 # Everything outside the window keeps its oracle + the builder gate
 # tools/check.py + the tri-SF sweeps, and the post-window order is
 # ledger-stalest-first so the next rounds' windows are mechanical.
 PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked: the disclosed r11 slot-exhaustion carryover
-    #    enters FIRST (ledger round 0), now with the r12 prefix filter --
-    "x1_dedup_containment",
-    # -- the r11 driver FAIL, re-windowed after the Decimal->double fix --
-    "x1_linkage_fellegi_sunter",
-    # -- the 15 r11 first-timers, kept one confirming round --
-    "a_key_skew_profile", "doc_u1_label_scaffold_equiv",
-    "etl_referential_integrity", "st_attribution_last_touch",
-    "st_interval_coalesce", "st_rfm_segmentation",
-    "x1_dedup_tfidf_cosine", "x1_graph_adamic_adar",
-    "x2_coreset_radius_bound", "x4_bm25_topk",
-    "x4_perplexity_unigram", "x4_tfidf_mllib_equiv",
-    "x5_corpus_pipeline_end_to_end", "x5_decontaminate_bloom",
-    "x5_weighted_sample_topk",
-    # -- stalest-first refresh fillers: the whole r2/r3/r5 cohorts (the
-    #    nine displaced by the mid-r11 additions) --
-    "st_sliding_window", "x4_doc_fingerprint", "x5_chunk_overlap",
-    "x4_lang_id_char_ngram", "x4_quality_score", "x5_shard_by_budget",
-    "a_approx_percentile", "st_latest_event_per_user",
-    "x1_dedup_jaccard_auto",
-    # -- the full r6 cohort (17) --
-    "a4_conditional_aggregation", "a7_bool_and_completeness",
-    "a_approx_count_distinct", "doc_a3_full_text", "doc_a5_eval_metrics",
-    "doc_a6_baseline_compare", "doc_e1_word_explode",
-    "etl_upsert_latest_wins", "f_array_functions", "f_map_functions",
-    "st_tumbling_window", "st_tws_recent_list_window",
-    "w_rank_top_customers_per_nation", "x1_dedup_apply_keeplist",
-    "x1_dedup_simhash",
-    # (x5_train_test_split_hash and x1_dedup_substring_spans, the youngest
-    #  r6 fillers, were displaced by st_ewma_smoothing and
-    #  x5_mixture_temperature_sample once the r7-head fillers were
-    #  exhausted; both re-enter by staleness next round)
-    # -- new r12 faces (never driver-checked -> window immediately) --
-    "x4_perplexity_bigram", "x1_dedup_containment_prefix",
-    "x4_quality_classifier_invariant", "a_weighted_percentile_exact",
-    "etl_fk_discovery", "w_range_frame_time_window",
-    "x4_zipf_heaps_stats", "st_ewma_smoothing",
-    "x5_mixture_temperature_sample",
-    # (the seven r7-cohort head fillers were each displaced by a new r12
-    #  face; the r7 cohort re-enters by staleness next round)
+    # -- new r13 faces (never driver-checked -> window immediately) --
+    "x2_ann_graph_recall", "x3_metadata_prune_guard",
+    # -- the 10 r12 first-timers, kept one confirming round --
+    "x1_dedup_containment", "x1_dedup_containment_prefix",
+    "a_weighted_percentile_exact", "etl_fk_discovery",
+    "st_ewma_smoothing", "w_range_frame_time_window",
+    "x4_perplexity_bigram", "x4_quality_classifier_invariant",
+    "x4_zipf_heaps_stats", "x5_mixture_temperature_sample",
+    # -- the full stale r6 cohort (2) --
+    "x1_dedup_substring_spans", "x5_train_test_split_hash",
+    # -- the full stale r7 cohort (36) --
+    "a_rollup_order_hierarchy", "a_salted_skew_sum", "a_udaf_median_mad",
+    "doc_a1_ocr_routing", "doc_a6_eval_report", "doc_a7_form_completeness",
+    "doc_form_pivot_nda", "doc_j2_section_context",
+    "doc_p10_validation_errors", "doc_pipeline_scaled",
+    "doc_pipeline_scoped_scaled", "doc_u7_cascade_hoisted",
+    "doc_u7_scoped_extraction", "doc_u8_recovery_defaults",
+    "etl_cdc_snapshot_diff", "etl_scd2_intervals", "j_range_interval_join",
+    "j_salted_skew_join", "st_funnel_conversion", "st_max_concurrency",
+    "st_stateful_threshold_sql", "st_stream_static_enrich",
+    "st_tws_map_category_totals", "w_sliding_frame_moving_avg",
+    "x1_dedup_components", "x1_dedup_components_star",
+    "x1_dedup_embedding_cosine", "x1_dedup_jaccard_ngram",
+    "x1_graph_pagerank_star", "x3_multimodal_schema", "x4_token_count_bpe",
+    "x5_bpe_encode", "x5_bpe_vocab_train", "x5_corpus_filter_funnel",
+    "x5_pack_sequences", "x5_pii_redact_phones",
 )
 
 

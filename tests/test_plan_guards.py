@@ -129,6 +129,38 @@ def test_media_metadata_query_never_reads_payload(spark, tmp_path):
     assert q.count() > 0
 
 
+def test_x3_prune_guard_face_empty_on_gate_and_not_vacuous(spark, tmp_path):
+    """The driver-visible promotion of the test above (r13): the
+    x3_metadata_prune_guard face must come back EMPTY on the gate corpus
+    (its constant-empty-oracle semantics), and its inspection method must
+    actually DETECT a payload-reading plan -- a query that references the
+    payload column shows it in ReadSchema, proving the face's empty
+    result is a measured pass, not a vacuously-blind check."""
+    from pyspark.sql import functions as F
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    from multiagent_form_schema_etl_spark.operators.multimodal import (
+        x3_metadata_prune_guard)
+    from tests.conftest import SF_SMOKE
+
+    assert x3_metadata_prune_guard(spark, SF_SMOKE).collect() == []
+
+    # inverse direction: the same inspection flags a payload reader
+    docs = load_table(spark, SF_SMOKE, "documents")
+    payload = F.col("text").cast("binary")
+    media = docs.select("doc_id", payload.alias("payload"),
+                        F.length(payload).cast("long").alias("n_bytes"),
+                        "lang")
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    reader = (spark.read.parquet(path)
+              .filter(F.col("n_bytes") > 0)
+              .select("lang", F.length("payload").alias("pl")))
+    plan = reader._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and any("payload" in ln for ln in scans)
+
+
 def test_runtime_bloom_filter_prunes_selective_join(spark):
     """Runtime bloom-filter join pruning (the probe-side row filter a
     selective fact-fact join relies on at 100 TB) INJECTS on this engine's
