@@ -3,19 +3,25 @@
 
 The x1_dedup_containment auto-selector routes to the lossless
 containment-prefix kernel iff the naive inverted-index join's exact
-candidate volume V = sum_g C(c_g, 2) exceeds ``_CONT_AUTO_FACTOR`` (2.0)
-times the shingle-row count S. The 2.0 was calibrated from far-apart
-regimes (V/S = 0.017 gate / 0.055 linear probes / ~3.2 boilerplate
-pytest corpus) with NO measurement near the threshold. This drill
-manufactures corpora that LAND near it -- the cached x10 replication
-corpus plus a 6-token boilerplate phrase appended to exactly c docs,
-where c is solved from the target factor f: the phrase's 3 interior
-4-gram shingles each occur in c docs, so V grows by ~3*C(c, 2) while S
-grows by only ~6c -- then times BOTH kernels face-cold at each factor
-and verifies their outputs stay row-identical.
+candidate volume V = sum over (lang, gram) of C(c, 2) exceeds
+``_CONT_AUTO_FACTOR`` (2.0) times the shingle-row count S. The 2.0 was
+calibrated from far-apart regimes (V/S = 0.017 gate / 0.055 linear
+probes / ~3.2 boilerplate pytest corpus) with NO measurement near the
+threshold. This drill manufactures corpora that LAND near it -- the
+cached x10 replication corpus plus a 6-token boilerplate phrase appended
+to exactly c docs OF ONE LANGUAGE (V is counted per (lang, gram), so a
+cross-language injection splits the fan-out and undershoots: the first
+drill run measured 0.42 targeting 1.5), where c is solved from the
+target factor f: the phrase's 3 interior 4-gram shingles each occur in
+c same-language docs, so V grows by ~3*C(c, 2) while S grows by ~6c.
+
+Each kernel is timed FACE-COLD in its own subprocess JVM (the r12 probe
+methodology; also avoids cross-kernel memory accumulation), and the two
+kernels' outputs are verified row-identical per corpus.
 
 Usage:
     python tools/containment_boundary.py [--factors 1.5,2.0,2.5]
+    python tools/containment_boundary.py --kernel naive --dir D  # worker
 
 Writes drill corpora under scale_probe_data/boundary_f{f}/ (gitignored
 cache, same policy as the x10/x30 corpora); prints one table row per
@@ -25,8 +31,11 @@ factor for SCALE_PROBE.md.
 from __future__ import annotations
 
 import argparse
+import hashlib
+import json
 import math
 import os
+import subprocess
 import sys
 import time
 
@@ -59,13 +68,19 @@ def shingle_stats(duck, rel: str) -> tuple[int, int]:
 
 def build_corpus(duck, factor: float, s_base: int, v_base: int,
                  out_dir: str) -> None:
-    # V_target = factor * S  (S barely moves: +~6c rows on ~2M)
+    [(lang, n_lang)] = duck.execute(
+        "SELECT lang, COUNT(*) FROM base GROUP BY lang "
+        "ORDER BY COUNT(*) DESC, lang LIMIT 1").fetchall()
     c = int(math.isqrt(max(0, int(2 * (factor * s_base - v_base) / 3))))
+    if c > n_lang:
+        raise SystemExit(f"factor {factor} needs c={c} docs but the "
+                         f"largest language '{lang}' has only {n_lang}")
     duck.execute(f"""
         COPY (
           SELECT doc_id,
                  CASE WHEN doc_id IN (
-                        SELECT doc_id FROM base ORDER BY doc_id LIMIT {c})
+                        SELECT doc_id FROM base WHERE lang = '{lang}'
+                        ORDER BY doc_id LIMIT {c})
                       THEN text || ' ' || '{PHRASE}' ELSE text END AS text,
                  lang, source, n_chars
           FROM base
@@ -73,9 +88,10 @@ def build_corpus(duck, factor: float, s_base: int, v_base: int,
         """)
 
 
-def time_kernels(sf_dir: str) -> dict[str, float | int]:
-    """Face-cold timing of both kernels on one corpus dir: fresh shingle
-    lineage per kernel (mirrors the registered faces' own plans)."""
+def run_kernel(kernel: str, sf_dir: str) -> None:
+    """Worker mode: time ONE kernel face-cold in this fresh JVM; print a
+    JSON line {time_s, rows, digest} (digest = sha256 of the sorted
+    output rows, for the cross-kernel identity check)."""
     from multiagent_form_schema_etl_spark.operators.dedup import (
         _containment_cand_naive, _containment_cand_prefix,
         _containment_shingles, _containment_verify, track_persist)
@@ -83,29 +99,45 @@ def time_kernels(sf_dir: str) -> dict[str, float | int]:
 
     spark = get_spark("containment_boundary")
     spark.sparkContext.setLogLevel("ERROR")
-    out: dict[str, float | int] = {}
-    rows = {}
+    t0 = time.perf_counter()
+    sh, sizes = _containment_shingles(spark, sf_dir)
+    sh = track_persist(sh)
+    cand = (_containment_cand_naive(sh) if kernel == "naive"
+            else _containment_cand_prefix(sh, sizes))
+    res = _containment_verify(cand, sh, sizes).collect()
+    dt = round(time.perf_counter() - t0, 1)
+    digest = hashlib.sha256(
+        repr(sorted(map(tuple, res))).encode()).hexdigest()[:16]
+    print(json.dumps({"time_s": dt, "rows": len(res), "digest": digest}))
+
+
+def time_kernels(sf_dir: str) -> dict:
+    out = {}
     for kernel in ("naive", "prefix"):
-        t0 = time.perf_counter()
-        sh, sizes = _containment_shingles(spark, sf_dir)
-        sh = track_persist(sh)
-        cand = (_containment_cand_naive(sh) if kernel == "naive"
-                else _containment_cand_prefix(sh, sizes))
-        res = _containment_verify(cand, sh, sizes).collect()
-        out[kernel] = round(time.perf_counter() - t0, 1)
-        rows[kernel] = sorted(map(tuple, res))
-        sh.unpersist()
-    assert rows["naive"] == rows["prefix"], "kernels diverged!"
-    out["rows"] = len(rows["naive"])
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--kernel", kernel, "--dir", sf_dir],
+            stdout=subprocess.PIPE, text=True)
+        rec = json.loads([ln for ln in p.stdout.splitlines()
+                          if ln.startswith("{")][-1])
+        out[kernel] = rec
+    assert out["naive"]["digest"] == out["prefix"]["digest"], \
+        f"kernels diverged: {out}"
+    assert out["naive"]["rows"] == out["prefix"]["rows"]
     return out
 
 
 def main() -> None:
-    import duckdb
-
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1.5,2.0,2.5")
+    ap.add_argument("--kernel", choices=("naive", "prefix"))
+    ap.add_argument("--dir")
     args = ap.parse_args()
+    if args.kernel:
+        run_kernel(args.kernel, args.dir)
+        return
+
+    import duckdb
 
     duck = duckdb.connect()
     duck.execute(f"CREATE VIEW base AS SELECT * FROM "
@@ -123,8 +155,9 @@ def main() -> None:
         t = time_kernels(out_dir)
         choice = "prefix" if v > 2.0 * s else "naive"
         print(f"factor~{f}: measured V/S={v/s:.2f} (S={s} V={v}) | "
-              f"naive {t['naive']}s prefix {t['prefix']}s | "
-              f"selector-> {choice} | rows {t['rows']} (identical)")
+              f"naive {t['naive']['time_s']}s "
+              f"prefix {t['prefix']['time_s']}s | selector-> {choice} | "
+              f"rows {t['naive']['rows']} (identical)")
 
 
 if __name__ == "__main__":
