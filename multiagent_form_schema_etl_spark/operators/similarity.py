@@ -1652,6 +1652,25 @@ def x2_coreset_radius_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each query's top-ef beam. Hops are bounded by _GRAPH_MAX_HOPS and stop
 # early when no candidate improves any beam (greedy convergence).
 #
+# CONNECTIVITY (the r13 x30-probe lesson): a pure kNN graph DISCONNECTS
+# on clustered corpora -- on the 30x probe corpus (2000 clusters of 30
+# near-identical perturbed twins) every node's top-M neighbors are its
+# own twins, the graph is 2000 disjoint cliques, and beam search from
+# any entry set measured recall 0.0. This is precisely why published
+# graph indexes carry structure beyond the kNN edges (HNSW's layer
+# hierarchy; NSW's insertion-order long links). Two mechanisms here,
+# both deterministic:
+#   * LONG LINKS: every node keeps ~_GRAPH_LINK_SEEDS extra edges to
+#     hash-paired random partners (tiny 2-node buckets under seeded
+#     hashings) -- a constant-degree expander overlaid on the kNN graph,
+#     so no cluster is unreachable.
+#   * LEVEL-1 LAYER (HNSW-style): a deterministic 1/_GRAPH_L1_FRACTION
+#     hash sample of the corpus gets its OWN NN-descent graph; the beam
+#     runs there first (cluster-level routing: a sampled node's nearest
+#     sampled neighbors span OTHER clusters once its own twins thin
+#     out), and the resulting per-query beam seeds the full-graph
+#     descent phase.
+#
 # Determinism contract: xxhash64 seeds, (score desc, id asc) tie-breaks at
 # every top-M / beam insertion, fixed round/hop counts => the same corpus
 # always builds the same graph and returns the same top-k, which is what
@@ -1675,29 +1694,46 @@ _GRAPH_INIT_SEEDS = 3   # independent bucket hashings unioned at init:
 _GRAPH_HUBS = 24        # deterministic beam entry points
 _GRAPH_EF = 64          # beam width (candidates retained per query)
 _GRAPH_MAX_HOPS = 8     # beam expansion rounds upper bound
+_GRAPH_LINK_SEEDS = 4   # expander long links per node (~1 per seed):
+#   hash-paired 2-node buckets under _GRAPH_LINK_SEEDS seeded hashings,
+#   kept in the adjacency UNCONDITIONALLY (never top-M'ed away) -- the
+#   constant-degree random overlay that keeps twin-clique corpora
+#   connected (see the family comment's x30 lesson)
+_GRAPH_L1_FRACTION = 4  # level-1 sample = nodes with hash % 4 == 0
+_GRAPH_L1_MIN = 4 * _GRAPH_HUBS  # below this many sampled nodes the
+#   level-1 phase adds nothing over the hub scan: stay single-layer
 # Committed floors for the recall-invariant face, with margin under the
-# measured values (beam min/mean recall@5 vs the exact face: 1.0/1.0 at
-# sf0.001, sf0.01 AND sf0.1 seed-42 with the fresh-injection descent;
-# pre-injection sf0.1 measured 0.8/0.98, which sized the floors and is
-# kept as the sizing reference). The gate embeddings
-# are UNIFORM RANDOM -- the published worst case for navigable-graph
-# ANN (no cluster structure to navigate; see the NN-descent and HNSW
-# papers' structured-vs-random gaps) -- so the committed floors are set
-# for that regime: a real navigability regression (broken graph, dead
-# hubs, beam bug) lands far below them, while a rounding-tie flip or a
-# one-neighbor miss on a regenerated corpus does not.
+# measured values: beam min/mean recall@5 vs the exact face is 1.0/1.0
+# at sf0.001, sf0.01, sf0.1 (uniform random -- the published worst case
+# for navigable-graph ANN: no cluster structure to navigate) AND at the
+# 10x/30x perturbed-replication probe corpora (2000 clusters of 10/30
+# twins -- the opposite failure mode, where a bare kNN graph
+# disconnects into twin cliques; pre-hierarchy this measured recall 0.0
+# at 30x, the r13 lesson in the family comment). The floors are sized
+# so a real navigability regression (broken graph, dead hubs, beam bug,
+# a disconnection) lands far below them, while a rounding-tie flip or a
+# one-neighbor miss on a regenerated corpus does not (the pre-injection
+# sf0.1 build measured 0.8 min, the sizing reference).
 _GRAPH_RECALL_FLOOR = 0.6       # minimum per-query recall@k
 _GRAPH_RECALL_MEAN_FLOOR = 0.85  # mean recall@k over the query set
 
 
 def _graph_knn_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic NN-descent kNN graph over the embedding corpus:
-    (src, dst, score) with exactly min(M, n-1) out-edges per node, score =
-    dot of the L2-normalized vectors (== cosine). See the family comment
-    for the plan shape; every round localCheckpoints to truncate the
-    iterative lineage (the coreset-face idiom)."""
+    """Deterministic NN-descent kNN graph + expander long links over the
+    FULL embedding corpus (the level-0 search graph): (src, dst, score)
+    with min(M, n-1) kNN out-edges plus ~_GRAPH_LINK_SEEDS long links
+    per node, score = dot of the L2-normalized vectors (== cosine)."""
     emb = _normalized_embeddings(spark, sf_dir)
     n = table_rowcount(spark, sf_dir, "embeddings")
+    return _build_knn_adjacency(spark, emb, n)
+
+
+def _build_knn_adjacency(spark: SparkSession, emb: DataFrame,
+                         n: int) -> DataFrame:
+    """The construction kernel, over ANY (vec_id, vecn) node set -- the
+    level-1 layer reuses it on its hash sample. See the family comment
+    for the plan shape; every round localCheckpoints to truncate the
+    iterative lineage (the coreset-face idiom)."""
     n_buckets = max(1, n // _GRAPH_INIT_BUCKET)
 
     dot = F.aggregate(F.zip_with("vecn_a", "vecn_b", lambda x, y: x * y),
@@ -1753,15 +1789,33 @@ def _graph_knn_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("y.vec_id").alias("dst")))
         cand = und.unionByName(nofn).unionByName(fresh).distinct()
         adj = top_m(score_pairs(cand)).localCheckpoint()
-    return adj
+
+    # 3. expander long links, kept UNCONDITIONALLY: hash-pair the nodes
+    # into ~2-node buckets under _GRAPH_LINK_SEEDS seeded hashings; each
+    # pairing contributes ~1 random partner per node. These edges never
+    # compete in the top-M (on a twin-clique corpus they would always
+    # lose to the twins -- exactly the disconnection they exist to fix).
+    links = None
+    for s in range(_GRAPH_LINK_SEEDS):
+        lb = emb.select(
+            "vec_id",
+            (F.pmod(F.xxhash64(F.col("vec_id"), F.lit(700 + s)),
+                    F.lit(max(1, n // 2)))).alias("bkt"))
+        p = (lb.alias("x").join(lb.alias("y"), "bkt")
+             .filter(F.col("x.vec_id") != F.col("y.vec_id"))
+             .select(F.col("x.vec_id").alias("src"),
+                     F.col("y.vec_id").alias("dst")))
+        links = p if links is None else links.unionByName(p)
+    long_edges = score_pairs(links.distinct())
+    return (adj.unionByName(long_edges)
+            .dropDuplicates(["src", "dst"]).localCheckpoint())
 
 
-def _graph_hubs(spark: SparkSession, sf_dir: str) -> list[int]:
-    """The _GRAPH_HUBS min-(xxhash64, vec_id) node ids -- a deterministic
-    pseudo-random entry set (TakeOrderedAndProject: no global sort
-    materializes; the collect is exactly _GRAPH_HUBS ids)."""
-    emb = _normalized_embeddings(spark, sf_dir)
-    rows = (emb.select("vec_id", F.xxhash64(F.col("vec_id")).alias("h"))
+def _graph_hubs(nodes: DataFrame) -> list[int]:
+    """The _GRAPH_HUBS min-(xxhash64, vec_id) ids from a node relation --
+    a deterministic pseudo-random entry set (TakeOrderedAndProject: no
+    global sort materializes; the collect is exactly _GRAPH_HUBS ids)."""
+    rows = (nodes.select("vec_id", F.xxhash64(F.col("vec_id")).alias("h"))
             .orderBy("h", "vec_id").limit(_GRAPH_HUBS).collect())
     return [int(r["vec_id"]) for r in rows]
 
@@ -1778,14 +1832,6 @@ def x2_ann_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver holds only (query, node, score) triples bounded by
     ef * M * |queries| -- vectors never leave the executors."""
     emb = _normalized_embeddings(spark, sf_dir)
-    knn = _graph_knn_adjacency(spark, sf_dir)
-    # search over the UNDIRECTED graph: reverse edges double effective
-    # degree for free (the dst node already stored the score's operands)
-    adj = (knn.select("src", "dst")
-           .unionByName(knn.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst")))
-           .distinct().localCheckpoint())
-    hubs = _graph_hubs(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vecn").alias("qvecn"))
 
@@ -1799,17 +1845,21 @@ def x2_ann_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("query_id", "vec_id", qdot.alias("score"))
                 .collect())
 
+    def undirected(knn: DataFrame) -> DataFrame:
+        # search over the UNDIRECTED graph: reverse edges double
+        # effective degree for free
+        return (knn.select("src", "dst")
+                .unionByName(knn.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst")))
+                .distinct().localCheckpoint())
+
     query_ids = [int(r["query_id"]) for r in q.select("query_id").collect()]
     if not query_ids:
         return spark.createDataFrame(
             [], "query_id long, match_id long, cosine double, rnk long")
 
-    seed = spark.createDataFrame(
-        [(qi, h) for qi in query_ids for h in hubs],
-        "query_id long, vec_id long")
     beams: dict[int, list[tuple[float, int]]] = {qi: [] for qi in query_ids}
-    visited: dict[int, set[int]] = {qi: set(hubs) for qi in query_ids}
-    expanded: dict[int, set[int]] = {qi: set() for qi in query_ids}
+    visited: dict[int, set[int]] = {qi: set() for qi in query_ids}
 
     def merge(qi: int, entries: list[tuple[float, int]]) -> bool:
         """Insert into qi's beam, keep top-ef by (score desc, id asc);
@@ -1820,32 +1870,60 @@ def x2_ann_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         beams[qi] = pool[:_GRAPH_EF]
         return set(nid for _s, nid in beams[qi]) != before
 
-    for r in score_nodes(seed):
-        merge(int(r["query_id"]), [(float(r["score"]), int(r["vec_id"]))])
+    def beam_phase(adj: DataFrame, entry: list[int]) -> None:
+        """One beam-search phase over `adj`, seeded from `entry` plus
+        whatever the beams already hold (the level-1 phase's results
+        seed the level-0 phase). Mutates beams/visited in place."""
+        seed_pairs = [(qi, h) for qi in query_ids for h in entry
+                      if h not in visited[qi]]
+        if seed_pairs:
+            sdf = spark.createDataFrame(seed_pairs,
+                                        "query_id long, vec_id long")
+            for r in score_nodes(sdf):
+                qi, nid = int(r["query_id"]), int(r["vec_id"])
+                visited[qi].add(nid)
+                merge(qi, [(float(r["score"]), nid)])
+        expanded: dict[int, set[int]] = {qi: set() for qi in query_ids}
+        for _hop in range(_GRAPH_MAX_HOPS):
+            frontier = [(qi, nid) for qi in query_ids
+                        for _s, nid in beams[qi]
+                        if nid not in expanded[qi]]
+            if not frontier:
+                break
+            for qi, nid in frontier:
+                expanded[qi].add(nid)
+            fdf = spark.createDataFrame(frontier, "query_id long, src long")
+            cand = (fdf.join(adj, "src")
+                    .select("query_id", F.col("dst").alias("vec_id"))
+                    .distinct())
+            vdf = spark.createDataFrame(
+                [(qi, v) for qi in query_ids for v in visited[qi]],
+                "query_id long, vec_id long")
+            cand = cand.join(vdf, ["query_id", "vec_id"], "left_anti")
+            improved = False
+            for r in score_nodes(cand):
+                qi, nid = int(r["query_id"]), int(r["vec_id"])
+                visited[qi].add(nid)
+                if merge(qi, [(float(r["score"]), nid)]):
+                    improved = True
+            if not improved:
+                break
 
-    for _hop in range(_GRAPH_MAX_HOPS):
-        frontier = [(qi, nid) for qi in query_ids
-                    for _s, nid in beams[qi] if nid not in expanded[qi]]
-        if not frontier:
-            break
-        for qi, nid in frontier:
-            expanded[qi].add(nid)
-        fdf = spark.createDataFrame(frontier, "query_id long, src long")
-        cand = (fdf.join(adj, "src")
-                .select("query_id", F.col("dst").alias("vec_id"))
-                .distinct())
-        vdf = spark.createDataFrame(
-            [(qi, v) for qi in query_ids for v in visited[qi]],
-            "query_id long, vec_id long")
-        cand = cand.join(vdf, ["query_id", "vec_id"], "left_anti")
-        improved = False
-        for r in score_nodes(cand):
-            qi, nid = int(r["query_id"]), int(r["vec_id"])
-            visited[qi].add(nid)
-            if merge(qi, [(float(r["score"]), nid)]):
-                improved = True
-        if not improved:
-            break
+    # phase 1 (cluster-level routing): beam over the level-1 sample's
+    # own graph when the sample is big enough to matter
+    l1 = emb.filter(
+        F.pmod(F.xxhash64(F.col("vec_id"), F.lit(7)),
+               F.lit(_GRAPH_L1_FRACTION)) == 0).localCheckpoint()
+    n1 = l1.count()
+    if n1 >= _GRAPH_L1_MIN:
+        beam_phase(undirected(_build_knn_adjacency(spark, l1, n1)),
+                   _graph_hubs(l1))
+        entry0: list[int] = []  # beams already seed phase 2
+    else:
+        entry0 = _graph_hubs(emb)
+
+    # phase 2: full-graph descent (kNN + expander long links)
+    beam_phase(undirected(_graph_knn_adjacency(spark, sf_dir)), entry0)
 
     pairs = [(qi, nid) for qi in query_ids
              for _s, nid in beams[qi] if nid != qi]

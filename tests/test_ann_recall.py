@@ -461,8 +461,10 @@ def test_ann_graph_construction_deterministic_and_bounded(spark):
     """The graph build must be REPRODUCIBLE (hash seeds + total
     tie-breaks: two independent builds emit the identical edge set --
     what lets the recall face stand as a per-corpus invariant) and
-    BOUNDED (exactly min(M, n-1) out-edges per node: top-M never
-    under-fills when candidates exist, never over-fills)."""
+    BOUNDED: min(M, n-1) kNN out-edges per node plus the expander long
+    links (~1 per link seed, hash-pairing variance bounded by the
+    largest hash bucket -- never top-M'ed away, the x30 connectivity
+    fix), so per-node degree sits in [M, M + a few]."""
     from multiagent_form_schema_etl_spark.operators import similarity as s
 
     a1 = {(r.src, r.dst) for r in
@@ -472,8 +474,11 @@ def test_ann_graph_construction_deterministic_and_bounded(spark):
     assert a1 == a2 and len(a1) > 0
     import collections
     deg = collections.Counter(src for src, _ in a1)
-    assert set(deg.values()) == {s._GRAPH_M}  # n=500 >> M: all exact-M
     assert len(deg) == 500  # every vector has an adjacency row
+    assert min(deg.values()) >= s._GRAPH_M  # kNN edges always present
+    # long links add ~LINK_SEEDS edges; allow hash-bucket variance but
+    # fail if degree ever grows unbounded (the scale contract)
+    assert max(deg.values()) <= s._GRAPH_M + 4 * s._GRAPH_LINK_SEEDS
 
 
 def test_ann_graph_recall_face_is_not_vacuous(spark, monkeypatch):

@@ -164,7 +164,8 @@ def run_ann_probe(spark, qs, sf_dir: str) -> dict:
              for r in qs["x2_cosine_topk_gemm"](spark, sf_dir).collect()}
     out["gemm_exact_s"] = round(time.perf_counter() - t0, 2)
 
-    for name in ("x2_ann_lsh_buckets", "x2_ann_ivf_kmeans", "x2_ann_pq_adc"):
+    for name in ("x2_ann_lsh_buckets", "x2_ann_ivf_kmeans", "x2_ann_pq_adc",
+                 "x2_ann_graph_beam"):  # r13: graph-ANN joins the ladder
         t0 = time.perf_counter()
         got = {(r["query_id"], r["match_id"])
                for r in qs[name](spark, sf_dir).collect()}
