@@ -1664,12 +1664,15 @@ def x2_coreset_radius_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     hash-paired random partners (tiny 2-node buckets under seeded
 #     hashings) -- a constant-degree expander overlaid on the kNN graph,
 #     so no cluster is unreachable.
-#   * LEVEL-1 LAYER (HNSW-style): a deterministic 1/_GRAPH_L1_FRACTION
-#     hash sample of the corpus gets its OWN NN-descent graph; the beam
-#     runs there first (cluster-level routing: a sampled node's nearest
-#     sampled neighbors span OTHER clusters once its own twins thin
-#     out), and the resulting per-query beam seeds the full-graph
-#     descent phase.
+#   * LEVEL HIERARCHY (HNSW-style, recursive): level L is the
+#     deterministic 1/_GRAPH_L1_FRACTION^L hash sample of the corpus
+#     (a node's level = its seeded hash's base-4 trailing-zero count --
+#     the HNSW geometric level draw, derandomized); each level gets its
+#     OWN NN-descent graph, levels stack until the top would add
+#     nothing over the hub scan (geometric build cost, ~1.33x the base
+#     graph), and search runs top-down: coarse levels route globally
+#     (a sampled node's nearest sampled neighbors span OTHER clusters
+#     once its own twins thin out), each level's beam seeds the next.
 #
 # Determinism contract: xxhash64 seeds, (score desc, id asc) tie-breaks at
 # every top-M / beam insertion, fixed round/hop counts => the same corpus
@@ -1700,8 +1703,15 @@ _GRAPH_LINK_SEEDS = 4   # expander long links per node (~1 per seed):
 #   constant-degree random overlay that keeps twin-clique corpora
 #   connected (see the family comment's x30 lesson)
 _GRAPH_L1_FRACTION = 4  # level-1 sample = nodes with hash % 4 == 0
-_GRAPH_L1_MIN = 4 * _GRAPH_HUBS  # below this many sampled nodes the
-#   level-1 phase adds nothing over the hub scan: stay single-layer
+_GRAPH_L1_MIN = 4 * _GRAPH_HUBS  # below this many sampled nodes a
+#   coarse level adds nothing over the hub scan: stop stacking
+_GRAPH_MAX_COARSE_LEVELS = 2  # each coarse level is a 16x node-count
+#   reduction over two steps; two levels cover the tested scales with
+#   bounded per-level Spark-job latency (each level adds a build + a
+#   beam phase of driver-coordinated rounds -- at 1000-executor scale
+#   with trillions of vectors, raise this with the corpus: the build
+#   series stays geometric, only the fixed per-level round-trip count
+#   grows)
 # Committed floors for the recall-invariant face, with margin under the
 # measured values: beam min/mean recall@5 vs the exact face is 1.0/1.0
 # at sf0.001, sf0.01, sf0.1 (uniform random -- the published worst case
@@ -1909,20 +1919,31 @@ def x2_ann_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not improved:
                 break
 
-    # phase 1 (cluster-level routing): beam over the level-1 sample's
-    # own graph when the sample is big enough to matter
-    l1 = emb.filter(
-        F.pmod(F.xxhash64(F.col("vec_id"), F.lit(7)),
-               F.lit(_GRAPH_L1_FRACTION)) == 0).localCheckpoint()
-    n1 = l1.count()
-    if n1 >= _GRAPH_L1_MIN:
-        beam_phase(undirected(_build_knn_adjacency(spark, l1, n1)),
-                   _graph_hubs(l1))
-        entry0: list[int] = []  # beams already seed phase 2
-    else:
-        entry0 = _graph_hubs(emb)
+    # RECURSIVE level stack (the HNSW shape): level L = nodes whose
+    # seeded hash is 0 mod _GRAPH_L1_FRACTION^L, i.e. each level is a
+    # deterministic 1/4 sample of the one below (a node's level is its
+    # hash's base-4 trailing-zero count -- the geometric draw of the
+    # HNSW paper, derandomized). Levels stack until the top would add
+    # nothing over the hub scan; total build cost is a geometric series
+    # (~1.33x the base graph). Search runs TOP-DOWN: the coarsest graph
+    # routes globally, each level's beam seeds the next, the base level
+    # finishes with kNN + expander long links.
+    levels = [(emb, None)]  # (nodes, n) -- base n from the footer read
+    while len(levels) <= _GRAPH_MAX_COARSE_LEVELS:
+        nxt = levels[-1][0].filter(
+            F.pmod(F.xxhash64(F.col("vec_id"), F.lit(7)),
+                   F.lit(_GRAPH_L1_FRACTION ** len(levels))) == 0
+        ).localCheckpoint()
+        n_nxt = nxt.count()
+        if n_nxt < _GRAPH_L1_MIN:
+            break
+        levels.append((nxt, n_nxt))
 
-    # phase 2: full-graph descent (kNN + expander long links)
+    entry0 = _graph_hubs(levels[-1][0])
+    for nodes, n_lvl in reversed(levels[1:]):
+        beam_phase(undirected(_build_knn_adjacency(spark, nodes, n_lvl)),
+                   entry0)
+        entry0 = []  # beams seed every later phase
     beam_phase(undirected(_graph_knn_adjacency(spark, sf_dir)), entry0)
 
     pairs = [(qi, nid) for qi in query_ids
