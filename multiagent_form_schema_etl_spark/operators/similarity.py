@@ -2031,3 +2031,95 @@ def x2_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append(("RECALL_MEAN_BELOW_FLOOR", round(rmean, 6),
                          len(eq)))
     return spark.createDataFrame(rows, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Filtered similarity search (r13): top-k under a METADATA PREDICATE --
+# the production vector-search shape every serving stack exposes
+# ("nearest neighbors WHERE label = X"): retrieval corpora are filtered
+# by language / license / source / freshness before ranking. Two faces:
+# the exact decimal-routed reference (oracle-backed), and the pre-filter
+# strategy note that makes it scale-honest: the predicate prunes the
+# corpus BEFORE any pairing, so at 100 TB the filter rides the parquet
+# scan (PushedFilters on the metadata column) and the pairing cost is
+# proportional to the SELECTED slice, not the corpus. (The alternative
+# -- post-filtering an unfiltered ANN result -- under-fills k whenever
+# the filter is selective; pre-filtering is exact by construction.)
+# ---------------------------------------------------------------------------
+
+_FILTERED_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+             unnest(range(1, length(embedding) + 1)) AS i
+      FROM embeddings),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(CAST(v * v AS {_DEC})) AS DOUBLE)) AS nrm
+      FROM e GROUP BY vec_id),
+    q AS (SELECT DISTINCT vec_id, label FROM embeddings
+          WHERE vec_id < {_N_QUERIES}),
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+             CAST(SUM(CAST(a.v * b.v AS {_DEC})) AS DOUBLE) AS dot
+      FROM e a
+      JOIN q ON a.vec_id = q.vec_id
+      JOIN e b ON a.i = b.i AND b.label = q.label
+      WHERE b.vec_id <> a.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+    cos AS (
+      SELECT d.query_id, d.match_id,
+             ROUND(d.dot / (na.nrm * nb.nrm), 9) AS cosine
+      FROM dots d
+      JOIN norms na ON d.query_id = na.vec_id
+      JOIN norms nb ON d.match_id = nb.vec_id)
+    SELECT query_id, match_id, cosine, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, match_id)
+                     AS BIGINT) AS rnk
+      FROM cos)
+    WHERE rnk <= {_TOP_K}
+    """
+
+
+@register("x2_cosine_topk_filtered", oracle=_FILTERED_ORACLE)
+def x2_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact filtered top-k: each query's matches restricted to vectors
+    sharing its LABEL (the metadata-predicate retrieval shape). Same
+    decimal-routed cosine + 9-dp rounded ranking as x2_cosine_topk; the
+    only plan difference is the label equi-condition in the pair join,
+    which is exactly where a 100 TB deploy wants it -- the predicate
+    prunes the corpus side BEFORE pairing (partition/scan pruning when
+    the corpus is label-partitioned, a join-key otherwise), so cost
+    follows the selected slice. Pre-filter, never post-filter: a
+    post-filtered unfiltered top-k under-fills k whenever the predicate
+    is selective (here labels are ~10% of the corpus each -- an
+    unfiltered top-5 usually contains ZERO label matches)."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", "label",
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("vec")))
+    norms = emb.select("vec_id", _dec_norm("vec").alias("nrm"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"),
+        F.col("vec").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("match_id"),
+                   F.col("label").alias("mlabel"), F.col("vec").alias("mv"))
+    dots = (F.broadcast(q).join(
+                b, (F.col("qlabel") == F.col("mlabel"))
+                & (F.col("query_id") != F.col("match_id")))
+            .select("query_id", "match_id", _dec_dot("qv", "mv").alias("dot")))
+    na = norms.select(F.col("vec_id").alias("query_id"),
+                      F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("match_id"),
+                      F.col("nrm").alias("nb"))
+    n_emb = table_rowcount(spark, sf_dir, "embeddings")
+    cos = (dots.join(gated_broadcast(na, n_emb), "query_id")
+           .join(gated_broadcast(nb, n_emb), "match_id")
+           .select("query_id", "match_id",
+                   F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
+                    .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("match_id"))
+    return (cos.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= _TOP_K)
+            .select("query_id", "match_id", "cosine", "rnk"))
