@@ -58,6 +58,23 @@ def test_table_rowcount_matches_scan_and_caches(spark):
         pass
 
 
+def test_table_rowcount_non_local_uri_falls_back_to_footer_stats(spark):
+    """ADVICE r12: the pyarrow fast path assumes a local filesystem; a
+    URI-schemed sf_dir must route through footer_stats (the DSv2
+    footer-pushdown COUNT through the Hadoop FS layer -- the reason the
+    `spark` parameter stays in the signature). file:// is the one
+    Hadoop-resolvable scheme available in this container; the count must
+    match the local fast path's."""
+    from multiagent_form_schema_etl_spark import catalog
+
+    local = catalog.table_rowcount(spark, SF_SMOKE, "documents")
+    via_uri = catalog.table_rowcount(spark, "file://" + SF_SMOKE,
+                                     "documents")
+    assert via_uri == local > 0
+    # and the fallback genuinely populated its own cache key
+    assert any(k[0].startswith("file://") for k in catalog._rowcount_cache)
+
+
 def test_gated_sites_still_broadcast_at_gate_scale(spark):
     """The flagship gated site (_tok_d_df's doc-attribute attach) keeps its
     measured-right BroadcastHashJoin at gate scale -- the gate changes the
