@@ -2004,11 +2004,16 @@ def x2_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both inputs are the registered faces' own plans; the comparison
     collects two bounded top-k relations (<= {_N_QUERIES} x {_TOP_K}
     rows each) -- a guard-style bounded collect, never corpus-sized."""
+    from ..plans.registry import QUERIES  # memoized wrappers: the beam
+    # face is EAGER (graph build + beam loop run at plan-build time), so
+    # routing through the registry memo means one sweep builds the graph
+    # once for the rows-only face and this invariant, not twice
     n = table_rowcount(spark, sf_dir, "embeddings")
     exact = {(int(r["query_id"]), int(r["match_id"]))
-             for r in x2_cosine_topk(spark, sf_dir).collect()}
+             for r in QUERIES["x2_cosine_topk"](spark, sf_dir).collect()}
     approx = {(int(r["query_id"]), int(r["match_id"]))
-              for r in x2_ann_graph_beam(spark, sf_dir).collect()}
+              for r in QUERIES["x2_ann_graph_beam"](spark,
+                                                    sf_dir).collect()}
     out_schema = ("violation string, recall_min double, n_queries long")
     rows = []
     eq = {qid for qid, _m in exact}

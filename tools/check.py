@@ -61,6 +61,20 @@ _BOUNDARY_EXPOSURES: dict[str, str] = {
         SELECT x FROM (SELECT x, ROW_NUMBER() OVER (PARTITION BY q
                                                     ORDER BY x DESC) AS r
                        FROM cos) WHERE r <= 6""",
+    # filtered face: emitted top-5 per query WITHIN the query's label
+    # plus the rank-6 inclusion cell (r13 -- same 9-dp grain, but the
+    # boundary cells live in the label-restricted candidate universe)
+    "topk_filtered_cells": """
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings),
+        cos AS (SELECT a.vec_id AS q, list_cosine_similarity(a.vec, b.vec) AS x
+                FROM e a JOIN e b
+                  ON b.vec_id <> a.vec_id AND b.label = a.label
+                WHERE a.vec_id < 10)
+        SELECT x FROM (SELECT x, ROW_NUMBER() OVER (PARTITION BY q
+                                                    ORDER BY x DESC) AS r
+                       FROM cos) WHERE r <= 6""",
     # emitted top-3 neighbors per source plus the rank-4 inclusion cell
     "knn_cells": _COS_CTE + """,
         cos AS (SELECT a.vec_id AS s, list_cosine_similarity(a.vec, b.vec) AS x
@@ -219,6 +233,7 @@ _BOUNDARY_FACES: dict[str, str] = {
     "x2_cosine_topk": "topk_cells",
     "x2_cosine_topk_gemm": "topk_cells",
     "x2_cosine_topk_bruteforce": "topk_cells",
+    "x2_cosine_topk_filtered": "topk_filtered_cells",
     "x2_ann_lsh_buckets": "topk_cells",
     "x2_ann_pq_adc": "topk_cells",
     "x2_ann_ivf_kmeans": "topk_cells",
