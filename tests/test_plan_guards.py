@@ -161,6 +161,34 @@ def test_x3_prune_guard_face_empty_on_gate_and_not_vacuous(spark, tmp_path):
     assert scans and any("payload" in ln for ln in scans)
 
 
+def test_filtered_topk_label_predicate_is_a_join_key(spark):
+    """x2_cosine_topk_filtered's metadata predicate must participate as
+    a HASH-JOIN KEY (qlabel == mlabel), not a post-join filter: that is
+    the pre-filter shape that makes filtered search cost follow the
+    selected slice at 100 TB. A plan regression to a nested-loop join +
+    filter would silently pair the full corpus first."""
+    from multiagent_form_schema_etl_spark.operators.similarity import (
+        x2_cosine_topk_filtered)
+    from tests.conftest import SF_SMOKE
+
+    df = x2_cosine_topk_filtered(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert any("BroadcastHashJoin" in ln and "qlabel" in ln
+               and "mlabel" in ln for ln in plan.splitlines()), plan
+    assert "CartesianProduct" not in plan
+    # and the result is genuinely label-restricted
+    from pyspark.sql import functions as F
+
+    from multiagent_form_schema_etl_spark.catalog import load_table
+    lab = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "label")
+    joined = (df.join(lab.withColumnRenamed("vec_id", "query_id")
+                      .withColumnRenamed("label", "qlab"), "query_id")
+              .join(lab.withColumnRenamed("vec_id", "match_id")
+                    .withColumnRenamed("label", "mlab"), "match_id"))
+    assert joined.filter(F.col("qlab") != F.col("mlab")).count() == 0
+    assert df.count() > 0
+
+
 def test_runtime_bloom_filter_prunes_selective_join(spark):
     """Runtime bloom-filter join pruning (the probe-side row filter a
     selective fact-fact join relies on at 100 TB) INJECTS on this engine's
