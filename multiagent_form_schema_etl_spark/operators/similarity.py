@@ -807,7 +807,8 @@ _LSH_PROBE_HAMMING = 3  # query-side multi-probe radius: each query also
 #                         per band -- multi-probe is a query-only cost.
 
 
-def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str,
+                         by_label: bool = False) -> DataFrame:
     """Multi-probe banded hyperplane-LSH candidate generation
     (pre-verification), shared by the operator and the scale probe's
     candidate-volume measurement: (query_id, match_id) pairs for the
@@ -818,9 +819,18 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     showed that carrying the two 64-double vectors through the candidate
     shuffle multiplied the blow-up by ~1 KB/row; vectors join back per-id
     afterwards (the bounded candidate set broadcasts; the corpus relation
-    is never broadcast -- ADVICE r4)."""
+    is never broadcast -- ADVICE r4).
+
+    by_label=True (r13, the filtered-ANN path): the LABEL rides the
+    bucket key -- index buckets, the per-bucket cap, and the probe join
+    are all keyed on (label, band, bucket), so the metadata predicate is
+    a PRE-filter at the index level (the index is label-partitioned;
+    at 100 TB that is partition pruning on the index relation), never a
+    post-filter over an unfiltered candidate set."""
     emb = (load_table(spark, sf_dir, "embeddings")
-           .select("vec_id", F.transform("embedding", lambda x: x.cast("double"))
+           .select("vec_id",
+                   *(["label"] if by_label else []),
+                   F.transform("embedding", lambda x: x.cast("double"))
                    .alias("vec")))
     # hyperplane h, dim i weight in {-1,+1} from xxhash64(h, i) parity --
     # ADAPTIVE planes per band (r4 scale probe): fixed 3-bit buckets hold
@@ -862,17 +872,18 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
             bucket = bit if bucket is None else bucket + bit * (1 << p)
         band_buckets.append(bucket.alias(f"band{bnd}"))
-    sigs = emb.select("vec_id", *band_buckets)
+    key = ["label"] if by_label else []
+    sigs = emb.select("vec_id", *key, *band_buckets)
     buckets = sigs.select(
-        "vec_id",
+        "vec_id", *key,
         F.posexplode(F.array(*[F.col(f"band{b}")
                                for b in range(_LSH_SIM_BANDS)]))
          .alias("band", "bucket"))
-    wcap = (Window.partitionBy("band", "bucket")
+    wcap = (Window.partitionBy(*key, "band", "bucket")
             .orderBy(F.xxhash64("vec_id"), F.asc("vec_id")))
     capped = (buckets.withColumn("rn", F.row_number().over(wcap))
               .filter(F.col("rn") <= _LSH_BUCKET_CAP)
-              .select("vec_id", "band", "bucket"))
+              .select("vec_id", *key, "band", "bucket"))
     # query side: own bucket + every Hamming<=_LSH_PROBE_HAMMING neighbor
     # (bit-flip XOR masks are a driver-side constant list of size
     # sum_{d<=radius} C(r,d) -- O(r^radius) literals, not a
@@ -884,18 +895,18 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in range(_LSH_PROBE_HAMMING + 1)
         for combo in itertools.combinations(range(per_band), d)]
     qb = (sigs.filter(F.col("vec_id") < _N_QUERIES)
-          .select(F.col("vec_id").alias("query_id"),
+          .select(F.col("vec_id").alias("query_id"), *key,
                   F.posexplode(F.array(*[F.col(f"band{b}")
                                          for b in range(_LSH_SIM_BANDS)]))
                   .alias("band", "qbucket")))
     probes = qb.select(
-        "query_id", "band",
+        "query_id", *key, "band",
         F.explode(F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m))
                             for m in masks])).alias("bucket"))
     cand = (F.broadcast(probes)
             .join(capped.select(F.col("vec_id").alias("match_id"),
-                                "band", "bucket"),
-                  ["band", "bucket"])
+                                *key, "band", "bucket"),
+                  key + ["band", "bucket"])
             .filter(F.col("match_id") != F.col("query_id"))
             .select("query_id", "match_id")
             .dropDuplicates(["query_id", "match_id"]))
@@ -2123,6 +2134,37 @@ def x2_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("query_id", "match_id",
                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
                     .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("match_id"))
+    return (cos.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= _TOP_K)
+            .select("query_id", "match_id", "cosine", "rnk"))
+
+
+@register("x2_ann_lsh_filtered", oracle=_FILTERED_ORACLE)
+def x2_ann_lsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN -- the scale path for x2_cosine_topk_filtered: the
+    multi-probe hyperplane-LSH index with the LABEL riding the bucket
+    key (index, cap, and probe join all keyed on (label, band, bucket)),
+    so the metadata predicate prunes at the INDEX level -- a
+    label-partitioned index, never a post-filter over unfiltered
+    candidates (a post-filter under-fills k whenever the predicate is
+    selective; here each label holds ~10% of the corpus). Candidates are
+    verified with the packed-array cosine ROUNDED at 9 dp and ranked per
+    query, the ANN-family emission contract.
+
+    Oracle-backed on the exact filtered oracle (the LSH/IVF/PQ
+    precedent): within-label top-k is a HARDER target than global top-k
+    (the label-restricted 5th-nearest sits lower in the similarity
+    ladder, so its sign bits disagree with the query's on more planes),
+    and radius-3 multiprobe still measures recall 1.0 at sf0.001/0.01/
+    0.1 AND both r13 fresh-seed drills -- the gate hash doubles as a
+    standing recall == 1.0 assertion, with the loud approximate-face
+    diagnostic naming a recall shortfall if a regenerated corpus breaks
+    the margin; the pytest floor (0.8) guards the contract."""
+    cand = _lsh_candidate_pairs(spark, sf_dir, by_label=True)
+    cos = cand.select("query_id", "match_id",
+                      F.round(_cos_expr("qv", "mv"), 9).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("match_id"))
     return (cos.withColumn("rnk", F.row_number().over(w).cast("long"))

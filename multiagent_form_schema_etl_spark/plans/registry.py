@@ -178,22 +178,24 @@ def query_names() -> list[str]:
 
 # The driver's correctness gate verifies the FIRST 50 entries of queries().
 # r13 window policy (VERDICT r12 item 3): never-driver-checked faces
-# enter FIRST (the three new r13 faces: the graph-ANN recall invariant,
-# the X3 payload-prune guard, and the filtered top-k landed late in the
-# round), the 10 r12 first-timers keep one confirming round, and the
+# enter FIRST (the four new r13 faces: the graph-ANN recall invariant,
+# the X3 payload-prune guard, and the filtered exact + filtered-LSH
+# pair landed late in the round), the 10 r12 first-timers keep one
+# confirming round, and the
 # remaining slots drain the stale r6+r7 cohort (last driver-green two
-# rounds ago: the doc_* pipeline and early X1/X4/X5 families) -- 3 + 10
-# + 37 = exactly 50. The late face displaced x5_pii_redact_phones (the
-# r7 cohort's tail, per the r12 displacement precedent: never-checked
-# beats stale); it re-enters by staleness next round, so the stalest
-# cohort after r13 is that one r7 query, then r8.
+# rounds ago: the doc_* pipeline and early X1/X4/X5 families) -- 4 + 10
+# + 36 = exactly 50. The two late faces displaced x5_pii_redact_phones
+# and x5_pack_sequences (the r7 cohort's tail, per the r12 displacement
+# precedent: never-checked beats stale); both re-enter by staleness next
+# round, so the stalest cohort after r13 is those two r7 queries, then
+# r8.
 # Everything outside the window keeps its oracle + the builder gate
 # tools/check.py + the tri-SF sweeps, and the post-window order is
 # ledger-stalest-first so the next rounds' windows are mechanical.
 PRIORITY: tuple[str, ...] = (
     # -- new r13 faces (never driver-checked -> window immediately) --
     "x2_ann_graph_recall", "x3_metadata_prune_guard",
-    "x2_cosine_topk_filtered",
+    "x2_cosine_topk_filtered", "x2_ann_lsh_filtered",
     # -- the 10 r12 first-timers, kept one confirming round --
     "x1_dedup_containment", "x1_dedup_containment_prefix",
     "a_weighted_percentile_exact", "etl_fk_discovery",
@@ -217,9 +219,9 @@ PRIORITY: tuple[str, ...] = (
     "x1_dedup_embedding_cosine", "x1_dedup_jaccard_ngram",
     "x1_graph_pagerank_star", "x3_multimodal_schema", "x4_token_count_bpe",
     "x5_bpe_encode", "x5_bpe_vocab_train", "x5_corpus_filter_funnel",
-    "x5_pack_sequences",
-    # (x5_pii_redact_phones displaced by x2_cosine_topk_filtered;
-    #  re-enters by staleness in r14)
+    # (x5_pii_redact_phones and x5_pack_sequences displaced by
+    #  x2_cosine_topk_filtered and x2_ann_lsh_filtered; both re-enter by
+    #  staleness in r14)
 )
 
 

@@ -436,6 +436,21 @@ def test_containment_prefix_equals_naive(spark, tmp_path):
         _containment_shingles(spark, str(sf))[0]) == "prefix"
 
 
+def test_ann_lsh_filtered_recall_vs_exact_filtered(spark):
+    """Label-filtered multi-probe LSH (r13): the label rides the bucket
+    key (index-level pre-filter), and within-label top-5 -- a HARDER
+    target than global top-5, since the restricted 5th-nearest sits
+    lower in the similarity ladder -- still measures recall 1.0 at every
+    gate SF and both r13 fresh-seed drills. The floor guards the
+    approximation contract on regenerated corpora."""
+    qs = _queries()
+    exact = {(r.query_id, r.match_id)
+             for r in qs["x2_cosine_topk_filtered"](spark, SF_CHECK).collect()}
+    ann = {(r.query_id, r.match_id)
+           for r in qs["x2_ann_lsh_filtered"](spark, SF_CHECK).collect()}
+    assert len(exact & ann) / len(exact) >= 0.8
+
+
 def test_ann_graph_beam_recall_and_invariant_face(spark):
     """Graph-ANN (NN-descent kNN graph + hub-seeded beam search, r13):
     measured min-per-query recall vs the exact face is 1.0 at every gate

@@ -234,6 +234,7 @@ _BOUNDARY_FACES: dict[str, str] = {
     "x2_cosine_topk_gemm": "topk_cells",
     "x2_cosine_topk_bruteforce": "topk_cells",
     "x2_cosine_topk_filtered": "topk_filtered_cells",
+    "x2_ann_lsh_filtered": "topk_filtered_cells",
     "x2_ann_lsh_buckets": "topk_cells",
     "x2_ann_pq_adc": "topk_cells",
     "x2_ann_ivf_kmeans": "topk_cells",
@@ -254,7 +255,7 @@ _BOUNDARY_WARN = 1e-12  # worth a look on the next corpus regeneration
 # is diagnosed as a recall shortfall rather than an engine bug.
 _APPROX_FACES = frozenset({
     "x2_ann_lsh_buckets", "x2_ann_pq_adc", "x2_ann_ivf_kmeans",
-    "x1_dedup_embedding_ivf",
+    "x1_dedup_embedding_ivf", "x2_ann_lsh_filtered",
 })
 
 
