@@ -61,7 +61,11 @@ def _cpu_counters() -> tuple[int, int]:
         with open("/proc/stat") as f:
             parts = f.readline().split()[1:]
         vals = [int(x) for x in parts]
-        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+        # fields: user nice system idle iowait irq softirq steal guest
+        # guest_nice -- the kernel already folds guest/guest_nice into
+        # user/nice, so summing all 10 double-counts them and slightly
+        # understates steal_pct (ADVICE r13): total over the first 8.
+        return (vals[7] if len(vals) > 7 else 0, sum(vals[:8]))
     except (OSError, ValueError, IndexError):
         return (0, 0)
 

@@ -154,17 +154,44 @@ def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
         # no gated hint needs it, so keep the contract explicit.
         raise KeyError("table_rowcount does not support 'events'")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if "://" in sf_dir:  # non-local URI: pyarrow walk can't reach it
+        # ADVICE r13: os.path.getmtime always fails on a URI, so a
+        # (path, -1.0) key would pin the FIRST count forever even if the
+        # remote dataset is replaced mid-process. Derive the cache token
+        # from Hadoop FileStatus (modificationTime + summary length);
+        # if the metadata call itself fails, skip caching entirely.
+        token = _hadoop_mtime_token(spark, path)
+        if token is None:
+            return int(footer_stats(spark, path, [])["count"])
+        key = (path, token)
+        if key not in _rowcount_cache:
+            _rowcount_cache[key] = int(
+                footer_stats(spark, path, [])["count"])
+        return _rowcount_cache[key]
     try:
         mtime = os.path.getmtime(path)
     except OSError:
         mtime = -1.0
     key = (path, mtime)
     if key not in _rowcount_cache:
-        if "://" in sf_dir:  # non-local URI: pyarrow walk can't reach it
-            _rowcount_cache[key] = int(footer_stats(spark, path, [])["count"])
-        else:
-            _rowcount_cache[key] = _footer_rowcount(path)
+        _rowcount_cache[key] = _footer_rowcount(path)
     return _rowcount_cache[key]
+
+
+def _hadoop_mtime_token(spark: SparkSession, path: str):
+    """Cache token for a non-local dataset: (modificationTime, byte
+    length) from the Hadoop FileSystem -- metadata-only, no Spark job.
+    Length is folded in because synthetic directories on object stores
+    (s3a) carry a constant mtime. None = unknowable, caller skips the
+    cache."""
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        summary = fs.getContentSummary(jpath)
+        return (int(fs.getFileStatus(jpath).getModificationTime()),
+                int(summary.getLength()))
+    except Exception:
+        return None
 
 
 def _footer_rowcount(path: str) -> int:

@@ -268,7 +268,12 @@ def x3_metadata_prune_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="x3_prune_guard_")
     rows: list[tuple[str, str]] = []
     try:
-        path = os.path.join(tmp, "media")
+        # explicit file:// so the probe write lands on the driver-local
+        # FS the shutil cleanup (and the executors, in the local-mode
+        # contract this face documents) actually see -- without it, a
+        # deployment whose default FS is remote would write elsewhere
+        # and leak the temp dir (ADVICE r13)
+        path = "file://" + os.path.join(tmp, "media")
         media.write.parquet(path)
         q = (spark.read.parquet(path)
              .filter(F.col("n_bytes") > 0)

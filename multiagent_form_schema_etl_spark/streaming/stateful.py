@@ -927,7 +927,15 @@ def _ewma_vec(s, e=None):
     (raw ewm skips it and resumes), via a cummax mask; (2) an optional
     seed `e` continues a prior recursion (the live twin's carried
     state) by prepend-and-drop -- the same recursion shifted one step,
-    also pinned bit-identical; a NaN seed short-circuits to all-NaN."""
+    also pinned bit-identical; a NaN seed short-circuits to all-NaN.
+
+    ADVICE r13 (high): pandas' C kernel SKIPS the y = a*x + (1-a)*y
+    update when its running mean exactly equals the incoming value,
+    emitting v where the loop/oracle computes a*v + (1-a)*v -- which
+    differs by an ulp for ~17% of doubles, and the divergence propagates
+    to every later output. Until the first such exact-repeat position,
+    ewm IS the loop, so detecting prev-output == current-input on the
+    vectorized result is exact; any hit falls back to the row loop."""
     import numpy as np
     import pandas as pd
 
@@ -936,15 +944,37 @@ def _ewma_vec(s, e=None):
         return pd.Series(np.nan, index=s.index, dtype="float64")
     if e is None:
         out = s.ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+        prev = out.to_numpy()[:-1]
+        cur = s.to_numpy(dtype="float64")[1:]
     else:
-        out = (pd.concat([pd.Series([e], dtype="float64"), s],
-                         ignore_index=True)
-               .ewm(alpha=EWMA_ALPHA, adjust=False).mean()
-               .iloc[1:].reset_index(drop=True))
+        full = (pd.concat([pd.Series([e], dtype="float64"), s],
+                          ignore_index=True)
+                .ewm(alpha=EWMA_ALPHA, adjust=False).mean())
+        out = full.iloc[1:].reset_index(drop=True)
+        prev = full.to_numpy()[:-1]  # includes the seed itself at [0]
+        cur = s.to_numpy(dtype="float64")
+    if (prev == cur).any():  # NaN on either side compares False
+        out = _ewma_loop(s, e)
     na = s.isna()
     if na.any():
         out = out.mask(na.cummax(), np.nan)
     return out
+
+
+def _ewma_loop(s, e=None):
+    """Reference row-loop recursion y_i = a*x_i + (1-a)*y_{i-1} -- the
+    exact-repeat fallback for _ewma_vec (NaN poisons naturally: once an
+    operand is NaN every later y is NaN, matching the oracle's NULL
+    arithmetic)."""
+    import numpy as np
+    import pandas as pd
+
+    out = np.empty(len(s), dtype="float64")
+    y = None if e is None else float(e)
+    for i, x in enumerate(s.to_numpy(dtype="float64")):
+        y = x if y is None else EWMA_ALPHA * x + (1.0 - EWMA_ALPHA) * y
+        out[i] = y
+    return pd.Series(out, index=s.index, dtype="float64")
 
 
 def ewma_pdf(pdf):

@@ -1301,6 +1301,24 @@ def test_ewma_vec_bit_identical_to_row_loop():
     check(np.array([np.nan, 2.0, 3.0]))
     check(np.array([1.0, 2.0]), e=float("nan"))
 
+    # (f) ADVICE r13 (high): exact repeats. pandas' C kernel skips the
+    # update when running mean == incoming value, emitting v where the
+    # loop computes a*v + (1-a)*v (differs by an ulp for ~17% of
+    # doubles, and propagates). Cover [v, v, ...], seeded e == v, a
+    # repeat mid-stream after divergence-prone values, and repeats
+    # adjacent to NaN poison -- sweeping many v so some hit the
+    # divergent-ulp class.
+    for v in rng.uniform(-1e6, 1e6, 200):
+        check(np.array([v, v]))
+        check(np.array([v, v, v, v, v]))
+        check(np.array([v]), e=float(v))
+        check(np.array([v, v, 3.7, v, v]), e=float(v))
+    check(np.array([2.0, np.nan, 4.0, 4.0]))
+    v = -459.4262679369458  # known divergent repeat (a*v+(1-a)*v != v)
+    assert EWMA_ALPHA * v + (1 - EWMA_ALPHA) * v != v
+    check(np.array([v, v, v]))
+    check(np.array([v, 1.0, v]), e=float(v))
+
 
 def test_streaming_ewma_state_survives_microbatches(spark, tmp_path):
     """applyInPandasWithState EWMA: two ts-ordered files with
