@@ -2179,3 +2179,236 @@ def x2_ann_lsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cos.withColumn("rnk", F.row_number().over(w).cast("long"))
             .filter(F.col("rnk") <= _TOP_K)
             .select("query_id", "match_id", "cosine", "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Diversified top-k: MMR (maximal marginal relevance) re-ranking -- the
+# serving-stack shape every retrieval deployment runs after candidate
+# generation (Carbonell & Goldstein 1998): greedily select k results
+# maximizing lambda*sim(q,d) - (1-lambda)*max_{s in S} sim(d,s), so the
+# emitted set trades relevance against redundancy. VERDICT r13 item 2.
+#
+# Float contract (the st_stateful_threshold_batches recipe, adapted):
+# every similarity entering a DECISION is the decimal-routed cosine
+# ROUNDED at 9 dp -- identical doubles on both engines -- and the greedy
+# score lambda*qsim - (1-lambda)*max(psim) is one multiply/subtract over
+# those identical doubles with LITERAL lambda constants (0.7/0.3 are
+# independent literals on both sides: 1.0 - 0.7 != 0.3 in binary, so the
+# complement is never computed at runtime). Selection and emitted scores
+# are therefore bit-identical; ties break (score desc, cand_id asc) via
+# ascending-id strict-> iteration here and ORDER BY ... LIMIT 1 there.
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7   # relevance weight
+_MMR_COMP = 0.3     # diversity weight: a LITERAL, never 1.0 - lambda
+_MMR_POOL = 20      # candidate pool per query (top-C by rounded cosine)
+
+# Shared CTE prefix: candidate pool + pairwise candidate cosines, both on
+# the family's decimal dot + 9-dp round recipe. qsim_raw/psim_raw carry
+# the PRE-round values for the boundary exposure (tools/check.py derives
+# mmr_cells from this string so the audit can never drift from the
+# registered statement); the oracle's own selection reads only the
+# rounded columns.
+_MMR_CTE = f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+             unnest(range(1, length(embedding) + 1)) AS i
+      FROM embeddings),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(CAST(v * v AS {_DEC})) AS DOUBLE)) AS nrm
+      FROM e GROUP BY vec_id),
+    qdots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+             CAST(SUM(CAST(a.v * b.v AS {_DEC})) AS DOUBLE) AS dot
+      FROM e a JOIN e b ON a.i = b.i
+      WHERE a.vec_id < {_N_QUERIES} AND b.vec_id <> a.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+    cos AS (
+      SELECT d.query_id, d.match_id,
+             ROUND(d.dot / (na.nrm * nb.nrm), 9) AS qsim,
+             d.dot / (na.nrm * nb.nrm) AS qsim_raw
+      FROM qdots d
+      JOIN norms na ON d.query_id = na.vec_id
+      JOIN norms nb ON d.match_id = nb.vec_id),
+    cands AS (
+      SELECT query_id, match_id AS cand_id, qsim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY qsim DESC, match_id) AS rn
+        FROM cos) WHERE rn <= {_MMR_POOL}),
+    pdots AS (
+      SELECT ca.query_id, ca.cand_id AS a_id, cb.cand_id AS b_id,
+             CAST(SUM(CAST(ea.v * eb.v AS {_DEC})) AS DOUBLE) AS dot
+      FROM cands ca
+      JOIN cands cb ON cb.query_id = ca.query_id
+                   AND cb.cand_id <> ca.cand_id
+      JOIN e ea ON ea.vec_id = ca.cand_id
+      JOIN e eb ON eb.vec_id = cb.cand_id AND eb.i = ea.i
+      GROUP BY ca.query_id, ca.cand_id, cb.cand_id),
+    pairs AS (
+      SELECT d.query_id, d.a_id, d.b_id,
+             ROUND(d.dot / (na.nrm * nb.nrm), 9) AS psim,
+             d.dot / (na.nrm * nb.nrm) AS psim_raw
+      FROM pdots d
+      JOIN norms na ON d.a_id = na.vec_id
+      JOIN norms nb ON d.b_id = nb.vec_id)"""
+
+_MMR_ORACLE = _MMR_CTE + f""",
+    sel AS (
+      SELECT query_id, [cand_id] AS picked, 1 AS step
+      FROM (SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY qsim DESC, cand_id) AS rn
+            FROM cands) WHERE rn = 1
+      UNION ALL
+      SELECT s.query_id,
+             list_append(s.picked, (
+               SELECT cand_id FROM (
+                 SELECT c.cand_id,
+                        {_MMR_LAMBDA!r} * c.qsim - {_MMR_COMP!r} * (
+                            SELECT MAX(p.psim) FROM pairs p
+                            WHERE p.query_id = s.query_id
+                              AND p.a_id = c.cand_id
+                              AND list_contains(s.picked, p.b_id)) AS score
+                 FROM cands c
+                 WHERE c.query_id = s.query_id
+                   AND NOT list_contains(s.picked, c.cand_id))
+               ORDER BY score DESC, cand_id LIMIT 1)),
+             s.step + 1
+      FROM sel s
+      WHERE s.step < {_TOP_K}
+        AND s.step < (SELECT COUNT(*) FROM cands c2
+                      WHERE c2.query_id = s.query_id)),
+    final AS (
+      SELECT query_id, picked FROM sel s
+      WHERE step = (SELECT MAX(step) FROM sel s2
+                    WHERE s2.query_id = s.query_id)),
+    unrolled AS (
+      SELECT query_id, picked,
+             unnest(picked) AS match_id,
+             unnest(range(1, len(picked) + 1)) AS rnk
+      FROM final)
+    SELECT o.query_id, o.match_id, c.qsim,
+           CASE WHEN o.rnk = 1 THEN c.qsim
+                ELSE {_MMR_LAMBDA!r} * c.qsim - {_MMR_COMP!r} * (
+                  SELECT MAX(p.psim) FROM pairs p
+                  WHERE p.query_id = o.query_id AND p.a_id = o.match_id
+                    AND list_contains(list_slice(o.picked, 1, o.rnk - 1),
+                                      p.b_id)) END AS mmr,
+           CAST(o.rnk AS BIGINT) AS rnk
+    FROM unrolled o JOIN cands c
+      ON c.query_id = o.query_id AND c.cand_id = o.match_id
+    """
+
+
+def _mmr_kernel(cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy MMR over ONE query's candidate pool. Pure-Python floats on
+    the 9-dp-rounded inputs; ascending-id iteration with strict > keeps
+    the lowest id on exact score ties -- the oracle's
+    (score DESC, cand_id) LIMIT 1. Rank-1 score is defined as qsim (the
+    empty-set convention both engines share)."""
+    cols = ["query_id", "match_id", "qsim", "mmr", "rnk"]
+    if cdf.empty:
+        return pd.DataFrame(columns=cols)
+    qid = int(cdf["query_id"].iloc[0])
+    qs = {int(c): float(v) for c, v in zip(cdf["cand_id"], cdf["qsim"])}
+    ps = {(int(a), int(b)): float(v)
+          for a, b, v in zip(pdf["a_id"], pdf["b_id"], pdf["psim"])}
+    remaining = sorted(qs)
+    picked: list[int] = []
+    rows = []
+    while remaining and len(picked) < _TOP_K:
+        best_id, best_score = None, None
+        for c in remaining:
+            if not picked:
+                score = qs[c]
+            else:
+                mp = max(ps[(c, s)] for s in picked)
+                score = _MMR_LAMBDA * qs[c] - _MMR_COMP * mp
+            if best_score is None or score > best_score:
+                best_id, best_score = c, score
+        picked.append(best_id)
+        rows.append((qid, best_id, qs[best_id], best_score, len(picked)))
+        remaining.remove(best_id)
+    return pd.DataFrame(rows, columns=cols)
+
+
+@register("x2_topk_mmr", oracle=_MMR_ORACLE)
+def x2_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k via greedy MMR re-ranking (lambda = 0.7) over a
+    top-{_MMR_POOL} exact-cosine candidate pool per query. Output
+    (query_id, match_id, qsim, mmr, rnk), rnk <= {_TOP_K}.
+
+    100 TB shape: only the CANDIDATE stage touches the corpus (here the
+    exact decimal face for oracle-comparability; a deploy swaps in any
+    ANN sibling -- same emission contract), after which everything is
+    bounded by |Q| * pool: the pairwise-cosine stage joins the broadcast
+    candidate list back to the corpus twice (two narrow id-probe passes,
+    pool^2 rows out), and the greedy loop runs per-query in one
+    cogrouped Arrow batch -- no corpus data ever reaches the driver. The
+    oracle steps the identical greedy selection as a recursive CTE over
+    the same rounded cosines (see the float contract above)."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("vec")))
+    norms = emb.select("vec_id", _dec_norm("vec").alias("nrm"))
+    n_emb = table_rowcount(spark, sf_dir, "embeddings")
+
+    # stage 1: candidate pool = exact rounded-cosine top-C per query
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("match_id"),
+                   F.col("vec").alias("mv"))
+    dots = (F.broadcast(q).join(b, F.col("query_id") != F.col("match_id"))
+            .select("query_id", "match_id",
+                    _dec_dot("qv", "mv").alias("dot")))
+    na = norms.select(F.col("vec_id").alias("query_id"),
+                      F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("match_id"),
+                      F.col("nrm").alias("nb"))
+    cos = (dots.join(gated_broadcast(na, n_emb), "query_id")
+           .join(gated_broadcast(nb, n_emb), "match_id")
+           .select("query_id", "match_id",
+                   F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
+                   .alias("qsim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("qsim"),
+                                               F.asc("match_id"))
+    cands = (cos.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= _MMR_POOL)
+             .select("query_id", F.col("match_id").alias("cand_id"),
+                     "qsim"))
+
+    # stage 2: pairwise cosines WITHIN each pool -- |Q|*C^2 rows, corpus
+    # touched only by two broadcast id-probe joins to fetch vectors
+    ca = cands.select("query_id", F.col("cand_id").alias("a_id"))
+    cb = cands.select(F.col("query_id").alias("qid_b"),
+                      F.col("cand_id").alias("b_id"))
+    ids = (F.broadcast(ca)
+           .join(F.broadcast(cb), (F.col("query_id") == F.col("qid_b"))
+                 & (F.col("a_id") != F.col("b_id")))
+           .select("query_id", "a_id", "b_id"))
+    va = emb.select(F.col("vec_id").alias("a_id"), F.col("vec").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("b_id"), F.col("vec").alias("vb"))
+    pdots = (ids.join(va, "a_id").join(vb, "b_id")
+             .select("query_id", "a_id", "b_id",
+                     _dec_dot("va", "vb").alias("dot")))
+    pna = norms.select(F.col("vec_id").alias("a_id"),
+                       F.col("nrm").alias("pna"))
+    pnb = norms.select(F.col("vec_id").alias("b_id"),
+                       F.col("nrm").alias("pnb"))
+    # qid alias mints a fresh attribute: pairs shares lineage with cands,
+    # and cogrouping both on the SAME query_id exprId trips Spark's
+    # ambiguous-self-join check
+    pairs = (pdots.join(gated_broadcast(pna, n_emb), "a_id")
+             .join(gated_broadcast(pnb, n_emb), "b_id")
+             .select(F.col("query_id").alias("qid"), "a_id", "b_id",
+                     F.round(F.col("dot") / (F.col("pna") * F.col("pnb")),
+                             9).alias("psim")))
+
+    # stage 3: per-query greedy selection in one cogrouped Arrow batch
+    return (cands.groupBy("query_id")
+            .cogroup(pairs.groupBy("qid"))
+            .applyInPandas(_mmr_kernel,
+                           "query_id long, match_id long, qsim double, "
+                           "mmr double, rnk long"))

@@ -507,3 +507,62 @@ def test_ann_graph_recall_face_is_not_vacuous(spark, monkeypatch):
     rows = s.x2_ann_graph_recall(spark, SF_SMOKE).collect()
     assert [r.violation for r in rows] == ["RECALL_MIN_BELOW_FLOOR"]
     assert rows[0].n_queries == 10 and rows[0].recall_min <= 1.0
+
+
+def test_mmr_kernel_matches_independent_greedy():
+    """The cogrouped MMR kernel must match an independently-written greedy
+    (different iteration structure: heap-free argmax over a dict) on a
+    hand-built pool with engineered ties and redundancy."""
+    import numpy as np
+
+    from multiagent_form_schema_etl_spark.operators.similarity import (
+        _MMR_COMP, _MMR_LAMBDA, _mmr_kernel, _TOP_K)
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(2, 12))
+        cand_ids = sorted(rng.choice(1000, size=n, replace=False).tolist())
+        qs = {c: round(float(rng.uniform(-1, 1)), 9) for c in cand_ids}
+        if trial % 3 == 0 and n >= 3:  # engineered qsim tie
+            qs[cand_ids[1]] = qs[cand_ids[0]]
+        ps = {(a, b): round(float(rng.uniform(-1, 1)), 9)
+              for a in cand_ids for b in cand_ids if a != b}
+        # independent greedy: set-based, max() with explicit key tuple
+        want, sel = [], []
+        pool = set(cand_ids)
+        while pool and len(sel) < _TOP_K:
+            def key(c):
+                s = (qs[c] if not sel else
+                     _MMR_LAMBDA * qs[c]
+                     - _MMR_COMP * max(ps[(c, s_)] for s_ in sel))
+                return (-s, c)
+            pick = min(pool, key=key)
+            want.append((pick, -key(pick)[0], len(sel) + 1))
+            sel.append(pick)
+            pool.remove(pick)
+        cdf = pd.DataFrame({"query_id": 0, "cand_id": cand_ids,
+                            "qsim": [qs[c] for c in cand_ids]})
+        pdf = pd.DataFrame([(0, a, b, v) for (a, b), v in ps.items()],
+                           columns=["qid", "a_id", "b_id", "psim"])
+        got = _mmr_kernel(cdf, pdf)
+        assert [(int(r.match_id), float(r.mmr), int(r.rnk))
+                for r in got.itertuples()] == want, trial
+
+
+def test_mmr_face_diversifies_vs_plain_topk(spark):
+    """Face invariants at sf0.001: rank-1 equals the exact top-1; emitted
+    ids are distinct; every emitted id comes from the candidate pool
+    (the exact top-20); and mmr <= qsim whenever the diversity max is
+    positive (it is, on this corpus of near-duplicate clusters)."""
+    q = _queries()
+    mmr = q["x2_topk_mmr"](spark, SF_SMOKE).toPandas()
+    exact = q["x2_cosine_topk"](spark, SF_SMOKE).toPandas()
+    top1 = {int(r.query_id): int(r.match_id)
+            for r in exact[exact.rnk == 1].itertuples()}
+    for qid, grp in mmr.groupby("query_id"):
+        assert int(grp[grp.rnk == 1]["match_id"].iloc[0]) == top1[int(qid)]
+        assert grp["match_id"].is_unique
+        assert (grp.sort_values("rnk")["rnk"].to_numpy()
+                == range(1, len(grp) + 1)).all()
+        later = grp[grp.rnk > 1]
+        assert (later["mmr"] <= later["qsim"] + 1e-12).all()

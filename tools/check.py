@@ -123,6 +123,13 @@ _BOUNDARY_EXPOSURES: dict[str, str] = {
     "ppl2_cells": None,  # filled by _install_ppl2_exposure()
     # x4_zipf_heaps_stats: pre-round regression slopes (every emitted cell)
     "zipf_cells": None,  # filled by _install_zipf_exposure()
+    # x2_topk_mmr: pre-round cosines of every value entering an MMR
+    # decision -- pool inclusion (top C+1 per query by the rounded rank)
+    # plus every pairwise candidate cosine feeding the diversity max.
+    # The greedy arithmetic itself runs on identical post-round doubles
+    # in both engines, so the 9-dp rounding of qsim/psim is the ONLY
+    # cross-engine surface. Built lazily from the face's own CTE.
+    "mmr_cells": None,  # filled by _install_mmr_exposure()
     # pre-round centered norms of x2_grouped_center_applyinpandas (all
     # cells are emitted)
     "centered_norms": """
@@ -222,6 +229,24 @@ def _install_zipf_exposure() -> None:
         + "SELECT slope AS x FROM scored WHERE slope IS NOT NULL")
 
 
+def _install_mmr_exposure() -> None:
+    """Derive mmr_cells from the MMR face's own shared CTE (which carries
+    qsim_raw/psim_raw pre-round columns precisely for this audit): the
+    pool-inclusion cells ranked by the ROUNDED qsim (the face's real
+    membership boundary, the ws_topk_cells recipe) at C+1, plus every
+    candidate-pair psim (each one can flip the diversity max)."""
+    from multiagent_form_schema_etl_spark.operators.similarity import (
+        _MMR_CTE, _MMR_POOL)
+    _BOUNDARY_EXPOSURES["mmr_cells"] = _MMR_CTE + f"""
+        SELECT x FROM (
+          SELECT qsim_raw AS x,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY qsim DESC, match_id) AS r
+          FROM cos) WHERE r <= {_MMR_POOL + 1}
+        UNION ALL
+        SELECT psim_raw AS x FROM pairs"""
+
+
 _BOUNDARY_FACES: dict[str, str] = {
     "x4_bm25_topk": "bm25_topk_cells",
     "x5_weighted_sample_topk": "ws_topk_cells",
@@ -234,6 +259,7 @@ _BOUNDARY_FACES: dict[str, str] = {
     "x2_cosine_topk_gemm": "topk_cells",
     "x2_cosine_topk_bruteforce": "topk_cells",
     "x2_cosine_topk_filtered": "topk_filtered_cells",
+    "x2_topk_mmr": "mmr_cells",
     "x2_ann_lsh_filtered": "topk_filtered_cells",
     "x2_ann_lsh_buckets": "topk_cells",
     "x2_ann_pq_adc": "topk_cells",
@@ -285,6 +311,8 @@ def boundary_audit(con, faces: list[str]) -> list[str]:
         _install_ppl2_exposure()
     if _BOUNDARY_EXPOSURES.get("zipf_cells") is None:
         _install_zipf_exposure()
+    if _BOUNDARY_EXPOSURES.get("mmr_cells") is None:
+        _install_mmr_exposure()
     failures: list[str] = []
     mins: dict[str, tuple[float, int]] = {}
     for exp in sorted({_BOUNDARY_FACES[f] for f in faces}):
@@ -331,6 +359,10 @@ _PYUDF_ALLOW: frozenset[str] = frozenset({
     # r12: per-user EWMA -- sequential recursion on the previous OUTPUT,
     # inexpressible in one window pass (the threshold-batches argument)
     "st_ewma_smoothing",
+    # r14: greedy MMR selection -- each pick depends on the previously
+    # SELECTED set (the EWMA argument, set-valued); the cogrouped kernel
+    # sees only the bounded |Q|*pool candidate/pair rows
+    "x2_topk_mmr",
 })
 _UNPART_WINDOW_ALLOW: frozenset[str] = frozenset({
     # the repo's TWO deliberate unpartitioned windows, each with a
