@@ -566,3 +566,82 @@ def test_mmr_face_diversifies_vs_plain_topk(spark):
                 == range(1, len(grp) + 1)).all()
         later = grp[grp.rnk > 1]
         assert (later["mmr"] <= later["qsim"] + 1e-12).all()
+
+
+def test_lsh_incremental_index_live_twin_and_tripwires(spark, tmp_path):
+    """Incremental LSH index maintenance, pinned three ways: (1) the
+    streaming upsert path emits exactly bands*|batch| signature rows per
+    micro-batch and the assembled store is row-identical to a rebuild;
+    (2) a REPLAYED batch (foreachBatch redelivery after failure) changes
+    nothing -- the per-batch-overwrite sink is idempotent; (3) a DROPPED
+    batch is caught by the face's anti-join comparison (the inverse
+    tripwire: the equivalence check can actually fail)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from multiagent_form_schema_etl_spark.catalog import (load_table,
+                                                          table_rowcount)
+    from multiagent_form_schema_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "label", "embedding")
+    n = table_rowcount(spark, SF_SMOKE, "embeddings")
+    per_band = sim._lsh_per_band(n)
+    thr = int(n * sim._INC_SPLIT)
+    base, delta = (emb.filter(f"vec_id < {thr}"),
+                   emb.filter(f"vec_id >= {thr}"))
+    delta_dir = str(tmp_path / "delta")
+    index_dir = str(tmp_path / "index")
+    delta.repartition(3).write.parquet(delta_dir)
+    (sim._lsh_signature_rows(base, per_band)
+     .write.parquet(index_dir + "/batch=-1"))
+
+    counts: dict[int, int] = {}
+    batch_ids: dict[int, list[int]] = {}
+
+    def upsert(bdf, batch_id):
+        out = sim._lsh_signature_rows(bdf, per_band)
+        counts[int(batch_id)] = out.count()
+        batch_ids[int(batch_id)] = [
+            r.vec_id for r in bdf.select("vec_id").collect()]
+        out.write.mode("overwrite").parquet(index_dir + f"/batch={batch_id}")
+
+    (spark.readStream.schema(emb.schema)
+     .option("maxFilesPerTrigger", 1).parquet(delta_dir)
+     .writeStream.foreachBatch(upsert)
+     .option("checkpointLocation", str(tmp_path / "ckpt"))
+     .trigger(availableNow=True).start().awaitTermination())
+
+    # (1) per-batch emissions: bands * batch rows, >= 2 batches, and the
+    # assembled store equals the rebuild row-for-row
+    assert len(counts) >= 2
+    n_delta = delta.count()
+    bands = sim._LSH_SIM_BANDS
+    assert sum(counts.values()) == bands * n_delta
+    cols = ["vec_id", "label", "band", "bucket"]
+    inc = spark.read.parquet(index_dir).select(*cols)
+    full = sim._lsh_signature_rows(emb, per_band)
+    assert full.join(inc, cols, "left_anti").count() == 0
+    assert inc.join(full, cols, "left_anti").count() == 0
+
+    # (2) replay idempotence: re-deliver batch 0's exact content via the
+    # same sink (foreachBatch redelivery semantics)
+    before = inc.count()
+    replay = emb.filter(F.col("vec_id").isin(batch_ids[0]))
+    upsert(replay, 0)
+    inc2 = spark.read.parquet(index_dir).select(*cols)
+    assert inc2.count() == before  # overwrite, not append: no growth
+    assert inc2.join(full, cols, "left_anti").count() == 0
+
+    # (3) dropped batch: delete one micro-batch's partition -> the face's
+    # MISSING_FROM_INCREMENTAL anti-join must fire
+    shutil.rmtree(index_dir + "/batch=1")
+    inc3 = spark.read.parquet(index_dir).select(*cols)
+    assert full.join(inc3, cols, "left_anti").count() > 0
+
+
+def test_lsh_incremental_equiv_face_green(spark):
+    """The registered face itself: zero violation rows at sf0.001."""
+    got = _queries()["x2_ann_lsh_index_incremental"](spark, SF_SMOKE)
+    assert got.count() == 0
