@@ -300,3 +300,166 @@ def x3_metadata_prune_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "violation string, detail string")
+
+
+# ---------------------------------------------------------------------------
+# Payload-level NEAR-dup (VERDICT r13 item 4): the multimodal analog of the
+# X1 text near-dup family, needing no codec -- w-shingling over the raw
+# payload BYTES (Broder 1997), MinHash, banded LSH, exact byte-shingle
+# Jaccard verification. Catches re-encoded-metadata / trailing-byte /
+# container-tweaked copies that the exact sha-256 dedup (x3_payload_dedup)
+# misses. Cross-engine portability rides the hex detour: both engines
+# shingle the SAME uppercase hex rendering of the payload (2 chars/byte,
+# verified identical incl. multi-byte utf-8), and every hash is the
+# first-8-hex-digits-of-md5 integer both engines compute bit-for-bit (the
+# x1_dedup_minhash_lsh_md5 recipe, keyed on bytes instead of tokens).
+# ---------------------------------------------------------------------------
+
+_PND_W = 12       # shingle width in BYTES (24 hex chars)
+_PND_K = 16       # minhash signature length
+_PND_BANDS = 4    # 4 bands x 4 rows
+_PND_CAP = 50     # frequent-bucket guard, same bound as the md5 face
+_PND_THR = 0.8    # byte-shingle Jaccard emission threshold
+_PND_P = 4294967311  # smallest prime > 2^32 (the classic minhash modulus)
+
+
+@register(
+    "x3_payload_neardup",
+    oracle=f"""
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS nb
+      FROM documents
+      WHERE octet_length(encode(text)) >= {_PND_W}),
+    shing AS (
+      SELECT DISTINCT doc_id, substring(h, i * 2 + 1, {2 * _PND_W}) AS sh
+      FROM hx, unnest(range(0, (SELECT MAX(nb) FROM hx))) AS t(i)
+      WHERE i <= nb - {_PND_W}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shing GROUP BY doc_id),
+    hv AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+      FROM shing),
+    seeds AS (SELECT unnest(range(0, {_PND_K})) AS i),
+    sig AS (
+      SELECT doc_id, i, MIN((h1 + i * h2) % {_PND_P}) AS mh
+      FROM hv, seeds GROUP BY doc_id, i),
+    bands AS (
+      SELECT doc_id, i // {_PND_K // _PND_BANDS} AS band,
+             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS key
+      FROM sig GROUP BY doc_id, i // {_PND_K // _PND_BANDS}),
+    good AS (
+      SELECT band, key FROM bands GROUP BY band, key
+      HAVING COUNT(*) BETWEEN 2 AND {_PND_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN good g ON a.band = g.band AND a.key = g.key
+      JOIN bands b ON a.band = b.band AND a.key = b.key
+                  AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shing sa ON sa.doc_id = c.doc_a
+      JOIN shing sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter)
+             AS jaccard
+    FROM inter i
+    JOIN sizes za ON i.doc_a = za.doc_id
+    JOIN sizes zb ON i.doc_b = zb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter)
+          >= {_PND_THR}
+    """,
+)
+def x3_payload_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate binary payloads: {_PND_W}-byte w-shingles over the
+    payload, {_PND_K}-seed portable-md5 MinHash in {_PND_BANDS} bands,
+    band-bucket candidate join (2..{_PND_CAP} guard), exact byte-shingle
+    Jaccard >= {_PND_THR} verification. Emits (doc_a, doc_b, jaccard);
+    the single integer-operand division is bit-identical cross-engine.
+
+    Plan shape: shingling + signatures are a STATELESS per-row map (one
+    narrow pass, zero shuffles until banding); the only corpus-scale
+    shuffles are the band-bucket groupBy and the verification's shingle
+    equi-join over candidate docs only. At 100 TB the lever is shingle
+    DENSITY, not the pipeline: stride-s or content-defined chunk
+    boundaries cut per-doc shingle volume ~s-fold with the standard
+    Jaccard resolution trade; stride 1 here keeps the oracle exact at
+    gate scale. Payloads are utf-8 bytes of `text` (the corpus ships no
+    real media -- the x3_multimodal_schema convention), but every
+    operation is byte-level: the hex detour (2 chars/byte, uppercase in
+    BOTH engines, multi-byte utf-8 verified identical) exists only so
+    DuckDB shingles the same byte string Spark does."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    hx = (docs.select("doc_id", F.hex(payload).alias("h"),
+                      F.length(payload).cast("int").alias("nb"))
+          .filter(F.col("nb") >= _PND_W))
+    sh_arr = F.array_distinct(
+        F.transform(F.sequence(F.lit(0), F.col("nb") - _PND_W),
+                    lambda i: F.col("h").substr(i * 2 + 1,
+                                                F.lit(2 * _PND_W))))
+    d = hx.select("doc_id", sh_arr.alias("sh"))
+    # ONE md5 per distinct shingle, then k seeded minima via the
+    # Kirsch-Mitzenmacher double-hash (h1 + i*h2) mod p -- portable
+    # 64-bit integer arithmetic both engines compute identically (h1, h2
+    # < 2^32 from the md5 halves, i*h2 < 2^36, no overflow; all operands
+    # non-negative so % == pmod). The first cut seeded md5(sh || ':' ||
+    # i) per SEED: 16 corpus-wide md5 passes, ~60 s of the sf0.1 gate --
+    # this one-pass form is ~6x cheaper with the same md5 quality.
+    h12 = F.transform(
+        F.transform("sh", F.md5),  # md5 ONCE per element, split after
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10)
+            .cast("bigint").alias("h1"),
+            F.conv(F.substring(m, 9, 8), 16, 10)
+            .cast("bigint").alias("h2")))
+    d = d.select("doc_id", "sh", h12.alias("hv"))
+
+    def mh(i: int):
+        return F.array_min(F.transform(
+            "hv", lambda s: (s["h1"] + i * s["h2"]) % _PND_P))
+
+    rows_per_band = _PND_K // _PND_BANDS
+    band_cols = [
+        F.concat_ws("-", *[mh(b * rows_per_band + r).cast("string")
+                           for r in range(rows_per_band)]).alias(f"k{b}")
+        for b in range(_PND_BANDS)]
+    banded = d.select("doc_id", *band_cols)
+    buckets = banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"k{b}")
+                               for b in range(_PND_BANDS)]))
+        .alias("band", "key"))
+    good = (buckets.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter((F.col("n") > 1) & (F.col("n") <= _PND_CAP))
+            .select("band", "key"))
+    buckets = buckets.join(F.broadcast(good), ["band", "key"])
+    cand = (buckets.alias("a").join(
+                buckets.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    shing = d.select("doc_id", F.explode("sh").alias("sh"))
+    sizes = d.select("doc_id", F.size("sh").alias("n_sh"))
+    sa = shing.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = shing.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    j = (inter
+         .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                            F.col("n_sh").alias("na")), "doc_a")
+         .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                            F.col("n_sh").alias("nb")), "doc_b")
+         .withColumn("jaccard", F.col("n_inter").cast("double")
+                     / (F.col("na") + F.col("nb") - F.col("n_inter"))))
+    return (j.filter(F.col("jaccard") >= _PND_THR)
+            .select("doc_a", "doc_b", "jaccard"))

@@ -645,3 +645,30 @@ def test_lsh_incremental_equiv_face_green(spark):
     """The registered face itself: zero violation rows at sf0.001."""
     got = _queries()["x2_ann_lsh_index_incremental"](spark, SF_SMOKE)
     assert got.count() == 0
+
+
+def test_payload_neardup_sound_vs_python_bytes(spark):
+    """Every x3_payload_neardup pair's jaccard must equal the exact
+    byte-shingle Jaccard computed independently in plain Python over the
+    raw utf-8 bytes (no hex detour, no Spark lineage), and clear the
+    threshold; plus one known near-pair must be recalled."""
+    from multiagent_form_schema_etl_spark.operators.multimodal import (
+        _PND_THR, _PND_W)
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    raw = {int(r.doc_id): r.text.encode("utf-8") for r in docs.itertuples()}
+
+    def shingles(b: bytes) -> set[bytes]:
+        return {b[i:i + _PND_W] for i in range(len(b) - _PND_W + 1)}
+
+    got = _queries()["x3_payload_neardup"](spark, SF_SMOKE).toPandas()
+    assert len(got) > 0
+    best = None
+    for r in got.itertuples():
+        sa, sb = shingles(raw[int(r.doc_a)]), shingles(raw[int(r.doc_b)])
+        true_j = len(sa & sb) / len(sa | sb)
+        assert true_j >= _PND_THR
+        assert abs(true_j - float(r.jaccard)) < 1e-12, (r.doc_a, r.doc_b)
+        best = max(best or 0.0, true_j)
+    # recall sanity: the strongest emitted pair is a genuine near-dup
+    assert best > 0.9
