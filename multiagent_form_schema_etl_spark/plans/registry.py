@@ -177,51 +177,48 @@ def query_names() -> list[str]:
 
 
 # The driver's correctness gate verifies the FIRST 50 entries of queries().
-# r13 window policy (VERDICT r12 item 3): never-driver-checked faces
-# enter FIRST (the four new r13 faces: the graph-ANN recall invariant,
-# the X3 payload-prune guard, and the filtered exact + filtered-LSH
-# pair landed late in the round), the 10 r12 first-timers keep one
-# confirming round, and the
-# remaining slots drain the stale r6+r7 cohort (last driver-green two
-# rounds ago: the doc_* pipeline and early X1/X4/X5 families) -- 4 + 10
-# + 36 = exactly 50. The two late faces displaced x5_pii_redact_phones
-# and x5_pack_sequences (the r7 cohort's tail, per the r12 displacement
-# precedent: never-checked beats stale); both re-enter by staleness next
-# round, so the stalest cohort after r13 is those two r7 queries, then
-# r8.
+# r14 window policy (VERDICT r13 item 1 + the standing r12 precedent):
+# never-driver-checked faces enter FIRST (the three new r14 faces: MMR
+# diversified top-k, the incremental-LSH-index equivalence, and the
+# payload byte-shingle near-dup), then the pair the late r13 faces
+# displaced (x5_pii_redact_phones + x5_pack_sequences -- the r7 stalest
+# cohort, never-checked-beats-stale owed them the head of this window),
+# then the 4 r13 first-timers for their confirming round, then the FULL
+# stale r8 cohort (23), then the 18 alphabetically-first r9 queries as
+# stalest fillers: 3 + 2 + 4 + 23 + 18 = exactly 50. The remaining 9 r9
+# queries re-enter by staleness in r15.
 # Everything outside the window keeps its oracle + the builder gate
 # tools/check.py + the tri-SF sweeps, and the post-window order is
 # ledger-stalest-first so the next rounds' windows are mechanical.
 PRIORITY: tuple[str, ...] = (
-    # -- new r13 faces (never driver-checked -> window immediately) --
+    # -- new r14 faces (never driver-checked -> window immediately) --
+    "x2_topk_mmr", "x2_ann_lsh_index_incremental", "x3_payload_neardup",
+    # -- the r7 pair displaced from the r13 window --
+    "x5_pii_redact_phones", "x5_pack_sequences",
+    # -- the 4 r13 first-timers, kept one confirming round --
     "x2_ann_graph_recall", "x3_metadata_prune_guard",
     "x2_cosine_topk_filtered", "x2_ann_lsh_filtered",
-    # -- the 10 r12 first-timers, kept one confirming round --
-    "x1_dedup_containment", "x1_dedup_containment_prefix",
-    "a_weighted_percentile_exact", "etl_fk_discovery",
-    "st_ewma_smoothing", "w_range_frame_time_window",
-    "x4_perplexity_bigram", "x4_quality_classifier_invariant",
-    "x4_zipf_heaps_stats", "x5_mixture_temperature_sample",
-    # -- the full stale r6 cohort (2) --
-    "x1_dedup_substring_spans", "x5_train_test_split_hash",
-    # -- the full stale r7 cohort (36) --
-    "a_rollup_order_hierarchy", "a_salted_skew_sum", "a_udaf_median_mad",
-    "doc_a1_ocr_routing", "doc_a6_eval_report", "doc_a7_form_completeness",
-    "doc_form_pivot_nda", "doc_j2_section_context",
-    "doc_p10_validation_errors", "doc_pipeline_scaled",
-    "doc_pipeline_scoped_scaled", "doc_u7_cascade_hoisted",
-    "doc_u7_scoped_extraction", "doc_u8_recovery_defaults",
-    "etl_cdc_snapshot_diff", "etl_scd2_intervals", "j_range_interval_join",
-    "j_salted_skew_join", "st_funnel_conversion", "st_max_concurrency",
-    "st_stateful_threshold_sql", "st_stream_static_enrich",
-    "st_tws_map_category_totals", "w_sliding_frame_moving_avg",
-    "x1_dedup_components", "x1_dedup_components_star",
-    "x1_dedup_embedding_cosine", "x1_dedup_jaccard_ngram",
-    "x1_graph_pagerank_star", "x3_multimodal_schema", "x4_token_count_bpe",
-    "x5_bpe_encode", "x5_bpe_vocab_train", "x5_corpus_filter_funnel",
-    # (x5_pii_redact_phones and x5_pack_sequences displaced by
-    #  x2_cosine_topk_filtered and x2_ann_lsh_filtered; both re-enter by
-    #  staleness in r14)
+    # -- the full stale r8 cohort (23) --
+    "a_histogram_equiwidth", "a_multi_distinct_counts",
+    "a_theta_sketch_set_ops", "doc_a2_clause_sessionize",
+    "doc_u7_scoped_hoisted", "f_unpivot_melt", "j_range_bucketed_join",
+    "set_ops_bag_semantics", "st_anomaly_zscore", "st_cohort_retention",
+    "st_event_transition_matrix", "st_multi_granularity_rollup",
+    "st_trend_slope_exact", "w1_running_revenue_per_customer",
+    "w2_lead_lag_event_gaps", "x1_dedup_chunk_exact",
+    "x1_dedup_jaccard_blockpairs", "x1_dedup_jaccard_prefix",
+    "x4_lang_id_heuristic", "x4_readability_bands", "x4_term_frequencies",
+    "x5_dataset_card_stats", "x5_repetition_stats",
+    # -- stalest-r9 fillers, alphabetical (18 of 27) --
+    "a_cube_lineitem_flags", "a_gini_concentration",
+    "a_hll_sketch_partial_merge", "doc_j1_field_scoring",
+    "doc_p1_blocks_normalize", "doc_u7_extraction_cascade",
+    "f_udtf_word_explode", "f_variant_semistructured",
+    "j_asof_backward_join", "s_pydatasource_formdocs",
+    "st_gap_fill_forward", "st_session_window",
+    "st_stateful_threshold_batches", "st_tws_running_totals",
+    "w_percent_rank_cume", "x1_dedup_exact", "x1_dedup_incremental",
+    "x1_dedup_jaccard_auto_dense",
 )
 
 
