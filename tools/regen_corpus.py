@@ -64,6 +64,7 @@ ADJS = ["red", "cold", "hot", "blue", "small", "old", "new"]
 NOUNS = ["bolt", "widget", "gear", "anvil", "ring", "plate", "rod"]
 ETYPES = ["click", "error", "purchase", "signup", "view"]
 MAX_WORDS = 99  # doc length upper bound; --max-words overrides
+LABEL_SKEW = False  # --label-skew: 60%/1% embedding-label skew
 
 
 def _write(out_dir: str, name: str, df: pd.DataFrame) -> None:
@@ -171,10 +172,20 @@ def generate(sf: float, seed: int, out_dir: str) -> dict:
 
     m = rng.standard_normal((n_emb, 64)).astype(np.float32)
     m = m / np.linalg.norm(m, axis=1, keepdims=True).astype(np.float32)
+    if LABEL_SKEW:
+        # r14 drill: label 0 at 60% of the corpus, label 9 at 1%, the
+        # rest uniform over the remaining 39% -- stresses the filtered
+        # faces' per-(label, band, bucket) cap and candidate-volume
+        # claims where label slices are unbalanced (seed-42 labels are
+        # ~uniform 10%)
+        p = [0.60] + [0.39 / 8] * 8 + [0.01]
+        labels = rng.choice(10, n_emb, p=p).astype(np.int32)
+    else:
+        labels = rng.integers(0, 10, n_emb).astype(np.int32)
     _write(out_dir, "embeddings", pd.DataFrame({
         "vec_id": np.arange(n_emb, dtype=np.int64),
         "embedding": [row for row in m],
-        "label": rng.integers(0, 10, n_emb).astype(np.int32)}))
+        "label": labels}))
 
     return {"sf": sf, "out": out_dir, "lineitem": n_li, "orders": n_ord,
             "events": n_ev, "documents": n_doc, "embeddings": n_emb}
@@ -193,12 +204,16 @@ def main() -> None:
                          "--en-weight 18 actually ran 18/22 = 81.8%% en "
                          "-- the r10 'shape-shift 90%%-en' record is "
                          "really an 81.8%%-en run (ADVICE r10).")
+    ap.add_argument("--label-skew", action="store_true",
+                    help="embedding labels 60%%/1%%-skewed instead of "
+                         "uniform (r14 filtered-faces drill)")
     ap.add_argument("--max-words", type=int, default=99,
                     help="doc length upper bound in words (default 99 "
                          "matches seed-42; raise for a length-shift drill)")
     a = ap.parse_args()
-    global LANGS, MAX_WORDS
+    global LANGS, MAX_WORDS, LABEL_SKEW
     MAX_WORDS = a.max_words
+    LABEL_SKEW = a.label_skew
     others = ["es", "fr", "zh", "de"]
     # en fraction is exactly en_weight/20 (ADVICE r10: the old
     # max(20-en_weight, 4) floor silently diluted high skews -- the r10

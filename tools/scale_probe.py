@@ -39,6 +39,7 @@ OUT = os.path.join(ROOT, "scale_probe_data")
 
 DOC_QUERIES = [
     "x1_dedup_exact",
+    "x3_payload_neardup",  # r14: byte-shingle MinHash over payload bytes
     "x1_dedup_jaccard_ngram",
     "x1_dedup_jaccard_blockpairs",
     "x1_dedup_minhash_lsh",
@@ -846,6 +847,38 @@ def run_qgram_probe(spark, mult: int, flood: bool) -> dict:
     return out
 
 
+def run_graph_qv_probe(spark, sf_dir: str,
+                       n_queries_list: list[int]) -> dict:
+    """Graph-ANN query-volume amortization probe (VERDICT r13 item 7):
+    the face's economics argument is that the deliberately build-heavy
+    index amortizes over query volume -- total wall time should grow far
+    SUBLINEARLY in query count because the NN-descent build dominates and
+    per-query cost is beam hops x ef. Runs x2_ann_graph_beam (direct,
+    unmemoized -- each run pays a full rebuild, so flat totals mean
+    near-zero marginal per-query cost) and the LSH face at the same
+    volumes for comparison. _N_QUERIES is module-patched and restored."""
+    from multiagent_form_schema_etl_spark.operators import similarity as S
+
+    out: dict = {}
+    orig = S._N_QUERIES
+    try:
+        for nq in n_queries_list:
+            S._N_QUERIES = nq
+            t0 = time.perf_counter()
+            out[f"graph_{nq}q_rows"] = S.x2_ann_graph_beam(
+                spark, sf_dir).count()
+            out[f"graph_{nq}q_s"] = round(time.perf_counter() - t0, 1)
+            t0 = time.perf_counter()
+            out[f"lsh_{nq}q_rows"] = S.x2_ann_lsh_buckets(
+                spark, sf_dir).count()
+            out[f"lsh_{nq}q_s"] = round(time.perf_counter() - t0, 1)
+            print(f"  nq={nq}: graph {out[f'graph_{nq}q_s']}s, "
+                  f"lsh {out[f'lsh_{nq}q_s']}s", file=sys.stderr)
+    finally:
+        S._N_QUERIES = orig
+    return out
+
+
 def run_rerank_probe(spark, sf_dir: str, n_queries_list: list[int]) -> dict:
     """Depth probe for x2_rerank_hybrid's scale claim (VERDICT r9 item 5):
     the candidate relation is n_queries x top-k rows and must stay
@@ -1308,6 +1341,11 @@ def main() -> None:
                          "candidate volume vs all-pairs + gram posting "
                          "skew on replicated names (--density = the "
                          "name-flood adversarial corpus)")
+    ap.add_argument("--graph-qv", action="store_true",
+                    help="graph-ANN query-volume amortization probe: "
+                         "x2_ann_graph_beam + LSH at 10/100/1000 queries "
+                         "on the x10 embedding corpus (each run pays a "
+                         "full rebuild; flat totals = amortization)")
     ap.add_argument("--rerank", action="store_true",
                     help="depth probe for the two-stage hybrid rerank: "
                          "candidate relation stays broadcast-sized as "
@@ -1433,6 +1471,15 @@ def main() -> None:
         print(f"rerank probe x{mult} -> {d}", file=sys.stderr)
         res = run_rerank_probe(spark, d, [10, 100, 1000])
         print(json.dumps({"mode": "rerank", "mult": mult,
+                          "metrics": res}))
+        return
+
+    if args.graph_qv:
+        mult = mults[0] if mults else 10
+        d = build_ann_dir(spark, mult, False)
+        print(f"graph query-volume probe x{mult} -> {d}", file=sys.stderr)
+        res = run_graph_qv_probe(spark, d, [10, 100, 1000])
+        print(json.dumps({"mode": "graph_qv", "mult": mult,
                           "metrics": res}))
         return
 
