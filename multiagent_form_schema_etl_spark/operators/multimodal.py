@@ -438,20 +438,50 @@ def x3_payload_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
             .filter((F.col("n") > 1) & (F.col("n") <= _PND_CAP))
             .select("band", "key"))
-    buckets = buckets.join(F.broadcast(good), ["band", "key"])
+    # SHUFFLE_HASH, never broadcast, on every corpus-derived side
+    # (unlike the token md5 face, whose bucket relation is
+    # vocabulary-bounded): byte-shingle band keys grow with the corpus,
+    # and at the 150k-doc x30 probe BOTH the forced F.broadcast(good) of
+    # the first cut AND the planner's own size-estimate-driven broadcast
+    # choice OOMed the 8g driver building the hash relation -- computed
+    # lineages estimate far below their true in-memory size. Shuffle
+    # volume here is bucket rows (4/doc), not shingles.
+    buckets = buckets.join(good.hint("shuffle_hash"), ["band", "key"])
+    # localCheckpoint (eager, the graph-build idiom): cand is the
+    # guard-bounded pair set, consumed THREE times below (itself +
+    # both legs of cand_docs) -- without materialization the whole
+    # bucket pipeline re-executes per consumer, and the planner's
+    # estimate for the computed lineage is wild; with it, downstream
+    # joins see the TRUE (small) size and broadcast the right side
     cand = (buckets.alias("a").join(
-                buckets.alias("b"),
+                buckets.alias("b").hint("shuffle_hash"),
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.key") == F.col("b.key"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
-            .distinct())
-    shing = d.select("doc_id", F.explode("sh").alias("sh"))
+            .distinct().localCheckpoint())
+    # verification touches CANDIDATE docs' shingles only: the full
+    # exploded shingle relation is ~n_bytes rows per doc (60M rows at
+    # the 50k-doc x10 probe -- shuffling it whole OOMed the in-task hash
+    # maps), while the semi-joined slice is bounded by the candidate
+    # set, so verify cost scales with candidates, not corpus
+    cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
+                 .union(cand.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    shing = (d.select("doc_id", F.explode("sh").alias("sh"))
+             .join(cand_docs, "doc_id", "left_semi"))
     sizes = d.select("doc_id", F.size("sh").alias("n_sh"))
     sa = shing.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = shing.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+    # MERGE (sort-merge) on the shingle leg: the planner broadcast sb
+    # (the SHINGLE relation -- millions of 24-char rows at x30) from a
+    # computed-lineage under-estimate, and a shuffle_hash hint traded
+    # that for per-task build maps that also OOMed (SHJ cannot spill
+    # its build side). SMJ spills both sides -- shingles only ever
+    # shuffle-and-sort, never sit in a hash relation
+    inter = (cand.join(sa, "doc_a")
+             .join(sb.hint("merge"), ["doc_b", "sh"])
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("n_inter")))
     j = (inter
