@@ -441,7 +441,7 @@ def x3_payload_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SHUFFLE_HASH, never broadcast, on every corpus-derived side
     # (unlike the token md5 face, whose bucket relation is
     # vocabulary-bounded): byte-shingle band keys grow with the corpus,
-    # and at the 150k-doc x30 probe BOTH the forced F.broadcast(good) of
+    # and at the 150k-doc x30 probe BOTH the forced broadcast of good in
     # the first cut AND the planner's own size-estimate-driven broadcast
     # choice OOMed the 8g driver building the hash relation -- computed
     # lineages estimate far below their true in-memory size. Shuffle

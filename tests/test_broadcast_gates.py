@@ -140,6 +140,8 @@ _ALLOWED_RAW = {
     ("operators/similarity.py", "a"),        # query slice
     ("operators/similarity.py", "b"),        # query-side GEMM blocks
     ("operators/similarity.py", "cand"),     # k*|queries|-bounded
+    ("operators/similarity.py", "ca"),  # MMR pool: |queries|*C rows
+    ("operators/similarity.py", "cb"),  # MMR pool: |queries|*C rows
     ("operators/similarity.py", "probes"),   # |queries|*probe-bounded
     ("operators/similarity.py", "qv"),       # query vectors
     ("operators/similarity.py", "centroids"),  # K-bounded
