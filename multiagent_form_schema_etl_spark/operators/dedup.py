@@ -462,8 +462,14 @@ def x1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and fast but not reproducible in DuckDB, so the driver records the
     weaker rows-only check (SURVEY §5)."""
     tok = _tok_d_df(spark, sf_dir).select("doc_id", "token")
+    # Materialize the signature relation ONCE (doc_count x bands narrow
+    # rows): it feeds the frequent-bucket agg AND both self-join sides, and
+    # without the checkpoint the 16-hash signature map re-evaluates three
+    # times. At 100 TB this is the write-signatures-once design -- the
+    # banded relation is the thing you'd persist to a stage table.
     buckets = minhash_band_buckets(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).localCheckpoint()
     # Frequent-bucket pruning: a bucket holding >50 docs is non-discriminative
     # (this corpus's 40-word vocabulary makes most docs collide) and would
     # blow the candidate join up toward all-pairs; cap it. At scale this is
@@ -610,11 +616,15 @@ def x1_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                            for r in range(rows_per_band)]).alias(f"k{b}")
         for b in range(_LSH_BANDS)]
     banded = d.select("doc_id", *band_cols)
+    # Materialized once: the 16-md5-per-token signature map otherwise
+    # re-evaluates for the bucket-cap agg and BOTH self-join sides (3x the
+    # dominant cost of this face). Same write-signatures-once shape as the
+    # xxhash fast path.
     buckets = banded.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"k{b}")
                                for b in range(_LSH_BANDS)]))
-         .alias("band", "key"))
+         .alias("band", "key")).localCheckpoint()
     good = (buckets.groupBy("band", "key")
             .agg(F.count(F.lit(1)).alias("n"))
             .filter((F.col("n") > 1) & (F.col("n") <= _LSH_MD5_CAP))
