@@ -1536,3 +1536,156 @@ def x5_mixture_temperature_sample(spark: SparkSession,
                  F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
                   .cast("long").alias("kept_chars"),
                  F.round(F.max("rate"), 9).alias("rate")))
+
+
+# --- Distribution-drift monitoring (PSI / KL) -------------------------------
+#
+# The corpus-refresh guard a production training-data pipeline runs before
+# admitting a new crawl batch: bin a handful of cheap per-document features,
+# compare the incoming split's distribution against the reference corpus, and
+# alert on the population-stability index. Smoothed with +0.5 per bin so
+# support mismatches stay finite (the add-half Laplace estimator).
+
+_PSI_CHAR_BIN = 32   # n_chars bin width (power of 2: float division exact)
+_PSI_TOK_BIN = 8     # n_tokens bin width (power of 2)
+_PSI_MAX_BIN = 19    # equi-width bins capped at 20 (LEAST(x DIV w, 19))
+
+# Shared oracle CTE: everything through the UN-ROUNDED per-bin contributions
+# (pr/pc/psi_raw/kl_raw), so tools/check.py derives the psi_cells boundary
+# exposure from the face's own statement (the bm25/mmr recipe).
+_PSI_CTE = f"""
+    WITH base AS (
+      SELECT CAST(substring(source, 4) AS INTEGER) < 10 AS is_ref,
+             n_chars,
+             CAST(length(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens,
+             lang
+      FROM documents),
+    feats AS (
+      SELECT is_ref, 'n_chars' AS feature,
+             CAST(LEAST(n_chars // {_PSI_CHAR_BIN}, {_PSI_MAX_BIN})
+                  AS VARCHAR) AS bin
+      FROM base
+      UNION ALL
+      SELECT is_ref, 'n_tokens',
+             CAST(LEAST(n_tokens // {_PSI_TOK_BIN}, {_PSI_MAX_BIN})
+                  AS VARCHAR)
+      FROM base
+      UNION ALL
+      SELECT is_ref, 'lang', lang FROM base),
+    counts AS (
+      SELECT feature, bin,
+             CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+               AS ref_n,
+             CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+               AS cur_n
+      FROM feats GROUP BY feature, bin),
+    tot AS (
+      SELECT feature, CAST(SUM(ref_n) AS BIGINT) AS ref_total,
+             CAST(SUM(cur_n) AS BIGINT) AS cur_total,
+             CAST(COUNT(*) AS BIGINT) AS n_bins
+      FROM counts GROUP BY feature),
+    scored AS (
+      SELECT c.feature, c.bin, c.ref_n, c.cur_n,
+             (CAST(c.ref_n AS DOUBLE) + 0.5)
+               / (CAST(t.ref_total AS DOUBLE)
+                  + 0.5 * CAST(t.n_bins AS DOUBLE)) AS pr,
+             (CAST(c.cur_n AS DOUBLE) + 0.5)
+               / (CAST(t.cur_total AS DOUBLE)
+                  + 0.5 * CAST(t.n_bins AS DOUBLE)) AS pc
+      FROM counts c JOIN tot t ON c.feature = t.feature),
+    contrib AS (
+      SELECT feature, bin, ref_n, cur_n, pr, pc,
+             (pc - pr) * ln(pc / pr) AS psi_raw,
+             pc * ln(pc / pr) AS kl_raw
+      FROM scored)
+"""
+
+
+@register(
+    "x5_drift_psi",
+    oracle=_PSI_CTE + """
+    SELECT feature, bin, ref_n, cur_n,
+           ROUND(pr, 9) AS p_ref, ROUND(pc, 9) AS p_cur,
+           ROUND(psi_raw, 9) AS psi_contrib,
+           ROUND(kl_raw, 9) AS kl_contrib,
+           ROUND(CAST(SUM(CAST(ROUND(psi_raw, 9) AS DECIMAL(28,12)))
+                        OVER (PARTITION BY feature) AS DOUBLE), 9)
+             AS psi_total,
+           ROUND(CAST(SUM(CAST(ROUND(kl_raw, 9) AS DECIMAL(28,12)))
+                        OVER (PARTITION BY feature) AS DOUBLE), 9)
+             AS kl_total
+    FROM contrib
+    """,
+)
+def x5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between the reference corpus
+    (sources src0-src9) and the incoming refresh (src10-src19): three cheap
+    per-document features -- n_chars (equi-width bins of 32), whitespace
+    token count (bins of 8), and the categorical lang mix -- binned per
+    split, add-half smoothed, and scored per bin with the PSI term
+    (p_cur - p_ref) * ln(p_cur / p_ref) (always >= 0) and the KL term
+    p_cur * ln(p_cur / p_ref); per-feature totals alert the admission gate.
+
+    Scale shape: ONE corpus scan -> a 3-way stack of narrow (split,
+    feature, bin) rows -> map-side-combining groupBy down to <= ~60 rows;
+    everything after the first aggregation is driver-trivial. No UDFs, no
+    windows over the corpus, no second pass -- at 100 TB this is scan-bound,
+    exactly like the dataset-card face it complements.
+
+    Float discipline: bin ids are integer arithmetic (power-of-2 widths);
+    p_ref/p_cur are one division of identical operand doubles (integer
+    counts + exact 0.5 terms); the ln terms follow the perplexity-face
+    precedent (identical-operand transcendentals, ROUND 9dp, every raw
+    cell in the `psi_cells` boundary exposure). The per-feature totals sum
+    the ROUNDED contributions through DECIMAL(28,12) -- exact and
+    order-independent, so no fold-order surface survives to the gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.selectExpr(
+        "CAST(substring(source, 4) AS INT) < 10 AS is_ref",
+        "n_chars",
+        "CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)"
+        " AS n_tokens",
+        "lang")
+    feats = base.selectExpr(
+        "is_ref",
+        f"""stack(3,
+            'n_chars',
+            CAST(LEAST(n_chars DIV {_PSI_CHAR_BIN}, {_PSI_MAX_BIN})
+                 AS STRING),
+            'n_tokens',
+            CAST(LEAST(n_tokens DIV {_PSI_TOK_BIN}, {_PSI_MAX_BIN})
+                 AS STRING),
+            'lang', lang) AS (feature, bin)""")
+    counts = feats.groupBy("feature", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+         .cast("long").alias("ref_n"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+         .cast("long").alias("cur_n"))
+    tot = counts.groupBy("feature").agg(
+        F.sum("ref_n").cast("long").alias("ref_total"),
+        F.sum("cur_n").cast("long").alias("cur_total"),
+        F.count(F.lit(1)).alias("n_bins"))
+    scored = (counts.join(F.broadcast(tot), "feature")
+              .withColumn("pr", (F.col("ref_n").cast("double") + F.lit(0.5))
+                          / (F.col("ref_total").cast("double")
+                             + F.lit(0.5) * F.col("n_bins").cast("double")))
+              .withColumn("pc", (F.col("cur_n").cast("double") + F.lit(0.5))
+                          / (F.col("cur_total").cast("double")
+                             + F.lit(0.5) * F.col("n_bins").cast("double"))))
+    contrib = (scored
+               .withColumn("psi_raw", (F.col("pc") - F.col("pr"))
+                           * F.log(F.col("pc") / F.col("pr")))
+               .withColumn("kl_raw", F.col("pc")
+                           * F.log(F.col("pc") / F.col("pr"))))
+    w = Window.partitionBy("feature")
+    return contrib.select(
+        "feature", "bin", "ref_n", "cur_n",
+        F.round("pr", 9).alias("p_ref"),
+        F.round("pc", 9).alias("p_cur"),
+        F.round("psi_raw", 9).alias("psi_contrib"),
+        F.round("kl_raw", 9).alias("kl_contrib"),
+        F.round(F.sum(F.round("psi_raw", 9).cast("decimal(28,12)")).over(w)
+                 .cast("double"), 9).alias("psi_total"),
+        F.round(F.sum(F.round("kl_raw", 9).cast("decimal(28,12)")).over(w)
+                 .cast("double"), 9).alias("kl_total"))

@@ -739,3 +739,80 @@ def test_temperature_mixture_boosts_low_resource_langs(spark):
     total = sum(r.n_total for r in rows)
     kept = sum(r.n_kept for r in rows)
     assert 0.3 * total < kept < 0.7 * total
+
+
+def test_drift_psi_flags_shifted_feature_and_matches_reference(spark, tmp_path):
+    """On a corpus whose refresh split (src10+) doubles document length but
+    keeps the language mix, the PSI totals rank the drifted features
+    (n_chars, n_tokens) above the stable one (lang); every per-bin PSI
+    contribution is non-negative by construction; and the face's rounded
+    output matches an independently-written pure-Python PSI computation."""
+    import math
+
+    from multiagent_form_schema_etl_spark.operators import llmprep as L
+
+    rows = []
+    doc_id = 0
+    langs = ["en", "de", "fr", "en", "en"]
+    for src_i in range(5):           # reference: short docs
+        for k in range(8):
+            text = " ".join(f"w{(doc_id + j) % 7}" for j in range(6 + k % 3))
+            rows.append((doc_id, text, langs[(doc_id + k) % 5],
+                         f"src{src_i}", len(text)))
+            doc_id += 1
+    for src_i in range(10, 15):      # refresh: ~5x longer, same lang mix
+        for k in range(8):
+            text = " ".join(f"w{(doc_id + j) % 7}" for j in range(30 + k % 5))
+            rows.append((doc_id, text, langs[(doc_id + k) % 5],
+                         f"src{src_i}", len(text)))
+            doc_id += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {(r.feature, r.bin): r
+           for r in L.x5_drift_psi(spark, str(tmp_path)).collect()}
+    totals = {f: r.psi_total for (f, _), r in out.items()}
+    assert totals["n_chars"] > totals["lang"]
+    assert totals["n_tokens"] > totals["lang"]
+    assert totals["lang"] < 0.1          # stable mix: near-zero drift
+    assert totals["n_chars"] > 1.0       # gross shift: loud alert
+    assert all(r.psi_contrib >= 0 for r in out.values())
+
+    # independent pure-Python reference over the raw rows
+    def feats(text, lang, n_chars):
+        n_tok = len([t for t in text.split(" ") if t])
+        return [("n_chars", str(min(n_chars // L._PSI_CHAR_BIN,
+                                    L._PSI_MAX_BIN))),
+                ("n_tokens", str(min(n_tok // L._PSI_TOK_BIN,
+                                     L._PSI_MAX_BIN))),
+                ("lang", lang)]
+
+    counts: dict[tuple, list] = {}
+    for _id, text, lang, source, n_chars in rows:
+        is_ref = int(source[3:]) < 10
+        for key in feats(text, lang, n_chars):
+            c = counts.setdefault(key, [0, 0])
+            c[0 if is_ref else 1] += 1
+    probs = {}
+    for feature in ("n_chars", "n_tokens", "lang"):
+        bins = [k for k in counts if k[0] == feature]
+        ref_total = sum(counts[k][0] for k in bins)
+        cur_total = sum(counts[k][1] for k in bins)
+        b = len(bins)
+        for k in bins:
+            pr = (counts[k][0] + 0.5) / (ref_total + 0.5 * b)
+            pc = (counts[k][1] + 0.5) / (cur_total + 0.5 * b)
+            probs[k] = (pr, pc)
+    for (feature, bin_), (ref_n, cur_n) in counts.items():
+        pr, pc = probs[(feature, bin_)]
+        r = out[(feature, bin_)]
+        assert r.ref_n == ref_n and r.cur_n == cur_n
+        assert abs(r.p_ref - pr) < 1e-9 and abs(r.p_cur - pc) < 1e-9
+        assert abs(r.psi_contrib - (pc - pr) * math.log(pc / pr)) < 1e-9
+        assert abs(r.kl_contrib - pc * math.log(pc / pr)) < 1e-9
+    for feature in ("n_chars", "n_tokens", "lang"):
+        want = sum(round((pc - pr) * math.log(pc / pr), 9)
+                   for k, (pr, pc) in probs.items() if k[0] == feature)
+        assert abs(totals[feature] - want) < 1e-8

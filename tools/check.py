@@ -130,6 +130,11 @@ _BOUNDARY_EXPOSURES: dict[str, str] = {
     # in both engines, so the 9-dp rounding of qsim/psim is the ONLY
     # cross-engine surface. Built lazily from the face's own CTE.
     "mmr_cells": None,  # filled by _install_mmr_exposure()
+    # x5_drift_psi: every un-rounded cell the face rounds -- per-bin
+    # p_ref/p_cur and the psi/kl contributions (totals are exact decimal
+    # sums of the rounded contributions, so no exposure needed there).
+    # Built lazily from the face's own CTE below.
+    "psi_cells": None,  # filled by _install_psi_exposure()
     # pre-round centered norms of x2_grouped_center_applyinpandas (all
     # cells are emitted)
     "centered_norms": """
@@ -247,6 +252,17 @@ def _install_mmr_exposure() -> None:
         SELECT psim_raw AS x FROM pairs"""
 
 
+def _install_psi_exposure() -> None:
+    """Derive psi_cells from the drift face's own contrib CTE: every
+    un-rounded probability and contribution cell (all are emitted)."""
+    from multiagent_form_schema_etl_spark.operators.llmprep import _PSI_CTE
+    _BOUNDARY_EXPOSURES["psi_cells"] = _PSI_CTE + """
+        SELECT pr AS x FROM contrib
+        UNION ALL SELECT pc FROM contrib
+        UNION ALL SELECT psi_raw FROM contrib
+        UNION ALL SELECT kl_raw FROM contrib"""
+
+
 _BOUNDARY_FACES: dict[str, str] = {
     "x4_bm25_topk": "bm25_topk_cells",
     "x5_weighted_sample_topk": "ws_topk_cells",
@@ -255,6 +271,7 @@ _BOUNDARY_FACES: dict[str, str] = {
     "x4_perplexity_unigram": "ppl_cells",
     "x4_perplexity_bigram": "ppl2_cells",
     "x4_zipf_heaps_stats": "zipf_cells",
+    "x5_drift_psi": "psi_cells",
     "x2_cosine_topk": "topk_cells",
     "x2_cosine_topk_gemm": "topk_cells",
     "x2_cosine_topk_bruteforce": "topk_cells",
@@ -313,6 +330,8 @@ def boundary_audit(con, faces: list[str]) -> list[str]:
         _install_zipf_exposure()
     if _BOUNDARY_EXPOSURES.get("mmr_cells") is None:
         _install_mmr_exposure()
+    if _BOUNDARY_EXPOSURES.get("psi_cells") is None:
+        _install_psi_exposure()
     failures: list[str] = []
     mins: dict[str, tuple[float, int]] = {}
     for exp in sorted({_BOUNDARY_FACES[f] for f in faces}):
