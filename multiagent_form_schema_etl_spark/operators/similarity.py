@@ -2567,3 +2567,100 @@ def x2_ann_lsh_index_incremental(spark: SparkSession, sf_dir: str
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "violation string, detail string")
+
+
+# --- Embedding-centroid drift (the vector-modality companion of the
+# x5_drift_psi admission gate) ----------------------------------------------
+#
+# Shared oracle CTE through the UN-ROUNDED per-label aggregates so
+# tools/check.py derives the emb_drift_cells boundary exposure from the
+# face's own statement.
+_EMB_DRIFT_CTE = f"""
+    WITH e AS (
+      SELECT CAST(label AS BIGINT) AS label, vec_id % 10 < 8 AS is_ref,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+             unnest(range(1, length(embedding) + 1)) AS i
+      FROM embeddings),
+    sums AS (
+      SELECT label, is_ref, i,
+             CAST(SUM(CAST(v AS {_DEC})) AS DOUBLE) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY label, is_ref, i),
+    mu AS (SELECT label, is_ref, i, s / n AS m, n FROM sums),
+    pairs AS (
+      SELECT r.label, r.i, r.m AS mr, c.m AS mc,
+             r.n AS ref_n, c.n AS cur_n
+      FROM mu r JOIN mu c ON r.label = c.label AND r.i = c.i
+      WHERE r.is_ref AND NOT c.is_ref),
+    agg AS (
+      SELECT label,
+             MIN(ref_n) AS ref_n, MIN(cur_n) AS cur_n,
+             CAST(SUM(CAST(mr * mc AS {_DEC})) AS DOUBLE) AS dot,
+             sqrt(CAST(SUM(CAST(mr * mr AS {_DEC})) AS DOUBLE)) AS nr,
+             sqrt(CAST(SUM(CAST(mc * mc AS {_DEC})) AS DOUBLE)) AS nc,
+             sqrt(CAST(SUM(CAST((mr - mc) * (mr - mc) AS {_DEC}))
+                       AS DOUBLE)) AS l2
+      FROM pairs GROUP BY label)
+"""
+
+
+@register(
+    "x2_embedding_drift",
+    oracle=_EMB_DRIFT_CTE + """
+    SELECT label, ref_n, cur_n,
+           ROUND(dot / (nr * nc), 9) AS centroid_cosine,
+           ROUND(l2, 9) AS l2_shift
+    FROM agg
+    """,
+)
+def x2_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid drift between the reference snapshot
+    (vec_id % 10 < 8) and the refresh (% 10 >= 8): cosine between the two
+    split centroids plus the L2 centroid shift -- the vector-modality twin
+    of the x5_drift_psi admission gate (a new encoder version, a corrupted
+    ingest batch, or topic drift all move the refresh centroid before any
+    scalar feature notices).
+
+    Scale shape: ONE corpus pass exploded to (label, split, dim) partial
+    sums -- map-side combining reduces each partition to at most
+    |labels| x 2 x dim rows before the shuffle, and everything after the
+    first aggregation is |labels| x dim sized (driver-trivial). No
+    all-pairs anything; the corpus is read once.
+
+    Float discipline: per-dim sums, centroid dot/norms, and the L2 shift
+    all accumulate through DECIMAL(38,20) exactly like the decimal
+    cosine anchor (`x2_cosine_topk`), so both engines compute identical
+    doubles; the only cross-engine surface is the final ROUND 9dp, audited
+    via the `emb_drift_cells` exposure."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.col("label").cast("long").alias("label"),
+        (F.col("vec_id") % 10 < 8).alias("is_ref"),
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+         .alias("i", "v"))
+    sums = e.groupBy("label", "is_ref", "i").agg(
+        F.sum(F.col("v").cast("decimal(28,20)")).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"))
+    mu = sums.select("label", "is_ref", "i",
+                     (F.col("s") / F.col("n")).alias("m"), "n")
+    mur = mu.filter(F.col("is_ref")).select(
+        "label", "i", F.col("m").alias("mr"), F.col("n").alias("ref_n"))
+    muc = mu.filter(~F.col("is_ref")).select(
+        "label", "i", F.col("m").alias("mc"), F.col("n").alias("cur_n"))
+    pairs = mur.join(muc, ["label", "i"])
+    agg = pairs.groupBy("label").agg(
+        F.min("ref_n").alias("ref_n"), F.min("cur_n").alias("cur_n"),
+        F.sum((F.col("mr") * F.col("mc")).cast("decimal(28,20)"))
+         .cast("double").alias("dot"),
+        F.sqrt(F.sum((F.col("mr") * F.col("mr")).cast("decimal(28,20)"))
+                .cast("double")).alias("nr"),
+        F.sqrt(F.sum((F.col("mc") * F.col("mc")).cast("decimal(28,20)"))
+                .cast("double")).alias("nc"),
+        F.sqrt(F.sum(((F.col("mr") - F.col("mc"))
+                      * (F.col("mr") - F.col("mc"))).cast("decimal(28,20)"))
+                .cast("double")).alias("l2"))
+    return agg.select(
+        "label", "ref_n", "cur_n",
+        F.round(F.col("dot") / (F.col("nr") * F.col("nc")), 9)
+         .alias("centroid_cosine"),
+        F.round("l2", 9).alias("l2_shift"))

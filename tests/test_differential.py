@@ -621,3 +621,54 @@ def test_weighted_percentile_matches_python_reference(spark):
     got = {(r.l_returnflag, r.pct): r.value
            for r in a_weighted_percentile_exact(spark, SF_SMOKE).collect()}
     assert got == want
+
+
+def test_embedding_drift_flags_shifted_label_matches_numpy(spark, tmp_path):
+    """On a corpus where one label's refresh split (vec_id % 10 >= 8) is
+    shifted by a constant offset, the face reports that label's centroid
+    L2 shift far above the stable labels' and its centroid cosine below
+    theirs; every emitted aggregate matches an independent numpy
+    computation of the same split centroids at 1e-9."""
+    import numpy as np
+
+    from multiagent_form_schema_etl_spark.operators.similarity import (
+        x2_embedding_drift)
+
+    rng = np.random.default_rng(77)
+    dim, rows = 16, []
+    for vec_id in range(200):
+        label = vec_id % 4
+        # tight clusters away from the origin (a near-zero centroid would
+        # make the cosine noise-dominated for the stable labels)
+        v = rng.normal(size=dim) * 0.1 + label + 1.0
+        if label == 2 and vec_id % 10 >= 8:      # drifted refresh batch:
+            v[0] += 9.0                          # off-axis shift (a uniform
+            # all-dims offset would be parallel to the cluster direction and
+            # leave the centroid ANGLE unchanged)
+        rows.append((vec_id, [float(np.float32(x)) for x in v], label))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r.label: r for r in
+           x2_embedding_drift(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    stable = [lbl for lbl in out if lbl != 2]
+    assert all(out[2].l2_shift > 10 * out[s].l2_shift for s in stable)
+    assert all(out[2].centroid_cosine < out[s].centroid_cosine
+               for s in stable)
+
+    # independent numpy reference over the float32-rounded stored vectors
+    by = {}
+    for vec_id, emb, label in rows:
+        by.setdefault((label, vec_id % 10 < 8), []).append(
+            np.array(emb, dtype=np.float64))
+    for label in range(4):
+        mr = np.mean(by[(label, True)], axis=0)
+        mc = np.mean(by[(label, False)], axis=0)
+        r = out[label]
+        assert r.ref_n == len(by[(label, True)])
+        assert r.cur_n == len(by[(label, False)])
+        cos = float(mr @ mc / (np.linalg.norm(mr) * np.linalg.norm(mc)))
+        assert abs(r.centroid_cosine - cos) < 1e-9
+        assert abs(r.l2_shift - float(np.linalg.norm(mr - mc))) < 1e-9

@@ -135,6 +135,9 @@ _BOUNDARY_EXPOSURES: dict[str, str] = {
     # sums of the rounded contributions, so no exposure needed there).
     # Built lazily from the face's own CTE below.
     "psi_cells": None,  # filled by _install_psi_exposure()
+    # x2_embedding_drift: pre-round centroid cosines + L2 shifts per label
+    # (all cells emitted; the aggregates themselves are decimal-exact).
+    "emb_drift_cells": None,  # filled by _install_emb_drift_exposure()
     # pre-round centered norms of x2_grouped_center_applyinpandas (all
     # cells are emitted)
     "centered_norms": """
@@ -263,6 +266,16 @@ def _install_psi_exposure() -> None:
         UNION ALL SELECT kl_raw FROM contrib"""
 
 
+def _install_emb_drift_exposure() -> None:
+    """Derive emb_drift_cells from the embedding-drift face's own agg CTE:
+    every pre-round centroid cosine and L2 shift (all cells emitted)."""
+    from multiagent_form_schema_etl_spark.operators.similarity import (
+        _EMB_DRIFT_CTE)
+    _BOUNDARY_EXPOSURES["emb_drift_cells"] = _EMB_DRIFT_CTE + """
+        SELECT dot / (nr * nc) AS x FROM agg
+        UNION ALL SELECT l2 FROM agg"""
+
+
 _BOUNDARY_FACES: dict[str, str] = {
     "x4_bm25_topk": "bm25_topk_cells",
     "x5_weighted_sample_topk": "ws_topk_cells",
@@ -272,6 +285,7 @@ _BOUNDARY_FACES: dict[str, str] = {
     "x4_perplexity_bigram": "ppl2_cells",
     "x4_zipf_heaps_stats": "zipf_cells",
     "x5_drift_psi": "psi_cells",
+    "x2_embedding_drift": "emb_drift_cells",
     "x2_cosine_topk": "topk_cells",
     "x2_cosine_topk_gemm": "topk_cells",
     "x2_cosine_topk_bruteforce": "topk_cells",
@@ -332,6 +346,8 @@ def boundary_audit(con, faces: list[str]) -> list[str]:
         _install_mmr_exposure()
     if _BOUNDARY_EXPOSURES.get("psi_cells") is None:
         _install_psi_exposure()
+    if _BOUNDARY_EXPOSURES.get("emb_drift_cells") is None:
+        _install_emb_drift_exposure()
     failures: list[str] = []
     mins: dict[str, tuple[float, int]] = {}
     for exp in sorted({_BOUNDARY_FACES[f] for f in faces}):
