@@ -1641,13 +1641,26 @@ def x5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ROUNDED contributions through DECIMAL(28,12) -- exact and
     order-independent, so no fold-order surface survives to the gate."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.selectExpr(
+    counts = _psi_feats(docs).groupBy("feature", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+         .cast("long").alias("ref_n"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+         .cast("long").alias("cur_n"))
+    return _psi_report(counts)
+
+
+def _psi_feats(docs: DataFrame) -> DataFrame:
+    """STATELESS per-document binning map -> (is_ref, feature, bin): a
+    pure per-row function (the property that makes the incremental twin's
+    per-batch count maintenance correct by construction -- the
+    minhash_band_buckets precedent)."""
+    return docs.selectExpr(
         "CAST(substring(source, 4) AS INT) < 10 AS is_ref",
         "n_chars",
         "CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)"
         " AS n_tokens",
-        "lang")
-    feats = base.selectExpr(
+        "lang",
+    ).selectExpr(
         "is_ref",
         f"""stack(3,
             'n_chars',
@@ -1657,11 +1670,13 @@ def x5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(LEAST(n_tokens DIV {_PSI_TOK_BIN}, {_PSI_MAX_BIN})
                  AS STRING),
             'lang', lang) AS (feature, bin)""")
-    counts = feats.groupBy("feature", "bin").agg(
-        F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
-         .cast("long").alias("ref_n"),
-        F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
-         .cast("long").alias("cur_n"))
+
+
+def _psi_report(counts: DataFrame) -> DataFrame:
+    """The smoothing + PSI/KL arithmetic over a (feature, bin, ref_n,
+    cur_n) count relation -- shared verbatim by the batch face and the
+    incremental twin, so their equivalence check isolates exactly the
+    count-maintenance path."""
     tot = counts.groupBy("feature").agg(
         F.sum("ref_n").cast("long").alias("ref_total"),
         F.sum("cur_n").cast("long").alias("cur_total"),
@@ -1689,3 +1704,93 @@ def x5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double"), 9).alias("psi_total"),
         F.round(F.sum(F.round("kl_raw", 9).cast("decimal(28,12)")).over(w)
                  .cast("double"), 9).alias("kl_total"))
+
+
+_PSI_INC_FILES = 3  # corpus streamed as 3 parquet files => >= 3 micro-batches
+
+
+@register(
+    "x5_drift_psi_incremental",
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS violation,
+           CAST(NULL AS VARCHAR) AS detail
+    WHERE FALSE
+    """,
+)
+def x5_drift_psi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible equivalence face: STREAMING drift-count maintenance
+    == the batch x5_drift_psi report (constant-empty oracle; the
+    x2_ann_lsh_index_incremental recipe). Because a document's
+    (is_ref, feature, bin) rows are a pure per-row function (_psi_feats),
+    the PSI monitor's state is an additive count relation: each arriving
+    micro-batch contributes its own per-bin counts, and the report is
+    computed from the summed store. The face drives that path with a real
+    availableNow + maxFilesPerTrigger=1 stream over the corpus, each batch
+    OVERWRITE-writing its counts to a batch-keyed partition (idempotent
+    under foreachBatch redelivery -- blind append double-counts on
+    replay), then compares the report built from the assembled store
+    against the batch face row-for-row (both directions; the rounded
+    doubles are bit-identical because both reports run _psi_report over
+    identical integer counts). Violations: MISSING_FROM_INCREMENTAL /
+    EXTRA_IN_INCREMENTAL, plus vacuity canaries TOO_FEW_MICROBATCHES and
+    EMPTY_STORE. EAGER AT BUILD (registry memo runs it once per
+    (session, sf_dir)); returned rows are literals, temp dirs removed
+    before return. At 100 TB the same shape holds: the monitor state is
+    <= |features| x |bins| x 2 counters per batch partition, appends are
+    partition-local writes, and the report is driver-trivial."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+
+    tmp = tempfile.mkdtemp(prefix="x5_psi_inc_")
+    rows: list[tuple[str, str]] = []
+    seen_batches: list[int] = []
+    try:
+        feed_dir = "file://" + os.path.join(tmp, "feed")
+        store_dir = "file://" + os.path.join(tmp, "store")
+        ckpt_dir = "file://" + os.path.join(tmp, "ckpt")
+        docs.repartition(_PSI_INC_FILES).write.parquet(feed_dir)
+
+        def upsert(bdf: DataFrame, batch_id: int) -> None:
+            seen_batches.append(int(batch_id))
+            (_psi_feats(bdf)
+             .groupBy("feature", "bin", "is_ref")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"))
+             .write.mode("overwrite")
+             .parquet(store_dir + f"/batch={int(batch_id)}"))
+
+        (spark.readStream.schema(docs.schema)
+         .option("maxFilesPerTrigger", 1).parquet(feed_dir)
+         .writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True).start().awaitTermination())
+
+        assembled = (spark.read.parquet(store_dir)
+                     .groupBy("feature", "bin")
+                     .agg(F.sum(F.when(F.col("is_ref"), F.col("n"))
+                                .otherwise(0)).cast("long").alias("ref_n"),
+                          F.sum(F.when(F.col("is_ref"), 0)
+                                .otherwise(F.col("n"))).cast("long")
+                          .alias("cur_n")))
+        inc_report = _psi_report(assembled)
+        batch_report = x5_drift_psi(spark, sf_dir)
+        cols = batch_report.columns
+        missing = (batch_report.join(inc_report, cols, "left_anti")
+                   .orderBy(*cols).limit(20).collect())
+        extra = (inc_report.join(batch_report, cols, "left_anti")
+                 .orderBy(*cols).limit(20).collect())
+        rows += [("MISSING_FROM_INCREMENTAL", str(tuple(r)))
+                 for r in missing]
+        rows += [("EXTRA_IN_INCREMENTAL", str(tuple(r))) for r in extra]
+        if len(seen_batches) < 2:
+            rows.append(("TOO_FEW_MICROBATCHES",
+                         f"saw {len(seen_batches)} micro-batches; the "
+                         "boundary-crossing evidence needs >= 2"))
+        if spark.read.parquet(store_dir).limit(1).count() == 0:
+            rows.append(("EMPTY_STORE", "no streamed count rows"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "violation string, detail string")

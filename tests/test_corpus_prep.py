@@ -816,3 +816,62 @@ def test_drift_psi_flags_shifted_feature_and_matches_reference(spark, tmp_path):
         want = sum(round((pc - pr) * math.log(pc / pr), 9)
                    for k, (pr, pc) in probs.items() if k[0] == feature)
         assert abs(totals[feature] - want) < 1e-8
+
+
+def test_drift_psi_counts_additive_and_replay_idempotent(spark, tmp_path):
+    """The properties the incremental drift monitor rests on: (a) per-batch
+    binned counts are ADDITIVE -- summing counts over any disjoint split of
+    the corpus reproduces the full-corpus counts exactly; (b) the
+    batch-keyed OVERWRITE store is replay-idempotent -- re-delivering a
+    batch leaves the assembled counts unchanged, while a blind append
+    would double-count; (c) dropping a batch partition breaks report
+    equivalence (the comparison in the face is not vacuous)."""
+    from multiagent_form_schema_etl_spark.operators import llmprep as L
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    full = {(r.feature, r.bin, r.is_ref): r.n
+            for r in L._psi_feats(docs)
+            .groupBy("feature", "bin", "is_ref").count()
+            .withColumnRenamed("count", "n").collect()}
+
+    store = str(tmp_path / "store")
+    parts = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+
+    def write_batch(bdf, batch_id):
+        (L._psi_feats(bdf).groupBy("feature", "bin", "is_ref")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+         .write.mode("overwrite").parquet(f"{store}/batch={batch_id}"))
+
+    for k, part in enumerate(parts):
+        write_batch(part, k)
+    write_batch(parts[1], 1)  # replay of batch 1 -- must be a no-op
+
+    def assembled():
+        return {(r.feature, r.bin, r.is_ref): r.n
+                for r in spark.read.parquet(store)
+                .groupBy("feature", "bin", "is_ref")
+                .agg(F.sum("n").alias("n")).collect()}
+
+    assert assembled() == full          # additivity + replay idempotence
+
+    # blind append on replay WOULD double-count (the tripwire the
+    # overwrite mode exists for)
+    (L._psi_feats(parts[1]).groupBy("feature", "bin", "is_ref")
+     .agg(F.count(F.lit(1)).cast("long").alias("n"))
+     .write.mode("append").parquet(f"{store}/batch=1"))
+    assert assembled() != full
+
+    # dropped batch -> report differs from the batch face (non-vacuous)
+    import shutil
+    shutil.rmtree(f"{store}/batch=1")
+    write_batch(parts[1], 1)
+    assert assembled() == full          # store repaired
+    shutil.rmtree(f"{store}/batch=2")
+    counts = (spark.read.parquet(store).groupBy("feature", "bin")
+              .agg(F.sum(F.when(F.col("is_ref"), F.col("n")).otherwise(0))
+                   .cast("long").alias("ref_n"),
+                   F.sum(F.when(F.col("is_ref"), 0).otherwise(F.col("n")))
+                   .cast("long").alias("cur_n")))
+    broken = {tuple(r) for r in L._psi_report(counts).collect()}
+    good = {tuple(r) for r in L.x5_drift_psi(spark, SF_SMOKE).collect()}
+    assert broken != good
