@@ -64,6 +64,7 @@ DOC_QUERIES = [
     "x4_perplexity_unigram",
     "x4_perplexity_bigram",
     "x5_corpus_pipeline_end_to_end",
+    "x5_drift_psi",  # r14: PSI/KL admission gate (scan-bound)
 ]
 EVENT_QUERIES = [
     "st_session_window",
