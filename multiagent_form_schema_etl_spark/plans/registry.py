@@ -184,10 +184,13 @@ def query_names() -> list[str]:
 # displaced (x5_pii_redact_phones + x5_pack_sequences -- the r7 stalest
 # cohort, never-checked-beats-stale owed them the head of this window),
 # then the 4 r13 first-timers for their confirming round, then the FULL
-# stale r8 cohort (23), then 16 alphabetically-first r9 queries as
-# stalest fillers: 5 + 2 + 4 + 23 + 16 = exactly 50. (The late-r14
-# drift faces x5_drift_psi and x2_embedding_drift took the 4th and 5th
-# new slots, displacing the 17th/18th fillers x1_dedup_incremental and
+# stale r8 cohort (23), then 15 alphabetically-first r9 queries as
+# stalest fillers: 6 + 2 + 4 + 23 + 15 = exactly 50. (The late-r14
+# drift faces x5_drift_psi, x2_embedding_drift, and
+# x5_drift_psi_incremental took the 4th-6th new slots -- the
+# never-checked-first guard test pins that no never-driver-checked
+# oracle-backed face sits outside the window -- displacing the
+# 16th-18th fillers x1_dedup_exact, x1_dedup_incremental, and
 # x1_dedup_jaccard_auto_dense, which re-enter by staleness in r15 with
 # the other 9 remaining r9 queries.)
 # Everything outside the window keeps its oracle + the builder gate
@@ -196,7 +199,7 @@ def query_names() -> list[str]:
 PRIORITY: tuple[str, ...] = (
     # -- new r14 faces (never driver-checked -> window immediately) --
     "x2_topk_mmr", "x2_ann_lsh_index_incremental", "x3_payload_neardup",
-    "x5_drift_psi", "x2_embedding_drift",
+    "x5_drift_psi", "x2_embedding_drift", "x5_drift_psi_incremental",
     # -- the r7 pair displaced from the r13 window --
     "x5_pii_redact_phones", "x5_pack_sequences",
     # -- the 4 r13 first-timers, kept one confirming round --
@@ -221,7 +224,7 @@ PRIORITY: tuple[str, ...] = (
     "j_asof_backward_join", "s_pydatasource_formdocs",
     "st_gap_fill_forward", "st_session_window",
     "st_stateful_threshold_batches", "st_tws_running_totals",
-    "w_percent_rank_cume", "x1_dedup_exact",
+    "w_percent_rank_cume",
 )
 
 
