@@ -448,6 +448,33 @@ _MINHASH_K = 16
 _LSH_BANDS = 4  # 4 bands x 4 rows
 
 
+def _verify_pairs_arrays(docs: DataFrame, cand: DataFrame) -> DataFrame:
+    """True-Jaccard verification of (doc_a, doc_b) candidate pairs against
+    a (doc_id, text) relation, row-local: attach each side's PACKED
+    distinct-token array, `array_intersect` in place, emit pairs with
+    J >= 0.8. Replaces the explode-verify (distinct token relation + a
+    per-(pair, token) join + per-pair hash aggregate + two size joins --
+    four exchanges of token rows) with two candidate-sized array joins and
+    zero post-join aggregation (guide §2.3: shuffle the decision bytes,
+    not one row per token). Identical output: n_inter/|a|/|b| are the same
+    integers, the jaccard division the same IEEE op."""
+    d = docs.select(
+        "doc_id",
+        F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+         .alias("toks"))
+    j = (cand
+         .join(d.select(F.col("doc_id").alias("doc_a"),
+                        F.col("toks").alias("ta")), "doc_a")
+         .join(d.select(F.col("doc_id").alias("doc_b"),
+                        F.col("toks").alias("tb")), "doc_b")
+         .withColumn("n_inter", F.size(F.array_intersect("ta", "tb")))
+         .withColumn("jaccard",
+                     F.col("n_inter").cast("double")
+                     / (F.size("ta") + F.size("tb") - F.col("n_inter"))))
+    return (j.filter(F.col("jaccard") >= 0.8)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
 @register("x1_dedup_minhash_lsh")  # Spark-hash based => rows-only check
 def x1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (scale path): k=16 xxhash64 minima → 4 bands of
@@ -460,16 +487,23 @@ def x1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-row shuffle with zero shuffles); candidate generation shuffles
     on (band, bucket-hash) instead of all-pairs. xxhash64 is JVM-side
     and fast but not reproducible in DuckDB, so the driver records the
-    weaker rows-only check (SURVEY §5)."""
-    tok = _tok_d_df(spark, sf_dir).select("doc_id", "token")
+    weaker rows-only check (SURVEY §5).
+
+    Verification (r14 optimization, guide §2.3 "shuffle keys and metadata
+    instead of payloads"): true Jaccard per candidate pair comes from
+    `array_intersect` over the two docs' PACKED distinct-token arrays --
+    the old explode-verify shipped one row per (pair, shared token) into a
+    per-pair hash aggregate plus a distinct (doc, token) relation build
+    (four exchanges of token rows); attaching the packed arrays moves the
+    same token bytes in two candidate-sized joins and computes the
+    intersection row-local."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # Materialize the signature relation ONCE (doc_count x bands narrow
     # rows): it feeds the frequent-bucket agg AND both self-join sides, and
     # without the checkpoint the 16-hash signature map re-evaluates three
     # times. At 100 TB this is the write-signatures-once design -- the
     # banded relation is the thing you'd persist to a stage table.
-    buckets = minhash_band_buckets(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ).localCheckpoint()
+    buckets = minhash_band_buckets(docs).localCheckpoint()
     # Frequent-bucket pruning: a bucket holding >50 docs is non-discriminative
     # (this corpus's 40-word vocabulary makes most docs collide) and would
     # blow the candidate join up toward all-pairs; cap it. At scale this is
@@ -487,19 +521,8 @@ def x1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    # verify candidates with true Jaccard
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
-    inter = (cand.join(ta, "doc_a").join(tb, ["doc_b", "token"])
-             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter")))
-    j = (inter
-         .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na")), "doc_a")
-         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb")), "doc_b")
-         .withColumn("jaccard", F.col("n_inter").cast("double")
-                     / (F.col("na") + F.col("nb") - F.col("n_inter"))))
-    return (j.filter(F.col("jaccard") >= 0.8)
-            .select("doc_a", "doc_b", "jaccard"))
+    # verify candidates with true Jaccard: packed-array intersection
+    return _verify_pairs_arrays(docs, cand)
 
 
 def minhash_band_buckets(docs: DataFrame) -> DataFrame:
@@ -638,24 +661,10 @@ def x1_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    tok = (docs.select("doc_id",
-                       F.explode(F.split("text", " ")).alias("token"))
-           .filter(F.col("token") != "").distinct())
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
-    inter = (cand.join(ta, "doc_a").join(tb, ["doc_b", "token"])
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    j = (inter
-         .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                            F.col("n_tok").alias("na")), "doc_a")
-         .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                            F.col("n_tok").alias("nb")), "doc_b")
-         .withColumn("jaccard", F.col("n_inter").cast("double")
-                     / (F.col("na") + F.col("nb") - F.col("n_inter"))))
-    return (j.filter(F.col("jaccard") >= 0.8)
-            .select("doc_a", "doc_b", "jaccard"))
+    # verify candidates with true Jaccard: packed-array intersection (r14,
+    # guide §2.3 -- see _verify_pairs_arrays; output-identical, and the
+    # shared oracle re-proves it)
+    return _verify_pairs_arrays(docs, cand)
 
 
 _BLOCK_UF_MAX_PAIRS = 5_000_000  # per-block pair bound for the single-task

@@ -171,8 +171,23 @@ def x5_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index equi-join on the gram -- never doc x doc. Grams seen in
     more than _DECON_MAX_DF train docs are dropped as boilerplate before
     the join (df-pruning), which both matches decontamination practice and
-    bounds the worst-case join fan-out per gram."""
-    grams = _decon_gram_rows(spark, sf_dir).distinct()
+    bounds the worst-case join fan-out per gram.
+
+    r14 optimization (guide §2.4 "share one exchange"): every downstream
+    step -- the (doc, gram) dedup, the train-df aggregation, and the
+    held x train inverted-index join -- clusters by GRAM, so one explicit
+    `repartition(gram)` up front satisfies all of their distributions
+    (HashPartitioning(gram) ⊆ each required clustering set) and the plan
+    carries ONE exchange of the shingle relation instead of three (the
+    old distinct-first shape shuffled on (doc, heldout, gram), then again
+    on gram for the df-agg, then a third time to co-partition the held
+    side for the join). The exchange now moves pre-dedup rows (intra-doc
+    repeated shingles survive to the reducer), but shingles are
+    near-unique within a doc, so the dup factor is far below the 2x
+    re-shuffle it replaces."""
+    grams = (_decon_gram_rows(spark, sf_dir)
+             .repartition(F.col("gram"))
+             .dropDuplicates(["doc_id", "heldout", "gram"]))
     train_grams = (grams.filter(~F.col("heldout"))
                    .groupBy("gram")
                    .agg(F.count(F.lit(1)).alias("train_df"))
@@ -479,6 +494,42 @@ def x5_pii_redact_phones(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("long").alias("chars_removed")))
 
 
+def _run_max(arr: F.Column) -> F.Column:
+    """Max multiplicity of any element of `arr` (BIGINT, 0 on empty): sort
+    the array per-row and fold it counting equal-run lengths. Replaces the
+    explode + groupBy(doc, elem) + max-agg shape for per-document "most
+    frequent element" stats -- the value is a pure function of the row, so
+    no token ever needs to cross a shuffle (guide §2.4). Per-row cost is
+    the same O(n log n) sort + O(n) pass the hash aggregate paid, minus
+    the exchange."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"))
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        run = (F.when(acc["prev"].isNotNull() & (x == acc["prev"]),
+                      acc["run"] + F.lit(1).cast("long"))
+               .otherwise(F.lit(1).cast("long")))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(F.array_sort(arr), init, step, lambda a: a["best"])
+
+
+def _bigram_array(l: F.Column) -> F.Column:
+    """Adjacent-token bigram strings of token array `l` (empty when fewer
+    than two tokens -- `sequence(1, 0)` would count DOWN, so the guard is
+    load-bearing). Same 'tok SP nxt' rendering as the old lead-window
+    concat_ws, bit-for-bit."""
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(l) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(l, i),
+                              F.element_at(l, i + F.lit(1))))
+    return (F.when(F.size(l) >= 2, bigrams)
+            .otherwise(F.array().cast("array<string>")))
+
+
 @register(
     "x5_repetition_stats",
     oracle="""
@@ -517,35 +568,26 @@ def x5_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: the fraction of
     tokens taken by the single most frequent token, and by the most frequent
     word bigram -- the filters that catch boilerplate/looping text in a
-    training corpus. All explode + two-level groupBy, partitioned by doc_id
-    throughout (no cross-doc shuffle wider than the doc itself). The
-    fractions are single IEEE divisions of exact integer counts, so both
-    engines round identically."""
+    training corpus. Both maxima are pure per-document functions, so they are
+    computed per-ROW with sorted-array run-length folds (`_run_max` over the
+    token array and the derived bigram array) -- one narrow scan projection,
+    ZERO shuffles (r14 optimization, guide §2.4: the old shape paid a doc_id
+    window sort for `lead` plus four hash-aggregate exchanges of the token/
+    bigram relations for values that never leave their row). The fractions
+    are single IEEE divisions of exact integer counts, so both engines round
+    identically."""
     docs = load_table(spark, sf_dir, "documents")
-    words = (docs.select(
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    d = docs.select("doc_id", toks.alias("l")).filter(F.size("l") > 0)
+    stats = d.select(
         "doc_id",
-        F.posexplode(F.filter(F.split("text", " "), lambda x: x != ""))
-         .alias("pos", "tok")))
-    tok_counts = (words.groupBy("doc_id", "tok")
-                  .agg(F.count(F.lit(1)).alias("c")))
-    per_doc_tok = (tok_counts.groupBy("doc_id")
-                   .agg(F.sum("c").cast("long").alias("n_tokens"),
-                        F.max("c").alias("top_tok")))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bigram_counts = (words
-                     .withColumn("nxt", F.lead("tok").over(w))
-                     .filter(F.col("nxt").isNotNull())
-                     .select("doc_id",
-                             F.concat_ws(" ", "tok", "nxt").alias("bg"))
-                     .groupBy("doc_id", "bg")
-                     .agg(F.count(F.lit(1)).alias("c")))
-    per_doc_bg = (bigram_counts.groupBy("doc_id")
-                  .agg(F.max("c").alias("top_bigram")))
-    j = per_doc_tok.join(per_doc_bg, "doc_id", "left")
+        F.size("l").cast("long").alias("n_tokens"),
+        _run_max(F.col("l")).alias("top_tok"),
+        _run_max(_bigram_array(F.col("l"))).alias("top_bigram"))
     tok_frac = F.col("top_tok").cast("double") / F.col("n_tokens")
-    bg_frac = (F.coalesce("top_bigram", F.lit(0)).cast("double")
+    bg_frac = (F.col("top_bigram").cast("double")
                / F.greatest(F.col("n_tokens") - 1, F.lit(1)))
-    return j.select(
+    return stats.select(
         "doc_id", "n_tokens",
         F.round(tok_frac, 6).alias("top_token_frac"),
         F.round(bg_frac, 6).alias("top_bigram_frac"),
@@ -950,60 +992,43 @@ def x5_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan: every derived relation is per-doc and joins back on doc_id, so the
     whole funnel is doc-partitioned narrow work plus one tiny 5-row final
     rollup; nothing in it widens at 100 TB."""
-    from .textstats import _tokens_df
+    from .textstats import _lang_id_best
 
+    # r14 optimization (guide §2.4): language-ID, the repetition maxima,
+    # and quality are all pure per-document functions, computed per-ROW
+    # with the shared array kernels (`_lang_id_best`, `_run_max`,
+    # `_bigram_array`) instead of the old explode + broadcast join + five
+    # hash-aggregate exchanges + two window sorts + three doc_id joins.
+    # Only exact-dedup representative selection genuinely crosses rows, so
+    # the whole funnel is ONE md5-window exchange plus the final rollup.
+    # Filtering to >=1-token docs up front matches the old inner join on
+    # the token-derived rep relation (and cannot change is_rep: equal
+    # text => equal token count, so md5 groups never mix token-bearing
+    # and token-free docs).
     docs = load_table(spark, sf_dir, "documents")
-    t = _tokens_df(spark, sf_dir)
-    profiles = spark.createDataFrame(_LANG_PROFILE_ROWS,
-                                     "profile_lang string, stopword string")
-    sizes = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    hits = (t.join(F.broadcast(profiles), t.token == profiles.stopword)
-            .groupBy("doc_id", "profile_lang")
-            .agg(F.count(F.lit(1)).alias("n_hits")))
-    wl = Window.partitionBy("doc_id").orderBy(
-        F.desc(F.col("n_hits").cast("double") / F.col("n_tok")),
-        F.asc("profile_lang"))
-    pred = (hits.join(sizes, "doc_id")
-            .withColumn("rn", F.row_number().over(wl))
-            .filter(F.col("rn") == 1)
-            .select("doc_id", F.col("profile_lang").alias("predicted_lang")))
-
-    words = (docs.select(
-        "doc_id",
-        F.posexplode(F.filter(F.split("text", " "), lambda x: x != ""))
-         .alias("pos", "tok")))
-    tok_counts = words.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    ww = Window.partitionBy("doc_id").orderBy("pos")
-    bigram_max = (words.withColumn("nxt", F.lead("tok").over(ww))
-                  .filter(F.col("nxt").isNotNull())
-                  .groupBy("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
-                  .agg(F.count(F.lit(1)).alias("c"))
-                  .groupBy("doc_id").agg(F.max("c").alias("top_bigram")))
-    rep = (tok_counts.groupBy("doc_id")
-           .agg(F.sum("c").cast("long").alias("n_tokens"),
-                F.max("c").alias("top_tok"))
-           .join(bigram_max, "doc_id", "left")
-           .select("doc_id", "n_tokens",
-                   ((F.col("top_tok").cast("double") / F.col("n_tokens") <= 0.1)
-                    & (F.coalesce(F.col("top_bigram"), F.lit(0)).cast("double")
-                       / F.greatest(F.col("n_tokens") - 1, F.lit(1)) <= 0.18))
-                   .alias("not_repetitive")))
-
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = (docs.select("doc_id", "lang", "text",
+                        F.length("text").cast("double").alias("len_"),
+                        toks.alias("l"))
+            .filter(F.size("l") > 0)
+            .select("doc_id", "lang", "text", "len_",
+                    F.size("l").cast("long").alias("n_tokens"),
+                    _run_max(F.col("l")).alias("top_tok"),
+                    _run_max(_bigram_array(F.col("l"))).alias("top_bigram"),
+                    _lang_id_best(F.col("l")).alias("b")))
+    not_repetitive = (
+        (F.col("top_tok").cast("double") / F.col("n_tokens") <= 0.1)
+        & (F.col("top_bigram").cast("double")
+           / F.greatest(F.col("n_tokens") - 1, F.lit(1)) <= 0.18))
     wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    dedup = docs.select(
-        "doc_id", (F.row_number().over(wd) == 1).alias("is_rep"))
-
     quality = F.expr(_funnel_quality_sql().replace("len", "len_"))
-    flags = (docs.select("doc_id", "lang",
-                         F.length("text").cast("double").alias("len_"))
-             .join(pred, "doc_id", "left")
-             .join(rep, "doc_id")
-             .join(dedup, "doc_id")
-             .select(
-                 "doc_id", "n_tokens",
-                 F.coalesce(F.col("predicted_lang") == F.col("lang"),
-                            F.lit(False)).alias("s1"),
-                 "len_", "not_repetitive", "is_rep"))
+    flags = base.select(
+        "doc_id", "n_tokens", "text", "len_",
+        F.coalesce(F.col("b")["lang"] == F.col("lang"),
+                   F.lit(False)).alias("s1"),
+        not_repetitive.alias("not_repetitive")).select(
+        "doc_id", "n_tokens", "s1", "len_", "not_repetitive",
+        (F.row_number().over(wd) == 1).alias("is_rep"))
     staged = flags.select(
         "doc_id", "n_tokens", "s1", "not_repetitive", "is_rep",
         (F.col("s1") & (quality >= 0.8)).alias("s2"))

@@ -106,11 +106,17 @@ def x2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(F.col("vec_id").alias("match_id"), F.col("vec").alias("mv"))
     dots = (F.broadcast(q).join(b, F.col("query_id") != F.col("match_id"))
             .select("query_id", "match_id", _dec_dot("qv", "mv").alias("dot")))
-    na = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("na"))
+    # Query-side norms: only the _N_QUERIES query vectors' norms are ever
+    # read, so filter BEFORE the decimal-fold projection (r14, guide §5
+    # "don't compute things you throw away") -- the vec_id predicate pushes
+    # to the parquet scan and the na branch folds 10 vectors instead of the
+    # corpus. Bounded by _N_QUERIES => raw broadcast hint is safe.
+    na = (norms.filter(F.col("vec_id") < _N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("na")))
     nb = norms.select(F.col("vec_id").alias("match_id"), F.col("nrm").alias("nb"))
-    # per-vector norms are corpus-sized: size-gated hints (VERDICT r10)
+    # corpus-side norms stay corpus-sized: size-gated hint (VERDICT r10)
     n_emb = table_rowcount(spark, sf_dir, "embeddings")
-    cos = (dots.join(gated_broadcast(na, n_emb), "query_id")
+    cos = (dots.join(F.broadcast(na), "query_id")
            .join(gated_broadcast(nb, n_emb), "match_id")
            .select("query_id", "match_id",
                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)

@@ -47,15 +47,37 @@ def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token statistics per (lang, source)."""
-    t = _tokens_df(spark, sf_dir)
-    return t.groupBy("lang", "source").agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.countDistinct("token").alias("n_distinct_tokens"),
-        (F.sum(F.length("token").cast("decimal(28,6)")).cast("double")
-         / F.count("token")).alias("avg_token_len"),
-    )
+    """Corpus token statistics per (lang, source).
+
+    r14 optimization (guide §2.3): the old single groupBy carried TWO
+    countDistincts, so Spark planned an Expand that tripled every token
+    row through the shuffle. Split instead into (a) per-document partial
+    stats computed per-ROW on the token array (doc count, occurrence
+    count, summed token length -- exact integer arithmetic, so summing
+    per-doc longs into DECIMAL(28,6) equals the old per-token decimal
+    sum bit-for-bit) and (b) the one genuinely corpus-level distinct
+    (vocabulary per group) fed by per-doc `array_distinct` so the
+    remaining shuffle moves per-doc-distinct tokens once, not every
+    occurrence three times."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    d = (docs.select("lang", "source", toks.alias("l"))
+         .filter(F.size("l") > 0))
+    sum_len = F.aggregate(
+        "l", F.lit(0).cast("long"),
+        lambda a, x: a + F.length(x).cast("long"))
+    per_group = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("l")).alias("n_tokens"),
+        (F.sum(sum_len.cast("decimal(28,6)")).cast("double")
+         / F.sum(F.size("l"))).alias("avg_token_len"))
+    vocab = (d.select("lang", "source",
+                      F.explode(F.array_distinct("l")).alias("token"))
+             .groupBy("lang", "source")
+             .agg(F.countDistinct("token").alias("n_distinct_tokens")))
+    return (per_group.join(vocab, ["lang", "source"])
+            .select("lang", "source", "n_docs", "n_tokens",
+                    "n_distinct_tokens", "avg_token_len"))
 
 
 @register(
@@ -153,20 +175,43 @@ _LANG_PROFILE_ROWS: list[tuple] = [
 )
 def x4_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID by stopword-profile hit ratio, argmax per doc with
-    alphabetical tie-break. The profile table is a broadcast dimension."""
-    t = _tokens_df(spark, sf_dir)
-    profiles = spark.createDataFrame(_LANG_PROFILE_ROWS,
-                                     "profile_lang string, stopword string")
-    sizes = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    hits = (t.join(F.broadcast(profiles), t.token == profiles.stopword)
-            .groupBy("doc_id", "profile_lang")
-            .agg(F.count(F.lit(1)).alias("n_hits")))
-    scored = (hits.join(sizes, "doc_id")
-              .withColumn("score", F.col("n_hits").cast("double") / F.col("n_tok")))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("profile_lang"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("doc_id", F.col("profile_lang").alias("predicted_lang"), "score"))
+    alphabetical tie-break. The profile table is literal reference data a
+    few rows long, so the whole face is a per-ROW expression (r14
+    optimization, guide §2.4): per language, count token occurrences in the
+    literal stopword array (`size(filter(l, in-set))`), take the struct-min
+    of (-score, lang) for the argmax -- identical (score DESC, lang ASC)
+    total order, float-exact because negation is exact. The old shape paid
+    an explode + broadcast join + two hash-aggregate exchanges + a doc_id
+    window sort for a value that is a pure function of each document row.
+    Docs with zero profile hits emit nothing, like the old inner join."""
+    docs = load_table(spark, sf_dir, "documents")
+    best = _lang_id_best(F.filter(F.split("text", " "), lambda x: x != ""))
+    return (docs.select("doc_id", best.alias("b"))
+            .filter(F.col("b").isNotNull())
+            .select("doc_id",
+                    F.col("b")["lang"].alias("predicted_lang"),
+                    (-F.col("b")["neg_score"]).alias("score")))
+
+
+def _lang_id_best(l: F.Column) -> F.Column:
+    """STRUCT(neg_score, lang) of the winning profile language for token
+    array `l`, NULL when no stopword of any profile occurs (or the doc is
+    empty). Shared by x4_lang_id_heuristic and the x5 corpus funnel; the
+    (-score, lang) struct-min reproduces the oracle's
+    ROW_NUMBER() OVER (ORDER BY score DESC, profile_lang) pick exactly."""
+    by_lang: dict[str, list[str]] = {}
+    for lang, word in _LANG_PROFILE_ROWS:
+        by_lang.setdefault(lang, []).append(word)
+    n_tok = F.size(l).cast("double")
+    cands = [
+        F.struct(
+            (-(F.size(F.filter(l, lambda x: x.isin(words))).cast("double")
+               / n_tok)).alias("neg_score"),
+            F.lit(lang).alias("lang"),
+            F.size(F.filter(l, lambda x: x.isin(words))).alias("n_hits"))
+        for lang, words in sorted(by_lang.items())]
+    best = F.array_min(F.filter(F.array(*cands), lambda c: c["n_hits"] > 0))
+    return F.when(F.size(l) > 0, best)
 
 
 @register(
@@ -223,24 +268,20 @@ def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x4_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: minimum md5 over 5-token shingles (k=1 MinHash
-    with a portable hash). Shingle construction is order-sensitive, so token
-    positions come from posexplode (split order), never from an unordered
-    explode."""
+    with a portable hash). Shingles are built per-row from the token ARRAY
+    (split order is the token order), so the whole face is one narrow scan
+    projection — no explode, no window shuffle+sort, no groupBy (r14
+    optimization, guide §2.4: the old posexplode + two doc_id windows +
+    min-agg paid three exchanges of the token relation for a value that is
+    a pure function of each row). Docs with <5 tokens emit nothing, exactly
+    like the old lead-4-not-null filter."""
     docs = load_table(spark, sf_dir, "documents")
-    t = (docs.select("doc_id",
-                     F.posexplode(F.split("text", " ")).alias("widx", "token"))
-         .filter(F.col("token") != "")
-         .withColumn("p", F.row_number().over(
-             Window.partitionBy("doc_id").orderBy("widx"))))
-    w = Window.partitionBy("doc_id").orderBy("p")
-    shingle = F.concat_ws(
-        " ", "token",
-        F.lead("token", 1).over(w), F.lead("token", 2).over(w),
-        F.lead("token", 3).over(w), F.lead("token", 4).over(w))
-    sh = (t.withColumn("lead4", F.lead("token", 4).over(w))
-          .withColumn("shingle", shingle)
-          .filter(F.col("lead4").isNotNull()))
-    return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    d = docs.select("doc_id", toks.alias("l")).filter(F.size("l") >= 5)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("l") - 4),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("l", i, 5))))
+    return d.select("doc_id", F.array_min(sh).alias("fingerprint"))
 
 
 @register(
