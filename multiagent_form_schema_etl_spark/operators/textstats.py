@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_rowcount
 from ..fixtures import values_sql
 from ..plans.registry import register, track_persist
 
@@ -126,7 +126,12 @@ def x4_tf_rarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf is a fixed 20-doc slice, bounded by construction -- the vocabulary
     relation never moves and the hint cannot OOM at 100x (VERDICT r10)."""
     t = _tokens_df(spark, sf_dir)
-    n_docs = t.select("doc_id").distinct().count()
+    # COUNT(DISTINCT doc_id) over token rows == count of docs with >= 1
+    # token: one scan-local count instead of an explode + distinct shuffle
+    # (r14, guide §5 -- this ran as a Spark job inside the build).
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.filter(
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")) > 0).count()
     tf = (t.filter(F.col("doc_id") < 20)
           .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
     df = t.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
@@ -185,33 +190,56 @@ def x4_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sort for a value that is a pure function of each document row.
     Docs with zero profile hits emit nothing, like the old inner join."""
     docs = load_table(spark, sf_dir, "documents")
-    best = _lang_id_best(F.filter(F.split("text", " "), lambda x: x != ""))
-    return (docs.select("doc_id", best.alias("b"))
+    # materialize the token array before the argmax (kernel contract)
+    d = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("l"))
+    return (d.select("doc_id", _lang_id_best(F.col("l")).alias("b"))
             .filter(F.col("b").isNotNull())
             .select("doc_id",
                     F.col("b")["lang"].alias("predicted_lang"),
                     (-F.col("b")["neg_score"]).alias("score")))
 
 
-def _lang_id_best(l: F.Column) -> F.Column:
-    """STRUCT(neg_score, lang) of the winning profile language for token
-    array `l`, NULL when no stopword of any profile occurs (or the doc is
-    empty). Shared by x4_lang_id_heuristic and the x5 corpus funnel; the
-    (-score, lang) struct-min reproduces the oracle's
-    ROW_NUMBER() OVER (ORDER BY score DESC, profile_lang) pick exactly."""
+def _profile_argmax(l: F.Column, profile_rows: list[tuple]) -> F.Column:
+    """STRUCT(neg_score, lang) of the winning profile language for element
+    array `l` (tokens or char-grams), NULL when no profile element occurs
+    (or the array is empty). The (-score, lang) struct-min reproduces the
+    oracle's ROW_NUMBER() OVER (ORDER BY score DESC, profile_lang) pick
+    exactly (negation is float-exact; langs are unique so the tie chain
+    ends there).
+
+    CALLER CONTRACT: pass `l` as a MATERIALIZED column attribute (project
+    the array in a preceding select), never as a raw expression -- this
+    kernel references `l` once per language, and Catalyst re-evaluates a
+    non-attribute argument at every reference (the first cut passed the
+    raw transform() for the trigram face and measured 58 s vs 2.5 s for
+    the explode shape it replaced)."""
     by_lang: dict[str, list[str]] = {}
-    for lang, word in _LANG_PROFILE_ROWS:
+    for lang, word in profile_rows:
         by_lang.setdefault(lang, []).append(word)
     n_tok = F.size(l).cast("double")
-    cands = [
-        F.struct(
-            (-(F.size(F.filter(l, lambda x: x.isin(words))).cast("double")
-               / n_tok)).alias("neg_score"),
-            F.lit(lang).alias("lang"),
-            F.size(F.filter(l, lambda x: x.isin(words))).alias("n_hits"))
-        for lang, words in sorted(by_lang.items())]
-    best = F.array_min(F.filter(F.array(*cands), lambda c: c["n_hits"] > 0))
+    # each language's member filter is evaluated exactly ONCE (hits
+    # struct), then scores derive from the counted hits via transform
+    hits = F.array(*[
+        F.struct(F.size(F.filter(l, lambda x: x.isin(words)))
+                 .alias("n_hits"),
+                 F.lit(lang).alias("lang"))
+        for lang, words in sorted(by_lang.items())])
+    cands = F.transform(
+        hits,
+        lambda c: F.struct(
+            (-(c["n_hits"].cast("double") / n_tok)).alias("neg_score"),
+            c["lang"].alias("lang"),
+            c["n_hits"].alias("n_hits")))
+    best = F.array_min(F.filter(cands, lambda c: c["n_hits"] > 0))
     return F.when(F.size(l) > 0, best)
+
+
+def _lang_id_best(l: F.Column) -> F.Column:
+    """Stopword-profile argmax over token array `l` (shared by
+    x4_lang_id_heuristic and the x5 corpus funnel)."""
+    return _profile_argmax(l, _LANG_PROFILE_ROWS)
 
 
 @register(
@@ -383,7 +411,17 @@ _TRIGRAM_ROWS: list[tuple] = [
 def x4_lang_id_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via character-trigram profile hit ratio (the n-gram
     variant of x4_lang_id_heuristic): explode sliding trigrams, join the
-    broadcast profile dim, argmax per doc with alphabetical tie-break."""
+    broadcast profile dim, argmax per doc with alphabetical tie-break.
+
+    r14 MEASURED AND KEPT AS-IS (guide §1 — measure before AND after):
+    the per-row `_profile_argmax` rewrite that removed every shuffle from
+    the stopword lang-ID face was tried here and measured 21 s vs 2.5 s
+    at sf0.1 — higher-order array functions are CodegenFallback
+    (interpreted per element), and the trigram array is one element per
+    CHARACTER position, so interpretation overhead dwarfs the shuffle it
+    saves. The explode shape keeps whole-stage codegen for the hash join
+    + aggregates; its shuffled relations (per-doc sizes, doc×lang hits)
+    are bounded by docs×|profiles|, fine at any scale."""
     d = load_table(spark, sf_dir, "documents")
     grams = d.select(
         "doc_id",
@@ -687,7 +725,9 @@ def x4_tfidf_mllib_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is 4096-bounded by construction (numFeatures)."""
     mllib = x4_tfidf_mllib(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # IDF's numDocs counts every row, even empty
+    # IDF's numDocs counts every row, even empty -- exactly the parquet
+    # footer count (r14: ~1 ms metadata read instead of a Spark job)
+    n_docs = table_rowcount(spark, sf_dir, "documents")
     tok = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
            .filter(F.col("token") != ""))
     b = F.pmod(F.hash("token"), F.lit(1 << 12))
