@@ -2182,12 +2182,16 @@ def x2_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                 b, (F.col("qlabel") == F.col("mlabel"))
                 & (F.col("query_id") != F.col("match_id")))
             .select("query_id", "match_id", _dec_dot("qv", "mv").alias("dot")))
-    na = norms.select(F.col("vec_id").alias("query_id"),
-                      F.col("nrm").alias("na"))
+    # query-side norms: filter to the bounded query set BEFORE the decimal
+    # norm fold (r14, guide §5 -- same prune as x2_cosine_topk; the vec_id
+    # predicate reaches the parquet scan and the branch folds 10 vectors)
+    na = (norms.filter(F.col("vec_id") < _N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("nrm").alias("na")))
     nb = norms.select(F.col("vec_id").alias("match_id"),
                       F.col("nrm").alias("nb"))
     n_emb = table_rowcount(spark, sf_dir, "embeddings")
-    cos = (dots.join(gated_broadcast(na, n_emb), "query_id")
+    cos = (dots.join(F.broadcast(na), "query_id")
            .join(gated_broadcast(nb, n_emb), "match_id")
            .select("query_id", "match_id",
                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
@@ -2412,11 +2416,14 @@ def x2_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots = (F.broadcast(q).join(b, F.col("query_id") != F.col("match_id"))
             .select("query_id", "match_id",
                     _dec_dot("qv", "mv").alias("dot")))
-    na = norms.select(F.col("vec_id").alias("query_id"),
-                      F.col("nrm").alias("na"))
+    # query-side norms pruned to the bounded query set before the decimal
+    # fold (r14, guide §5 -- the x2_cosine_topk prune)
+    na = (norms.filter(F.col("vec_id") < _N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("nrm").alias("na")))
     nb = norms.select(F.col("vec_id").alias("match_id"),
                       F.col("nrm").alias("nb"))
-    cos = (dots.join(gated_broadcast(na, n_emb), "query_id")
+    cos = (dots.join(F.broadcast(na), "query_id")
            .join(gated_broadcast(nb, n_emb), "match_id")
            .select("query_id", "match_id",
                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
@@ -2442,15 +2449,22 @@ def x2_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdots = (ids.join(va, "a_id").join(vb, "b_id")
              .select("query_id", "a_id", "b_id",
                      _dec_dot("va", "vb").alias("dot")))
-    pna = norms.select(F.col("vec_id").alias("a_id"),
-                       F.col("nrm").alias("pna"))
-    pnb = norms.select(F.col("vec_id").alias("b_id"),
-                       F.col("nrm").alias("pnb"))
+    # pairwise-stage norms: fold only the (bounded, |Q| * pool) candidate
+    # vectors instead of two more corpus-wide decimal norm passes (r14,
+    # guide §5 -- na/nb/pna/pnb totalled FOUR corpus-wide folds; now only
+    # the genuinely corpus-sized match side pays one)
+    cand_ids = cands.select(F.col("cand_id").alias("vec_id")).distinct()
+    cnorms = (emb.join(F.broadcast(cand_ids), "vec_id")
+              .select("vec_id", _dec_norm("vec").alias("nrm")))
+    pna = cnorms.select(F.col("vec_id").alias("a_id"),
+                        F.col("nrm").alias("pna"))
+    pnb = cnorms.select(F.col("vec_id").alias("b_id"),
+                        F.col("nrm").alias("pnb"))
     # qid alias mints a fresh attribute: pairs shares lineage with cands,
     # and cogrouping both on the SAME query_id exprId trips Spark's
     # ambiguous-self-join check
-    pairs = (pdots.join(gated_broadcast(pna, n_emb), "a_id")
-             .join(gated_broadcast(pnb, n_emb), "b_id")
+    pairs = (pdots.join(F.broadcast(pna), "a_id")
+             .join(F.broadcast(pnb), "b_id")
              .select(F.col("query_id").alias("qid"), "a_id", "b_id",
                      F.round(F.col("dot") / (F.col("pna") * F.col("pnb")),
                              9).alias("psim")))

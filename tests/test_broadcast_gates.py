@@ -142,6 +142,11 @@ _ALLOWED_RAW = {
     ("operators/similarity.py", "cand"),     # k*|queries|-bounded
     ("operators/similarity.py", "ca"),  # MMR pool: |queries|*C rows
     ("operators/similarity.py", "cb"),  # MMR pool: |queries|*C rows
+    ("operators/similarity.py", "na"),  # query-side norms: _N_QUERIES rows
+    #   (r14: pruned to the bounded query set before the decimal fold)
+    ("operators/similarity.py", "pna"),  # MMR candidate norms: |Q|*C rows
+    ("operators/similarity.py", "pnb"),  # MMR candidate norms: |Q|*C rows
+    ("operators/similarity.py", "cand_ids"),  # MMR pool ids: |Q|*C rows
     ("operators/similarity.py", "probes"),   # |queries|*probe-bounded
     ("operators/similarity.py", "qv"),       # query vectors
     ("operators/similarity.py", "centroids"),  # K-bounded
