@@ -173,6 +173,14 @@ def run_pass() -> dict:
         "warm_total": round(sum(warm.values()), 3),
         "queries_collect_method": collect_times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Scaling-probe evidence (VERDICT r14 item 2): the record itself
+        # proves which core count the session ACTUALLY ran with -- the
+        # driver's 8-vs-32-core probe saw flat ratios at sf0.1 (fixed
+        # per-query planning cost dominates 0.5-2s queries) and had no
+        # in-record signal to distinguish "env ignored" from
+        # "overhead-dominated"; master + defaultParallelism settle it.
+        "master": spark.sparkContext.master,
+        "parallelism": spark.sparkContext.defaultParallelism,
     }
 
 
@@ -268,6 +276,8 @@ def build_records(runs: list[dict]) -> tuple[dict, str]:
             q: med([r["queries_collect_method"][q] for r in runs])
             for q in runs[0]["queries_collect_method"]},
         "n_runs": len(runs),
+        "master": runs[0].get("master"),
+        "parallelism": runs[0].get("parallelism"),
         "runs": [{"value": r["value"], "warm_total": r["warm_total"],
                   "queries": r["queries"], "queries_warm": r["queries_warm"],
                   "loadavg_before": r.get("loadavg_before", []),
@@ -292,7 +302,7 @@ def build_records(runs: list[dict]) -> tuple[dict, str]:
     compact = {k: full[k] for k in
                ("metric", "value", "unit", "queries", "queries_warm",
                 "warm_total", "n_runs", "sf", "load_max_1m", "run_values",
-                "steal_pct_max")}
+                "steal_pct_max", "master", "parallelism")}
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > _LINE_BUDGET:
         compact.pop("queries_warm")  # still in BENCH_LOCAL.json

@@ -54,23 +54,29 @@ def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tok_d_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, token) pairs with blocking attributes. The distinct
-    shuffles ONLY (doc_id, token); lang/bucket are functionally dependent on
-    doc_id and re-join afterwards from the doc-attribute relation -- halves
-    the bytes through the dedup shuffle (2x at sf0.1). The attribute side is
-    one row PER DOCUMENT (corpus-growing, not a dim), so its broadcast hint
-    is size-gated on the footer row count (VERDICT r10): under the gate it
-    broadcasts as measured-right; above it the hint drops and the join runs
-    as a doc_id shuffle-hash join against the already doc_id-shuffled
-    post-distinct relation."""
+    """Distinct (doc_id, token) pairs with blocking attributes and the
+    per-doc set size, all computed per-ROW (r15, guide §2.4): each document
+    is ONE row, so its distinct token set is `array_distinct` over the
+    split -- the dedup needs no shuffle at all -- and lang/bucket/n_tok
+    ride along from the same row, so the old attribute re-join (and its
+    size-gated broadcast) disappears too. The r14-audited plan built the
+    explode -> distinct-exchange -> attr-join subtree FOUR times inside
+    x1_dedup_jaccard_ngram (a side, b side, and both size relations);
+    this shape has zero exchanges, so even un-reused repetition costs only
+    a scan+explode. ``n_tok`` = size of the distinct set, emitted here
+    because it is free per-row and lets consumers resolve Jaccard set
+    sizes with an aggregate instead of two corpus-wide size builds + two
+    sort-merge joins of the pair relation."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = table_rowcount(spark, sf_dir, "documents")
-    attrs = docs.select(
-        "doc_id", "lang",
-        F.floor(F.col("n_chars") / 50.0).cast("long").alias("bucket"))
-    tok = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-           .filter(F.col("token") != "").distinct())
-    return tok.join(gated_broadcast(attrs, n_docs), "doc_id")
+    arr = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+    return (docs
+            .select("doc_id", "lang",
+                    F.floor(F.col("n_chars") / 50.0).cast("long")
+                     .alias("bucket"),
+                    arr.alias("_toks"))
+            .select("doc_id", "lang", "bucket",
+                    F.size("_toks").cast("long").alias("n_tok"),
+                    F.explode("_toks").alias("token")))
 
 
 @register(
@@ -152,9 +158,16 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_ngram_from(tok: DataFrame) -> DataFrame:
     """Inverted-index Jaccard plan over a prepared distinct
-    (doc_id, lang, bucket, token) relation (shared with the derived-corpus
-    auto-selector face)."""
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    (doc_id, lang, bucket, n_tok, token) relation (shared with the
+    derived-corpus auto-selector face).
+
+    r15: set sizes resolve INSIDE the intersection aggregate -- ``n_tok``
+    is constant within each (doc_a, doc_b) group because it rides every
+    token row of its doc (min() just picks that constant) -- so the two
+    corpus-wide size builds and the two sort-merge joins re-shuffling the
+    pair relation on doc_a/doc_b are gone (r14-audited plan: 8 Exchange,
+    4 of them for exactly this). Same integers into the same IEEE
+    division as `_jaccard_filter`."""
     a = tok.alias("a")
     b = tok.alias("b")
     inter = (
@@ -163,9 +176,14 @@ def _jaccard_ngram_from(tok: DataFrame) -> DataFrame:
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(F.count(F.lit(1)).alias("n_inter"),
+             F.min(F.col("a.n_tok")).alias("na"),
+             F.min(F.col("b.n_tok")).alias("nb"))
     )
-    return _jaccard_filter(inter, sizes)
+    j = inter.withColumn(
+        "jaccard", F.col("n_inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_inter")))
+    return j.filter(F.col("jaccard") >= 0.8).select("doc_a", "doc_b", "jaccard")
 
 
 @register("x1_dedup_jaccard_prefix", oracle=_JACCARD_ORACLE)
@@ -185,18 +203,23 @@ def x1_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index shrinks ~5x and hot tokens vanish); on this corpus's
     dense-match pathology the naive join wins because verification
     dominates -- both are registered so the tradeoff is measured, not
-    assumed."""
+    assumed.
+
+    r15: the separate per-doc size build is gone -- ``n_tok`` rides every
+    token row out of `_tok_d_df` (a pure function of the document row),
+    so the prefix-length filter reads it in place and the verify
+    aggregate resolves both set sizes with min() instead of re-joining a
+    corpus-wide size relation into the pair stream twice."""
     from pyspark.sql import Window
 
     tok = _tok_d_df(spark, sf_dir)
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     ranked = (tok.join(dfreq, "token")
               .withColumn("rk", F.row_number().over(
                   Window.partitionBy("doc_id").orderBy("df", "token"))))
     # prefix length = n - ceil(0.8n) + 1, in exact integer arithmetic
     # (double 0.8*n rounds UP at n=5k and would silently shrink the prefix)
-    pref = (ranked.join(sizes, "doc_id")
+    pref = (ranked
             .filter(F.col("rk") <= F.col("n_tok")
                     - F.expr("CAST((4*n_tok + 4) DIV 5 AS BIGINT)") + 1)
             .select("doc_id", "lang", "bucket", "token"))
@@ -208,11 +231,18 @@ def x1_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    ta = tok.select(F.col("doc_id").alias("doc_a"),
+                    F.col("n_tok").alias("na"), "token")
+    tb = tok.select(F.col("doc_id").alias("doc_b"),
+                    F.col("n_tok").alias("nb"), "token")
     inter = (cand.join(ta, "doc_a").join(tb, ["doc_b", "token"])
-             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter")))
-    return _jaccard_filter(inter, sizes)
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_inter"),
+                  F.min("na").alias("na"), F.min("nb").alias("nb")))
+    j = inter.withColumn(
+        "jaccard", F.col("n_inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_inter")))
+    return j.filter(F.col("jaccard") >= 0.8).select("doc_a", "doc_b", "jaccard")
 
 
 @register("x1_dedup_jaccard_blockpairs", oracle=_JACCARD_ORACLE)
@@ -1472,30 +1502,39 @@ def x1_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id").distinct()
              .withColumn("is_exact", F.lit(True)))
 
-    n_docs = table_rowcount(spark, sf_dir, "documents")
-
     def tokd(side: DataFrame) -> DataFrame:
-        # the reference side is corpus-sized; gate its attr hint on the
-        # parent table's footer count (upper bound for both sides)
-        attrs = side.select(
-            "doc_id", "lang",
-            F.floor(F.col("n_chars") / 50.0).cast("long").alias("bucket"))
-        tok = (side.select("doc_id",
-                           F.explode(F.split("text", " ")).alias("token"))
-               .filter(F.col("token") != "").distinct())
-        return tok.join(gated_broadcast(attrs, n_docs), "doc_id")
+        # r15 (the _tok_d_df technique): the per-side distinct token set,
+        # blocking attrs, and set size are all pure functions of the ONE
+        # document row -- array_distinct + explode replaces the
+        # explode -> distinct-exchange -> gated-attr-join subtree on both
+        # sides (zero exchanges; the old shape shuffled each side's
+        # (doc_id, token) relation for the dedup and re-joined attrs).
+        arr = F.array_distinct(
+            F.filter(F.split("text", " "), lambda x: x != ""))
+        return (side
+                .select("doc_id", "lang",
+                        F.floor(F.col("n_chars") / 50.0).cast("long")
+                         .alias("bucket"),
+                        arr.alias("_toks"))
+                .select("doc_id", "lang", "bucket",
+                        F.size("_toks").cast("long").alias("n_tok"),
+                        F.explode("_toks").alias("token")))
 
-    ta, tb = tokd(batch), tokd(ref)
-    sa = ta.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    sb = tb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    a, b = ta.alias("a"), tb.alias("b")
+    a, b = tokd(batch).alias("a"), tokd(ref).alias("b")
+    # set sizes resolve inside the intersection aggregate (n_tok rides
+    # every token row; min() picks the per-group constant) -- the two
+    # per-side size builds + the two joins of the pair relation are gone
     inter = (a.join(b, (F.col("a.token") == F.col("b.token"))
                     & (F.col("a.lang") == F.col("b.lang"))
                     & (F.col("a.bucket") == F.col("b.bucket")))
              .groupBy(F.col("a.doc_id").alias("doc_a"),
                       F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    near = (_jaccard_filter(inter, sa.unionByName(sb))
+             .agg(F.count(F.lit(1)).alias("n_inter"),
+                  F.min(F.col("a.n_tok")).alias("na"),
+                  F.min(F.col("b.n_tok")).alias("nb")))
+    jac = (F.col("n_inter").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("n_inter")))
+    near = (inter.filter(jac >= 0.8)
             .select(F.col("doc_a").alias("doc_id")).distinct()
             .withColumn("is_near", F.lit(True)))
 

@@ -254,8 +254,18 @@ def x5_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     reusing the persisted held-out relation, so the detour costs one
     wasted count rather than a recompute of the exact face."""
     rows = _decon_gram_rows(spark, sf_dir)
+    # r15 (VERDICT r14 item 6, the decon_ngram layout): one up-front
+    # repartition(gram) satisfies every held-side clustering -- the
+    # (doc, gram) dedup, the gram-distinct feeding the bloom build, and
+    # the final inverted-index join all accept HashPartitioning(gram) --
+    # so the held shingle relation crosses the network once instead of
+    # three times (distinct on (doc,gram), again on gram, again to
+    # co-partition the join). The persisted relation keeps that
+    # partitioning (InMemoryTableScan preserves child partitioning), so
+    # downstream consumers read it exchange-free.
     held = track_persist(
-        rows.filter(F.col("heldout")).select("doc_id", "gram").distinct())
+        rows.filter(F.col("heldout")).select("doc_id", "gram")
+        .repartition(F.col("gram")).dropDuplicates(["doc_id", "gram"]))
     held_grams = held.select("gram").distinct()
     n_held = held_grams.count()
     cand = rows.filter(~F.col("heldout")).select("doc_id", "gram")
@@ -291,7 +301,12 @@ def x5_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .join(F.broadcast(bw), "_w")
                     .filter(F.col("_bits").bitwiseAND(F.col("_m")) != 0)
                     .drop("_pos", "_w", "_m", "_bits"))
-    train_grams = (cand.distinct()
+    # exact tail on the survivors, single-exchange layout (r15): the
+    # (doc, gram) dedup, the df-count, and the join clustering all reuse
+    # one repartition(gram) -- the old distinct-first tail shuffled the
+    # survivor relation three times (VERDICT r14 item 6).
+    train_grams = (cand.repartition(F.col("gram"))
+                   .dropDuplicates(["doc_id", "gram"])
                    .groupBy("gram")
                    .agg(F.count(F.lit(1)).alias("train_df"))
                    .filter(F.col("train_df") <= _DECON_MAX_DF))

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import gated_broadcast, load_table, table_rowcount
-from ..plans.registry import register
+from ..plans.registry import register, track_persist
 
 _N_QUERIES = 10  # bounded query set for the exact-oracle variant
 _TOP_K = 5
@@ -103,9 +103,20 @@ def x2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = emb.select("vec_id", _dec_norm("vec").alias("nrm"))
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
-    b = emb.select(F.col("vec_id").alias("match_id"), F.col("vec").alias("mv"))
+    # Match-side norm FUSED into the corpus projection (r15, VERDICT r14
+    # item 5): the old shape scanned the corpus a second time for a
+    # norms relation and re-attached it with a size-gated join; `nb` is a
+    # pure function of the match row, so computing it in the same
+    # projection that feeds the pair join removes one corpus scan + one
+    # corpus-sized join while keeping decimal semantics bit-equal (same
+    # `_dec_norm` fold over the same vec, same ROUND site). The b-side
+    # Project sits below the nested-loop join, so the fold runs once per
+    # corpus row, not once per (query, match) pair.
+    b = emb.select(F.col("vec_id").alias("match_id"), F.col("vec").alias("mv"),
+                   _dec_norm("vec").alias("nb"))
     dots = (F.broadcast(q).join(b, F.col("query_id") != F.col("match_id"))
-            .select("query_id", "match_id", _dec_dot("qv", "mv").alias("dot")))
+            .select("query_id", "match_id",
+                    _dec_dot("qv", "mv").alias("dot"), "nb"))
     # Query-side norms: only the _N_QUERIES query vectors' norms are ever
     # read, so filter BEFORE the decimal-fold projection (r14, guide §5
     # "don't compute things you throw away") -- the vec_id predicate pushes
@@ -113,11 +124,7 @@ def x2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus. Bounded by _N_QUERIES => raw broadcast hint is safe.
     na = (norms.filter(F.col("vec_id") < _N_QUERIES)
           .select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("na")))
-    nb = norms.select(F.col("vec_id").alias("match_id"), F.col("nrm").alias("nb"))
-    # corpus-side norms stay corpus-sized: size-gated hint (VERDICT r10)
-    n_emb = table_rowcount(spark, sf_dir, "embeddings")
     cos = (dots.join(F.broadcast(na), "query_id")
-           .join(gated_broadcast(nb, n_emb), "match_id")
            .select("query_id", "match_id",
                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
                     .alias("cosine")))
@@ -2176,23 +2183,23 @@ def x2_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"),
         F.col("vec").alias("qv"))
+    # match-side norm fused into the corpus projection -- one corpus scan
+    # and no corpus-sized norm join (r15; see x2_cosine_topk)
     b = emb.select(F.col("vec_id").alias("match_id"),
-                   F.col("label").alias("mlabel"), F.col("vec").alias("mv"))
+                   F.col("label").alias("mlabel"), F.col("vec").alias("mv"),
+                   _dec_norm("vec").alias("nb"))
     dots = (F.broadcast(q).join(
                 b, (F.col("qlabel") == F.col("mlabel"))
                 & (F.col("query_id") != F.col("match_id")))
-            .select("query_id", "match_id", _dec_dot("qv", "mv").alias("dot")))
+            .select("query_id", "match_id",
+                    _dec_dot("qv", "mv").alias("dot"), "nb"))
     # query-side norms: filter to the bounded query set BEFORE the decimal
     # norm fold (r14, guide §5 -- same prune as x2_cosine_topk; the vec_id
     # predicate reaches the parquet scan and the branch folds 10 vectors)
     na = (norms.filter(F.col("vec_id") < _N_QUERIES)
           .select(F.col("vec_id").alias("query_id"),
                   F.col("nrm").alias("na")))
-    nb = norms.select(F.col("vec_id").alias("match_id"),
-                      F.col("nrm").alias("nb"))
-    n_emb = table_rowcount(spark, sf_dir, "embeddings")
     cos = (dots.join(F.broadcast(na), "query_id")
-           .join(gated_broadcast(nb, n_emb), "match_id")
            .select("query_id", "match_id",
                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
                     .alias("cosine")))
@@ -2406,37 +2413,42 @@ def x2_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.transform("embedding", lambda x: x.cast("double"))
                    .alias("vec")))
     norms = emb.select("vec_id", _dec_norm("vec").alias("nrm"))
-    n_emb = table_rowcount(spark, sf_dir, "embeddings")
 
-    # stage 1: candidate pool = exact rounded-cosine top-C per query
+    # stage 1: candidate pool = exact rounded-cosine top-C per query.
+    # Match-side norm fused into the corpus projection -- one corpus scan,
+    # no corpus-sized norm join (r15; see x2_cosine_topk).
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
     b = emb.select(F.col("vec_id").alias("match_id"),
-                   F.col("vec").alias("mv"))
+                   F.col("vec").alias("mv"), _dec_norm("vec").alias("nb"))
     dots = (F.broadcast(q).join(b, F.col("query_id") != F.col("match_id"))
             .select("query_id", "match_id",
-                    _dec_dot("qv", "mv").alias("dot")))
+                    _dec_dot("qv", "mv").alias("dot"), "nb"))
     # query-side norms pruned to the bounded query set before the decimal
     # fold (r14, guide §5 -- the x2_cosine_topk prune)
     na = (norms.filter(F.col("vec_id") < _N_QUERIES)
           .select(F.col("vec_id").alias("query_id"),
                   F.col("nrm").alias("na")))
-    nb = norms.select(F.col("vec_id").alias("match_id"),
-                      F.col("nrm").alias("nb"))
     cos = (dots.join(F.broadcast(na), "query_id")
-           .join(gated_broadcast(nb, n_emb), "match_id")
            .select("query_id", "match_id",
                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
                    .alias("qsim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("qsim"),
                                                F.asc("match_id"))
-    cands = (cos.withColumn("rn", F.row_number().over(w))
-             .filter(F.col("rn") <= _MMR_POOL)
-             .select("query_id", F.col("match_id").alias("cand_id"),
-                     "qsim"))
+    # cands is |Q| x pool rows and fans out FOUR ways (ca, cb, cand_ids,
+    # the stage-3 cogroup); unpersisted, every reference re-evaluated the
+    # corpus-wide stage-1 dot/window lineage (ADVICE r14). Persist the
+    # bounded relation so stage 1 touches the corpus exactly once.
+    cands = track_persist(
+        cos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .select("query_id", F.col("match_id").alias("cand_id"), "qsim"))
 
-    # stage 2: pairwise cosines WITHIN each pool -- |Q|*C^2 rows, corpus
-    # touched only by two broadcast id-probe joins to fetch vectors
+    # stage 2: pairwise cosines WITHIN each pool -- |Q|*C^2 rows. The
+    # corpus is touched by ONE candidate-bounded id-probe join that
+    # fetches vector AND norm together (r15: the old shape probed it
+    # three times -- va, vb, and a separate cnorms fold -- then paid two
+    # more broadcast joins to attach pna/pnb).
     ca = cands.select("query_id", F.col("cand_id").alias("a_id"))
     cb = cands.select(F.col("query_id").alias("qid_b"),
                       F.col("cand_id").alias("b_id"))
@@ -2444,29 +2456,22 @@ def x2_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(F.broadcast(cb), (F.col("query_id") == F.col("qid_b"))
                  & (F.col("a_id") != F.col("b_id")))
            .select("query_id", "a_id", "b_id"))
-    va = emb.select(F.col("vec_id").alias("a_id"), F.col("vec").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("b_id"), F.col("vec").alias("vb"))
-    pdots = (ids.join(va, "a_id").join(vb, "b_id")
-             .select("query_id", "a_id", "b_id",
-                     _dec_dot("va", "vb").alias("dot")))
-    # pairwise-stage norms: fold only the (bounded, |Q| * pool) candidate
-    # vectors instead of two more corpus-wide decimal norm passes (r14,
-    # guide §5 -- na/nb/pna/pnb totalled FOUR corpus-wide folds; now only
-    # the genuinely corpus-sized match side pays one)
     cand_ids = cands.select(F.col("cand_id").alias("vec_id")).distinct()
-    cnorms = (emb.join(F.broadcast(cand_ids), "vec_id")
-              .select("vec_id", _dec_norm("vec").alias("nrm")))
-    pna = cnorms.select(F.col("vec_id").alias("a_id"),
-                        F.col("nrm").alias("pna"))
-    pnb = cnorms.select(F.col("vec_id").alias("b_id"),
-                        F.col("nrm").alias("pnb"))
+    cv = track_persist(
+        emb.join(F.broadcast(cand_ids), "vec_id")
+        .select("vec_id", "vec", _dec_norm("vec").alias("nrm")))
+    va = cv.select(F.col("vec_id").alias("a_id"), F.col("vec").alias("va"),
+                   F.col("nrm").alias("pna"))
+    vb = cv.select(F.col("vec_id").alias("b_id"), F.col("vec").alias("vb"),
+                   F.col("nrm").alias("pnb"))
     # qid alias mints a fresh attribute: pairs shares lineage with cands,
     # and cogrouping both on the SAME query_id exprId trips Spark's
     # ambiguous-self-join check
-    pairs = (pdots.join(F.broadcast(pna), "a_id")
-             .join(F.broadcast(pnb), "b_id")
+    pairs = (ids.join(F.broadcast(va), "a_id")
+             .join(F.broadcast(vb), "b_id")
              .select(F.col("query_id").alias("qid"), "a_id", "b_id",
-                     F.round(F.col("dot") / (F.col("pna") * F.col("pnb")),
+                     F.round(_dec_dot("va", "vb")
+                             / (F.col("pna") * F.col("pnb")),
                              9).alias("psim")))
 
     # stage 3: per-query greedy selection in one cogrouped Arrow batch

@@ -71,11 +71,21 @@ def x4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("l")).alias("n_tokens"),
         (F.sum(sum_len.cast("decimal(28,6)")).cast("double")
          / F.sum(F.size("l"))).alias("avg_token_len"))
-    vocab = (d.select("lang", "source",
+    vocab = (d.select(F.col("lang").alias("_vl"),
+                      F.col("source").alias("_vs"),
                       F.explode(F.array_distinct("l")).alias("token"))
-             .groupBy("lang", "source")
+             .groupBy("_vl", "_vs")
              .agg(F.countDistinct("token").alias("n_distinct_tokens")))
-    return (per_group.join(vocab, ["lang", "source"])
+    # null-safe equi-join (ADVICE r14): both sides derive from the same
+    # groupBy keys, but a plain inner equi-join would silently drop NULL
+    # lang/source groups the old single-groupBy shape kept (null keys
+    # never match in an equi-join). <=> is still a hashable join key, so
+    # the plan is unchanged; the current corpus has no NULLs in either
+    # column -- this is robustness, not a result change.
+    return (per_group.join(
+                vocab,
+                per_group["lang"].eqNullSafe(vocab["_vl"])
+                & per_group["source"].eqNullSafe(vocab["_vs"]))
             .select("lang", "source", "n_docs", "n_tokens",
                     "n_distinct_tokens", "avg_token_len"))
 

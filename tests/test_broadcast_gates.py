@@ -76,12 +76,17 @@ def test_table_rowcount_non_local_uri_falls_back_to_footer_stats(spark):
 
 
 def test_gated_sites_still_broadcast_at_gate_scale(spark):
-    """The flagship gated site (_tok_d_df's doc-attribute attach) keeps its
-    measured-right BroadcastHashJoin at gate scale -- the gate changes the
-    100x posture, not the sf0.01 plan."""
-    from multiagent_form_schema_etl_spark.operators.dedup import _tok_d_df
+    """A flagship gated site (relational._gb on the corpus-growing TPC-H
+    customer/supplier dims, q05) keeps its measured-right BroadcastHashJoin
+    at gate scale -- the gate changes the 100x posture, not the sf0.01
+    plan. (r15: the previous flagship, _tok_d_df's doc-attribute attach,
+    no longer exists -- lang/bucket/n_tok now ride each token row from the
+    same document row, no join at all; x1_dedup_jaccard_ngram's zero-join
+    token relation is asserted in test_corpus_prep.)"""
+    from multiagent_form_schema_etl_spark.operators.relational import (
+        q05_local_supplier_volume)
 
-    plan = _tok_d_df(spark, SF_CHECK)._jdf.queryExecution() \
+    plan = q05_local_supplier_volume(spark, SF_CHECK)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
 
@@ -144,8 +149,8 @@ _ALLOWED_RAW = {
     ("operators/similarity.py", "cb"),  # MMR pool: |queries|*C rows
     ("operators/similarity.py", "na"),  # query-side norms: _N_QUERIES rows
     #   (r14: pruned to the bounded query set before the decimal fold)
-    ("operators/similarity.py", "pna"),  # MMR candidate norms: |Q|*C rows
-    ("operators/similarity.py", "pnb"),  # MMR candidate norms: |Q|*C rows
+    ("operators/similarity.py", "va"),  # MMR candidate vec+norm: |Q|*C rows
+    ("operators/similarity.py", "vb"),  # MMR candidate vec+norm: |Q|*C rows
     ("operators/similarity.py", "cand_ids"),  # MMR pool ids: |Q|*C rows
     ("operators/similarity.py", "probes"),   # |queries|*probe-bounded
     ("operators/similarity.py", "qv"),       # query vectors

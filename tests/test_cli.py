@@ -83,6 +83,7 @@ def test_bench_compact_line_stays_under_tail_budget():
         "queries_warm": {n: 0.567 for n in names},
         "queries_collect_method": {"w1_running_revenue_per_customer": 2.5,
                                    "st_session_window": 0.9},
+        "master": "local[32]", "parallelism": 32,
     }
     run_loaded = dict(run, value=92.15,
                       loadavg_before=[7.01, 5.5, 3.2],
@@ -100,6 +101,11 @@ def test_bench_compact_line_stays_under_tail_budget():
     assert rec["load_max_1m"] == 7.01
     assert rec["run_values"] == [50.123, 50.123, 92.15]
     assert rec["steal_pct_max"] == 23.4  # hypervisor-steal self-diagnosis
+    # scaling-probe evidence (VERDICT r14 item 2): the record itself must
+    # prove which core count the session ran with, so the driver's
+    # 8-vs-32-core comparison can tell "env ignored" from
+    # "overhead-dominated at this SF"
+    assert rec["master"] == "local[32]" and rec["parallelism"] == 32
     assert full["runs"][2]["loadavg_before"] == [7.01, 5.5, 3.2]
     assert full["runs"][0]["loadavg_before"] == []  # tolerated when absent
     assert full["runs"][0]["steal_pct"] is None
