@@ -161,6 +161,54 @@ def clauses_from_words(w: DataFrame) -> DataFrame:
             .filter(F.col("first_pos").isNotNull()))
 
 
+def _clauses_sql() -> str:
+    """The blocks→words→keys→clauses chain as ONE generated SQL statement
+    (Spark dialect; fragments from sqlgen, same ones key_words uses).
+    Static in the schema -- built once at import."""
+    is_secnum = G.is_secnum_sql("word", SPARK)
+    extract_key = G.extract_key_sql("word", "nw1", "nw2", SPARK)
+    return f"""
+    WITH wsrc AS (
+      SELECT doc_id, block_idx, label, widx, word
+      FROM __VIEW__
+      LATERAL VIEW posexplode(split(text, ' ')) t AS widx, word
+      WHERE trim(text) <> '' AND word <> ''),
+    w AS (
+      SELECT *, lead(word, 1) OVER win AS nw1, lead(word, 2) OVER win AS nw2,
+             CAST(row_number() OVER win AS BIGINT) AS pos,
+             (lower(label) = 'heading' OR {is_secnum}) AS trig
+      FROM wsrc
+      WINDOW win AS (PARTITION BY doc_id ORDER BY block_idx, widx)),
+    k AS (
+      SELECT *, CASE WHEN trig THEN {extract_key} END AS new_key FROM w),
+    k2 AS (
+      SELECT *, last(new_key, true) OVER (
+                  PARTITION BY doc_id ORDER BY block_idx, widx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cur_key
+      FROM k),
+    rel AS (
+      SELECT doc_id,
+             CASE WHEN trig THEN new_key ELSE cur_key END AS section_key,
+             trig, pos, word
+      FROM k2
+      WHERE (trig AND new_key IS NOT NULL)
+         OR ((NOT trig) AND lower(label) IN ('paragraph', 'list_item')
+             AND cur_key IS NOT NULL)),
+    agg AS (
+      SELECT doc_id, section_key,
+             MIN(CASE WHEN trig THEN pos END) AS first_pos,
+             concat_ws(' ', transform(array_sort(collect_list(
+                 CASE WHEN NOT trig THEN struct(pos, word) END)),
+                 x -> x.word)) AS clause_text
+      FROM rel GROUP BY doc_id, section_key)
+    SELECT doc_id, section_key, first_pos, clause_text FROM agg
+    WHERE first_pos IS NOT NULL"""
+
+
+_CLAUSES_SQL = None  # built lazily so import order stays cheap
+
+
 def clauses_df(spark: SparkSession, blocks: DataFrame | None = None) -> DataFrame:
     """A2: sessionized clause build with first-key-wins duplicate handling
     (repeated section keys concatenate, layout_structure.py:163-168) and
@@ -168,8 +216,25 @@ def clauses_df(spark: SparkSession, blocks: DataFrame | None = None) -> DataFram
     collect_list order is pinned by array_sort over (pos, word) structs --
     collect_list alone is not order-stable after shuffles. first_pos records
     dict-insertion order (first appearance of the key) for J2's ordered
-    fuzzy-context concat."""
-    return clauses_from_words(keyed_words_df(spark, blocks))
+    fuzzy-context concat.
+
+    r15 (VERDICT r14 item 3, the extraction_df_hoisted precedent): the
+    words→keys→clauses chain runs as ONE generated SQL statement instead
+    of ~10 chained DataFrame calls -- classic PySpark re-analyzes the
+    growing logical plan on EVERY transformation, and this chain cost
+    ~1.4 s of driver time per build on the scaled doc faces (measured:
+    words_df 0.33 + key_words 0.53 + clauses_from_words 0.54 s at 2500
+    copies). One spark.sql parses and analyzes the tree once; the
+    physical plan is unchanged (same windows over the same
+    (doc_id, block_idx, widx) spec -- one shuffle, one sort -- same
+    aggregate). `clauses_from_words`/`keyed_words_df` remain the
+    word-relation path (doc_u1's model-labeled build, tests); every doc
+    oracle downstream of clauses re-proves equality."""
+    global _CLAUSES_SQL
+    if _CLAUSES_SQL is None:
+        _CLAUSES_SQL = _clauses_sql()
+    b = blocks if blocks is not None else blocks_df(spark)
+    return _sql_over_view(b, "clauses", _CLAUSES_SQL)
 
 
 def fulltext_df(spark: SparkSession, blocks: DataFrame | None = None,
@@ -251,11 +316,15 @@ def extraction_df_hoisted(spark: SparkSession, blocks: DataFrame | None = None,
     if len(forms) > 1:
         # The per-form filter below pushes into the broadcast doc_forms side
         # but cannot prune the per-doc full-text concat agg, so without
-        # sharing, that agg re-runs once PER FORM. Persist the per-doc
-        # relation (corpus-doc-count rows, not blocks) so the union branches
-        # read one materialization; lineage-preserving, LRU-evicted, and
-        # registered with the memo entry so eviction releases it.
-        ft = track_persist(ft)
+        # sharing, that agg re-runs once PER FORM. r15 fix: the r14 persist
+        # here was DEAD -- temp-view re-analysis inside _sql_over_view
+        # breaks CacheManager sameResult matching, so every union branch
+        # silently recomputed the agg (measured: 3 ObjectHashAggregate
+        # fulltext subtrees in the executed plan, zero InMemoryTableScan).
+        # localCheckpoint materializes the per-doc relation to a LogicalRDD
+        # leaf whose identity survives the view re-analysis; all branches
+        # read that one materialization.
+        ft = ft.localCheckpoint()
     parts = []
     for form in forms:
         # Three small projections instead of one giant stack expression:
@@ -344,10 +413,13 @@ def validated_df(spark: SparkSession, blocks: DataFrame | None = None,
             [(r[0], r[1], r[2], r[3], r[4], r[8], r[9], r[10], r[11], r[12])
              for r in schema_rows], _SCHEMA_META_SCHEMA)
     j = e.join(F.broadcast(s), ["form_name", "field_name"])
-    for rule, cond in _viol_flags_sql(SPARK).items():
-        j = j.withColumn(f"v_{rule}", F.expr(cond))
-    return j.withColumn(
-        "any_error", F.expr(" OR ".join(f"v_{r}" for r in _VIOL_RULES)))
+    # one selectExpr instead of a 7-deep withColumn chain: every chained
+    # transformation re-analyzes the whole growing plan (r15, the
+    # clauses_df lesson); flag order and output columns are unchanged
+    return (j.selectExpr("*", *[f"{cond} AS v_{rule}"
+                                for rule, cond in _viol_flags_sql(SPARK).items()])
+            .selectExpr("*", " OR ".join(f"v_{r}" for r in _VIOL_RULES)
+                        + " AS any_error"))
 
 
 def recovered_df(spark: SparkSession, blocks: DataFrame | None = None,
@@ -940,7 +1012,12 @@ def scoped_cascade_values(scoped: DataFrame,
     semantics (every doc carries exactly one form, so form-branching
     partitions rows disjointly)."""
     if share_input:
-        scoped = track_persist(scoped)
+        # r15: localCheckpoint, not persist -- the _sql_over_view temp-view
+        # re-analysis breaks cache sameResult matching, so the r14 persist
+        # never hit and each union branch recomputed the sessionization
+        # (see extraction_df_hoisted). The LogicalRDD leaf survives view
+        # re-analysis; every branch reads the one materialization.
+        scoped = scoped.localCheckpoint()
     first_def: dict[str, tuple] = {}
     for r in SCHEMA_ROWS:
         first_def.setdefault(r[1], r)
@@ -1009,28 +1086,6 @@ def _cascade_rule_rows(schema_rows: list[tuple] | None = None,
     return out
 
 
-def _parse_value_col(cap, ftype):
-    """parse_value_sql as ONE generic Column over (capture, ftype) -- the
-    data-driven twin of sqlgen.parse_value_sql, semantics identical (null
-    words on the raw capture, typed parse over the trimmed capture)."""
-    t = F.trim(cap)
-
-    def ne(c):
-        return F.when(c != "", c)  # NULLIF(c, '')
-
-    date = F.coalesce(
-        *[ne(F.regexp_extract(t, "(?i)" + p, 0)) for p in G.DATE_PATTERNS])
-    number = ne(F.regexp_extract(t, G.NUMBER_PATTERN, 1))
-    boolean = F.when(F.lower(t).isin("true", "yes", "1", "agree", "agreed"),
-                     F.lit("true")).otherwise(F.lit("false"))
-    typed = (F.when(ftype == "date", date)
-             .when(ftype == "number", number)
-             .when(ftype == "boolean", boolean)
-             .otherwise(t))
-    return F.when(cap.isNull() | F.lower(cap).isin("none", "null", "n/a", ""),
-                  F.lit(None).cast("string")).otherwise(typed)
-
-
 _RULES_SCHEMA = ("form_name string, field_name string, prio int, kind string, "
                  "rx1 string, rx2 string, ftype string")
 
@@ -1073,6 +1128,28 @@ def scoped_cascade_values_rules(scoped: DataFrame,
     return _cascade_winner(j, "context").drop("method")
 
 
+def _parse_value_col(cap, ftype):
+    """parse_value_sql as ONE generic Column over (capture, ftype) -- the
+    data-driven twin of sqlgen.parse_value_sql, semantics identical (null
+    words on the raw capture, typed parse over the trimmed capture)."""
+    t = F.trim(cap)
+
+    def ne(c):
+        return F.when(c != "", c)  # NULLIF(c, '')
+
+    date = F.coalesce(
+        *[ne(F.regexp_extract(t, "(?i)" + p, 0)) for p in G.DATE_PATTERNS])
+    number = ne(F.regexp_extract(t, G.NUMBER_PATTERN, 1))
+    boolean = F.when(F.lower(t).isin("true", "yes", "1", "agree", "agreed"),
+                     F.lit("true")).otherwise(F.lit("false"))
+    typed = (F.when(ftype == "date", date)
+             .when(ftype == "number", number)
+             .when(ftype == "boolean", boolean)
+             .otherwise(t))
+    return F.when(cap.isNull() | F.lower(cap).isin("none", "null", "n/a", ""),
+                  F.lit(None).cast("string")).otherwise(typed)
+
+
 def _cascade_winner(j: DataFrame, text_col: str) -> DataFrame:
     """Shared winner resolution for the rules-as-data cascade: generic
     capture expressions over ``text_col`` with column-typed patterns, then
@@ -1081,7 +1158,17 @@ def _cascade_winner(j: DataFrame, text_col: str) -> DataFrame:
     keywords). Emits (doc_id, form_name, field_name, value, method) --
     method per cascade_method_sql semantics ('regex' when any schema
     pattern matched even if parsing nulled it, else 'keyword' when the
-    keyword fallback produced the value, else NULL)."""
+    keyword fallback produced the value, else NULL).
+
+    r15 note (negative result, kept for the record): a one-statement SQL
+    twin of this function was built and REVERTED twice over. The temp-view
+    spark.sql route breaks CacheManager sameResult matching (the persisted
+    scoped relation silently stopped cache-hitting and the sessionization
+    recomputed per action), and the selectExpr-with-generated-strings
+    route PARSED SLOWER than this Column builder (interleaved A/B: u7
+    build 0.94-0.99 s old vs 1.70-2.02 s with the ~30 KB generated
+    parse_value CASE strings -- textual duplication of the capture
+    expression beats py4j chatter only when the strings stay small)."""
     cap1 = F.expr(f"regexp_extract({text_col}, rx1, 1)")
     cap2 = F.expr(f"regexp_extract({text_col}, rx2, 1)")
     pcap = F.when(cap1 != "", cap1)

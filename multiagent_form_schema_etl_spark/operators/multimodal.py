@@ -392,7 +392,20 @@ def x3_payload_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     real media -- the x3_multimodal_schema convention), but every
     operation is byte-level: the hex detour (2 chars/byte, uppercase in
     BOTH engines, multi-byte utf-8 verified identical) exists only so
-    DuckDB shingles the same byte string Spark does."""
+    DuckDB shingles the same byte string Spark does.
+
+    r15: the shingle+minhash+band candidate stage is split into
+    `_pnd_candidates` (identical lineage, shared code path) so the
+    candidate-volume probe (tools/probe_payload_neardup.py, VERDICT r14
+    item 8) can measure it in isolation."""
+    d, cand = _pnd_candidates(spark, sf_dir)
+    return _pnd_verify(d, cand)
+
+
+def _pnd_candidates(spark: SparkSession, sf_dir: str):
+    """Shingle arrays + band-bucket candidate pairs -- the front of
+    x3_payload_neardup, returned as (d = (doc_id, sh array), cand =
+    checkpointed (doc_a, doc_b))."""
     docs = load_table(spark, sf_dir, "documents")
     payload = F.col("text").cast("binary")
     hx = (docs.select("doc_id", F.hex(payload).alias("h"),
@@ -461,6 +474,13 @@ def x3_payload_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct().localCheckpoint())
+    return d, cand
+
+
+def _pnd_verify(d: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact byte-shingle Jaccard verification over the candidate pairs --
+    the tail of x3_payload_neardup (unchanged shape; see the strategy
+    comments inline)."""
     # verification touches CANDIDATE docs' shingles only: the full
     # exploded shingle relation is ~n_bytes rows per doc (60M rows at
     # the 50k-doc x10 probe -- shuffling it whole OOMed the in-task hash
