@@ -138,6 +138,40 @@ def jaccard_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_ngram_from(_tok_d_df(spark, sf_dir))
 
 
+def cosine_topk_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r15 x2_cosine_topk: separate corpus-wide norm scan re-attached
+    through a size-gated join (vs the r15 fused match-side norm)."""
+    from pyspark.sql import Window
+    from multiagent_form_schema_etl_spark.operators.similarity import (
+        _N_QUERIES, _TOP_K, _dec_dot, _dec_norm)
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("vec")))
+    norms = emb.select("vec_id", _dec_norm("vec").alias("nrm"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("match_id"),
+                   F.col("vec").alias("mv"))
+    dots = (F.broadcast(q).join(b, F.col("query_id") != F.col("match_id"))
+            .select("query_id", "match_id", _dec_dot("qv", "mv").alias("dot")))
+    na = (norms.filter(F.col("vec_id") < _N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("na")))
+    nb = norms.select(F.col("vec_id").alias("match_id"),
+                      F.col("nrm").alias("nb"))
+    n_emb = table_rowcount(spark, sf_dir, "embeddings")
+    cos = (dots.join(F.broadcast(na), "query_id")
+           .join(gated_broadcast(nb, n_emb), "match_id")
+           .select("query_id", "match_id",
+                   F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9)
+                    .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("match_id"))
+    return (cos.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= _TOP_K)
+            .select("query_id", "match_id", "cosine", "rnk"))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=5)
@@ -167,6 +201,7 @@ def main() -> None:
         ("x5_decontaminate_ngram", decon_ngram_old,
          qs["x5_decontaminate_ngram"]),
         ("x1_dedup_jaccard_ngram", jaccard_old, jaccard_new),
+        ("x2_cosine_topk", cosine_topk_old, qs["x2_cosine_topk"]),
     ]
     if args.faces:
         want = set(args.faces.split(","))

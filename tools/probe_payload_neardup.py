@@ -52,17 +52,19 @@ def main() -> None:
         # separate timing) -- this is a PROBE, not part of any query
         from multiagent_form_schema_etl_spark.operators import multimodal as M
         t0 = time.perf_counter()
-        cand = M._pnd_candidates(spark, d) if hasattr(M, "_pnd_candidates") \
-            else None
+        sh_rel, cand = M._pnd_candidates(spark, d)
         rec = {"corpus": name, "n_docs": n_docs, "full_noop_s": full_s,
                "n_result_pairs": n_pairs}
-        if cand is not None:
-            rec["n_cand"] = cand.count()
-            rec["cand_s"] = round(time.perf_counter() - t0, 3)
-            cd = (cand.select(F.col("doc_a").alias("doc_id"))
-                  .union(cand.select(F.col("doc_b").alias("doc_id")))
-                  .distinct())
-            rec["n_cand_docs"] = cd.count()
+        rec["n_cand"] = cand.count()
+        rec["cand_s"] = round(time.perf_counter() - t0, 3)
+        cd = (cand.select(F.col("doc_a").alias("doc_id"))
+              .union(cand.select(F.col("doc_b").alias("doc_id")))
+              .distinct())
+        rec["n_cand_docs"] = cd.count()
+        t0 = time.perf_counter()
+        M._pnd_verify(sh_rel, cand).write.format("noop") \
+            .mode("overwrite").save()
+        rec["verify_s"] = round(time.perf_counter() - t0, 3)
         print(json.dumps(rec))
 
 
